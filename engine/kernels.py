@@ -284,6 +284,8 @@ class Decoder:
         with np.errstate(invalid="ignore", divide="ignore"):
             pct = np.where(total > 0, numer.astype(np.float64) / np.where(total > 0, total, 1) * 100, 0.0)
         vals = np.round(pct, 2)
+        if pct.size == 0:
+            return vals, np.empty(0, dtype=object)
         strs = np.char.mod("%.2f%%", pct)
         return vals, strs
 

@@ -1,0 +1,130 @@
+"""Job composition: partitioned, resumable parse->enrich->route->aggregate.
+
+Resume design (explicit, per SURVEY section 4 — the one thing Ray Data does
+not give us; reference analogue: the parallel parser's JSON checkpoint +
+resume-skips-processed-pages loop, ``src/parallel_pdf_parser.py:145-182,
+244-250``):
+
+* input files are split into P partitions; each partition runs as its own
+  streaming execution (internally parallel across the whole cluster);
+* every output file a partition writes is prefixed with its ``p{i:04d}`` tag
+  and written atomically (temp + rename), with deterministic content-derived
+  names, so reruns are idempotent;
+* on partition success a manifest entry ``_manifest/p{i}.json`` is written
+  atomically; on restart, completed partitions are filtered out BEFORE
+  execution and stray outputs of incomplete partitions are deleted;
+* per-batch lineage records (stage, partition, sink, rows, sum_n_tok, output
+  path, wall ms) are persisted under ``_lineage/`` — they double as the
+  partial aggregates, so the final per-sink aggregate table is a driver-side
+  fold of tiny partials (no second pass over the data).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+from engine import stages
+
+
+def list_input_files(input_dir: str) -> List[str]:
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    return files
+
+
+def plan_partitions(files: Sequence[str], num_partitions: int) -> List[List[str]]:
+    num_partitions = max(1, min(num_partitions, len(files)))
+    out: List[List[str]] = [[] for _ in range(num_partitions)]
+    for i, f in enumerate(files):
+        out[i % num_partitions].append(f)
+    return out
+
+
+def _clean_partition_outputs(out_dir: str, tag: str) -> None:
+    for p in glob.glob(os.path.join(out_dir, "**", f"{tag}-*.parquet"), recursive=True):
+        os.remove(p)
+    shutil.rmtree(os.path.join(out_dir, "_lineage", tag), ignore_errors=True)
+
+
+def run_partition(files: Sequence[str], out_dir: str, tag: str,
+                  source_meta_ref, batch_size: int = 16384,
+                  concurrency=(1, 16)) -> None:
+    """One streaming execution over this partition's files."""
+    ds = ray.data.read_parquet(list(files))
+    ds = stages.parse_stage(ds, batch_size=batch_size)
+    ds = stages.enrich_stage(ds, source_meta_ref, batch_size=batch_size)
+    lin = stages.decode_route_stage(ds, out_dir, part_tag=tag,
+                                    batch_size=batch_size, concurrency=concurrency)
+    lin.write_parquet(os.path.join(out_dir, "_lineage", tag))
+
+
+def fold_aggregate(out_dir: str) -> pa.Table:
+    """Driver-side fold of the per-batch partial aggregates (tiny)."""
+    lin = pads.dataset(os.path.join(out_dir, "_lineage")).to_table()
+    ok = lin.filter(pc.not_equal(lin["sink"], "dead_letter"))
+    g = pa.TableGroupBy(ok.select(["source", "msg_type", "rows", "sum_n_tok"]),
+                        ["source", "msg_type"]).aggregate(
+        [("rows", "sum"), ("sum_n_tok", "sum")])
+    agg = pa.table({
+        "source": g["source"], "msg_type": g["msg_type"],
+        "n_rows": pc.cast(g["rows_sum"], pa.int64()),
+        "sum_n_tok": pc.cast(g["sum_n_tok_sum"], pa.int64()),
+    }).sort_by([("source", "ascending"), ("msg_type", "ascending")])
+    pq.write_table(agg, os.path.join(out_dir, "agg.parquet"))
+
+    sinks = pa.TableGroupBy(lin.select(["sink", "rows"]), "sink").aggregate([("rows", "sum")])
+    counts = dict(zip(sinks["sink"].to_pylist(),
+                      [int(x) for x in sinks["rows_sum"].to_pylist()]))
+    with open(os.path.join(out_dir, "sink_counts.json"), "w") as f:
+        json.dump(counts, f, indent=1, sort_keys=True)
+    return agg
+
+
+def run_job(input_dir: str, out_dir: str, source_meta_path: str,
+            num_partitions: int = 1, batch_size: int = 16384,
+            concurrency=(1, 16), resume: bool = True,
+            fail_after_partitions: Optional[int] = None) -> pa.Table:
+    """Full resumable job.  ``fail_after_partitions`` injects a mid-pipeline
+    crash after N completed partitions (for the resume test)."""
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    files = list_input_files(input_dir)
+    parts = plan_partitions(files, num_partitions)
+    source_meta_ref = ray.put(pq.read_table(source_meta_path))
+
+    done = 0
+    for i, pfiles in enumerate(parts):
+        tag = f"p{i:04d}"
+        man_path = os.path.join(out_dir, "_manifest", f"{tag}.json")
+        if resume and os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            if man.get("files") == pfiles and man.get("completed"):
+                continue  # completed partition: skip before execution
+        _clean_partition_outputs(out_dir, tag)
+        t0 = time.monotonic()
+        run_partition(pfiles, out_dir, tag, source_meta_ref,
+                      batch_size=batch_size, concurrency=concurrency)
+        man = {"part": tag, "files": pfiles, "completed": True,
+               "wall_s": round(time.monotonic() - t0, 3)}
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, man_path)
+        done += 1
+        if fail_after_partitions is not None and done >= fail_after_partitions:
+            raise RuntimeError(f"injected failure after {done} partitions")
+
+    return fold_aggregate(out_dir)

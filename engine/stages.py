@@ -1,0 +1,255 @@
+"""Ray Data stages: parse -> enrich -> decode+route -> aggregate.
+
+Each stage is a ``Dataset -> Dataset`` combinator (the composable-stage
+equivalent of the reference's package-root API,
+``hex_decoder_module/__init__.py:1-22``).  Hot-loop bodies are the
+vectorized kernels in :mod:`engine.kernels`; stateful stages are callable
+classes run as actor pools (``map_batches(Cls, concurrency=N)``) with all
+setup in ``__init__`` — the Ray-native replacement for the reference's
+process-local caches (``icd_parser/cache.py:9-67``) and its
+metadata-loaded-once parser (``metadata_payload_parser.py:19-32``).
+
+Scale notes (100 TB design):
+* parse/enrich/decode are shuffle-free single-pass ``map_batches``;
+* routing is shuffle-free fan-out: each task writes its own per-sink
+  Parquet files, so a hot msg_type (>=50% of rows) causes zero skew — there
+  is no exchange to skew.  The only all-to-all in the engine is the final
+  grouped aggregate, which we run over per-batch partials (combiner
+  pattern), so the shuffle moves one row per (source, msg_type) per batch,
+  not one row per packet;
+* the catalog and the per-source enrich table are broadcast once via
+  ``ray.put`` and fetched in actor ``__init__`` (north-star J8/ST5), never
+  re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from engine.kernels import BatchView, Decoder, group_rows_by_layout
+from engine.oracle import ERR_OK
+
+ENVELOPE_PARSE_COLS = ["msg_type", "version", "seq", "ts", "error_code"]
+
+
+@functools.lru_cache(maxsize=1)
+def shared_decoder() -> Decoder:
+    """Per-worker-process compiled catalog (cheap, deterministic)."""
+    return Decoder()
+
+
+# ---------------------------------------------------------------------------
+# Parse stage (stateless tasks; M1-M5 vectorized)
+# ---------------------------------------------------------------------------
+
+def parse_batch(t: pa.Table) -> pa.Table:
+    """Header extract + validation as envelope columns (no exceptions —
+    error-status columns per SURVEY 1.4 instead of models/errors.py)."""
+    t = t.combine_chunks()
+    view = BatchView(t["tokens"])
+    cls = shared_decoder().classify(view)
+    for name in ENVELOPE_PARSE_COLS:
+        typ = pa.int8() if name == "error_code" else pa.int32()
+        t = t.append_column(name, pa.array(cls[name], type=typ))
+    return t
+
+
+def parse_stage(ds, batch_size: int = 16384):
+    return ds.map_batches(parse_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Enrich stage (actor pool; broadcast small side — J8/ST5)
+# ---------------------------------------------------------------------------
+
+class Enricher:
+    """Joins per-source metadata via a broadcast lookup (no shuffle).
+
+    The side table is put in the object store once (``ray.put``) and read in
+    ``__init__`` — once per actor, the reference's load-metadata-once shape
+    (``metadata_payload_parser.py:19-32``)."""
+
+    def __init__(self, source_meta_ref):
+        meta = ray.get(source_meta_ref) if isinstance(source_meta_ref, ray.ObjectRef) else source_meta_ref
+        self.maps: Dict[str, Dict[str, object]] = {}
+        srcs = meta["source"].to_pylist()
+        for col in ("site", "hw_rev", "priority"):
+            self.maps[col] = dict(zip(srcs, meta[col].to_pylist()))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+        src = pd.Series(t["source"].to_pandas())
+        for col in ("site", "hw_rev"):
+            t = t.append_column(col, pa.array(src.map(self.maps[col]), type=pa.string()))
+        t = t.append_column("priority", pa.array(src.map(self.maps["priority"]), type=pa.int32()))
+        return t
+
+
+def enrich_stage(ds, source_meta_ref, batch_size: int = 16384, concurrency=(1, 8)):
+    return ds.map_batches(Enricher, fn_constructor_args=(source_meta_ref,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Decode + route stage (actor pool; shuffle-free heterogeneous fan-out)
+# ---------------------------------------------------------------------------
+
+ENVELOPE_SINK_COLS = ["doc_id", "source", "site", "hw_rev", "priority",
+                      "version", "seq", "ts", "n_tok", "tokens"]
+DEAD_LETTER_COLS = ["doc_id", "source", "n_tok", "tokens", "msg_type",
+                    "version", "error_code"]
+
+LINEAGE_SCHEMA = pa.schema([
+    ("part", pa.string()), ("sink", pa.string()), ("msg_type", pa.int32()),
+    ("source", pa.string()), ("rows", pa.int64()), ("sum_n_tok", pa.int64()),
+    ("path", pa.string()), ("batch_wall_ms", pa.float64()),
+])
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+class DecodeRouter:
+    """Decode each (msg_type, version) group and fan rows out to per-sink
+    Parquet directories (``out/msg_type=0xXXXX/version=V/``), dead letters to
+    their own sink — the Ray-native form of the reference's per-logcode JSON
+    outputs (``export/file_writer.py:14-76``) plus the dead-letter design of
+    SURVEY 1.4.  Emits per-batch lineage + partial-aggregate rows instead of
+    data, so the downstream aggregate shuffles partials only.
+
+    File naming ``part-<min doc_id>-<rows>.parquet`` is deterministic per
+    batch content: task retries overwrite with identical bytes (idempotent
+    writes, the checkpoint-manifest prerequisite, SURVEY section 4).
+    """
+
+    def __init__(self, out_dir: str, part_tag: str = "p0000"):
+        self.out_dir = out_dir
+        self.part_tag = part_tag
+        self.decoder = shared_decoder()
+
+    def _write_sink(self, rel: str, table: pa.Table) -> str:
+        d = os.path.join(self.out_dir, rel)
+        os.makedirs(d, exist_ok=True)
+        min_doc = min(table["doc_id"].to_pylist())
+        path = os.path.join(d, f"{self.part_tag}-{min_doc}-{table.num_rows}.parquet")
+        _atomic_write(table, path)
+        return path
+
+    def _lineage_rows(self, sink: str, msg_type: int, table: pa.Table,
+                      path: str, wall_ms: float):
+        import pyarrow.compute as pc
+        g = pa.TableGroupBy(table.select(["source", "n_tok"]), "source").aggregate(
+            [("n_tok", "sum"), ("n_tok", "count")])
+        n = g.num_rows
+        return pa.table({
+            "part": pa.array([self.part_tag] * n),
+            "sink": pa.array([sink] * n),
+            "msg_type": pa.array([msg_type] * n, type=pa.int32()),
+            "source": g["source"],
+            "rows": pc.cast(g["n_tok_count"], pa.int64()),
+            "sum_n_tok": pc.cast(g["n_tok_sum"], pa.int64()),
+            "path": pa.array([path] * n),
+            "batch_wall_ms": pa.array([wall_ms] * n, type=pa.float64()),
+        }).cast(LINEAGE_SCHEMA)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        t = t.combine_chunks()
+        view = BatchView(t["tokens"])
+        err = t["error_code"].to_numpy()
+        out_lineage = []
+
+        # dead letters
+        bad = np.flatnonzero(err != ERR_OK)
+        if bad.size:
+            dl = t.select([c for c in DEAD_LETTER_COLS if c in t.column_names]) \
+                 .take(pa.array(bad))
+            path = self._write_sink("dead_letter", dl)
+            out_lineage.append(self._lineage_rows(
+                "dead_letter", -1, dl, path, (time.monotonic() - t0) * 1e3))
+
+        cls = {"error_code": err,
+               "msg_type": t["msg_type"].to_numpy(),
+               "version": t["version"].to_numpy()}
+        for mt, ver, rows in group_rows_by_layout(self.decoder, cls):
+            layout = self.decoder.compiled[(mt, ver)]
+            cols = self.decoder.decode_group(view, rows, layout)
+            env = t.select([c for c in ENVELOPE_SINK_COLS if c in t.column_names]) \
+                   .take(pa.array(rows))
+            for name, arr in cols.items():
+                env = env.append_column(name, arr)
+            sink = f"0x{mt:04X}"
+            path = self._write_sink(os.path.join(f"msg_type={sink}", f"version={ver}"), env)
+            out_lineage.append(self._lineage_rows(
+                sink, mt, env, path, (time.monotonic() - t0) * 1e3))
+
+        if not out_lineage:
+            return LINEAGE_SCHEMA.empty_table()
+        return pa.concat_tables(out_lineage)
+
+
+def decode_route_stage(ds, out_dir: str, part_tag: str = "p0000",
+                       batch_size: int = 16384, concurrency=(1, 16)):
+    return ds.map_batches(DecodeRouter, fn_constructor_args=(out_dir, part_tag),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate stage (A6): native shuffle aggregate + combiner variant
+# ---------------------------------------------------------------------------
+
+def ok_only(ds):
+    import pyarrow.compute as pc
+    return ds.map_batches(lambda t: t.filter(pc.equal(t["error_code"], 0)),
+                          batch_format="pyarrow")
+
+
+def aggregate_stage(parsed_ds):
+    """Native ``groupby(source, msg_type).aggregate(count, sum(n_tok))``
+    (BASELINE.json north_star A6).  Ray performs partial+final under the
+    hood; for the job's hot path prefer :func:`pre_aggregated` below."""
+    from ray.data.aggregate import Count, Sum
+    return ok_only(parsed_ds).groupby(["source", "msg_type"]).aggregate(
+        Count(alias_name="n_rows"), Sum("n_tok", alias_name="sum_n_tok"))
+
+
+def _partial_agg_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    t = t.filter(pc.equal(t["error_code"], 0))
+    g = pa.TableGroupBy(t.select(["source", "msg_type", "n_tok"]),
+                        ["source", "msg_type"]).aggregate(
+        [("n_tok", "count"), ("n_tok", "sum")])
+    return pa.table({
+        "source": g["source"], "msg_type": g["msg_type"],
+        "n_rows": pc.cast(g["n_tok_count"], pa.int64()),
+        "sum_n_tok": pc.cast(g["n_tok_sum"], pa.int64()),
+    })
+
+
+def pre_aggregated(parsed_ds):
+    """Combiner-pattern aggregate: per-batch partials inside ``map_batches``
+    (one row per key per batch crosses the exchange), then a tiny global
+    groupby — the explicit skew answer required by the north rule.  A hot
+    msg_type inflates only the batch-local combine, which is O(batch).  If a
+    single *key* were ever hot enough to bottleneck the final fold, salt it:
+    key' = (source, msg_type, hash(doc_id) % S) then fold the salt back —
+    with one row per key per batch, the fold input is already tiny."""
+    from ray.data.aggregate import Sum
+    partials = parsed_ds.map_batches(_partial_agg_batch, batch_format="pyarrow")
+    return partials.groupby(["source", "msg_type"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"), Sum("sum_n_tok", alias_name="sum_n_tok"))

@@ -1,0 +1,164 @@
+"""End-to-end conformance: Ray pipeline output vs the scalar oracle.
+
+Asserts the BASELINE.json correctness contract: per-sink counts, routed-row
+SET equality per sink, per-row token-array equality (Arrow-level), and the
+grouped aggregate — all against the single-process oracle.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from engine.oracle import ERR_OK, OracleDecoder
+
+
+@pytest.fixture(scope="module")
+def job_out(ray_session, sf_small, tmp_path_factory):
+    from engine.pipeline import run_job
+    out = str(tmp_path_factory.mktemp("job_out"))
+    agg = run_job(f"{sf_small}/sequences", out, f"{sf_small}/source_meta.parquet",
+                  num_partitions=2)
+    return out, agg
+
+
+@pytest.fixture(scope="module")
+def oracle_truth(sf_small):
+    t = pads.dataset(f"{sf_small}/sequences").to_table().combine_chunks()
+    o = OracleDecoder()
+    rows = t.to_pylist()
+    by_sink = {}
+    for r in rows:
+        sink = o.route_key(r["tokens"])
+        by_sink.setdefault(sink, {})[r["doc_id"]] = r["tokens"]
+    agg = o.aggregate(rows)
+    return rows, by_sink, agg
+
+
+def _read_sink(out, sink):
+    if sink == "dead_letter":
+        pat = os.path.join(out, "dead_letter", "*.parquet")
+    else:
+        pat = os.path.join(out, f"msg_type={sink}", "version=*", "*.parquet")
+    files = glob.glob(pat)
+    assert files, f"no files for sink {sink}"
+    tables = [pads.dataset(f).to_table() for f in files]
+    return tables
+
+
+def test_sink_counts_match_oracle(job_out, oracle_truth):
+    out, _ = job_out
+    _, by_sink, _ = oracle_truth
+    with open(os.path.join(out, "sink_counts.json")) as f:
+        counts = json.load(f)
+    want = {sink: len(docs) for sink, docs in by_sink.items()}
+    assert counts == want
+
+
+def test_routed_row_set_and_token_equality(job_out, oracle_truth):
+    """Set equality of routed rows per sink + exact token-array equality
+    (the per-row invariant of BASELINE.json:input_hint)."""
+    out, _ = job_out
+    _, by_sink, _ = oracle_truth
+    for sink, want_docs in by_sink.items():
+        got = {}
+        for tbl in _read_sink(out, sink):
+            for doc, toks in zip(tbl["doc_id"].to_pylist(), tbl["tokens"].to_pylist()):
+                assert doc not in got, f"duplicate routed row {doc} in {sink}"
+                got[doc] = toks
+        assert set(got) == set(want_docs), sink
+        for doc, toks in want_docs.items():
+            assert got[doc] == toks, (sink, doc)
+
+
+def test_aggregate_matches_oracle(job_out, oracle_truth):
+    _, agg = job_out
+    _, _, want = oracle_truth
+    got = {(s, m): (n, tk) for s, m, n, tk in zip(
+        agg["source"].to_pylist(), agg["msg_type"].to_pylist(),
+        agg["n_rows"].to_pylist(), agg["sum_n_tok"].to_pylist())}
+    assert got == want
+
+
+def test_native_aggregate_stage(ray_session, sf_small):
+    """ds.groupby(source, msg_type).aggregate(Count, Sum) == combiner fold
+    == oracle (SURVEY A6, both physical plans)."""
+    import ray
+    from engine import stages
+    ds = ray.data.read_parquet(f"{sf_small}/sequences")
+    parsed = stages.parse_stage(ds)
+    native = stages.aggregate_stage(parsed).to_pandas()
+    pre = stages.pre_aggregated(stages.parse_stage(
+        ray.data.read_parquet(f"{sf_small}/sequences"))).to_pandas()
+    o = OracleDecoder()
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    want = o.aggregate(t.to_pylist())
+    for df in (native, pre):
+        got = {(r.source, r.msg_type): (int(r.n_rows), int(r.sum_n_tok))
+               for r in df.itertuples()}
+        assert got == want
+
+
+def test_enrichment_columns(job_out, sf_small):
+    out, _ = job_out
+    meta = pads.dataset(f"{sf_small}/source_meta.parquet").to_table().to_pylist()
+    lookup = {m["source"]: m for m in meta}
+    tbl = _read_sink(out, "0x2001")[0]
+    for r in tbl.slice(0, 50).to_pylist():
+        m = lookup[r["source"]]
+        assert r["site"] == m["site"]
+        assert r["hw_rev"] == m["hw_rev"]
+        assert r["priority"] == m["priority"]
+
+
+def test_decoded_columns_in_sink(job_out, oracle_truth):
+    """Spot-check decoded values inside routed parquet vs oracle decode."""
+    out, _ = job_out
+    rows, _, _ = oracle_truth
+    by_doc = {r["doc_id"]: r for r in rows}
+    o = OracleDecoder()
+    for f in glob.glob(os.path.join(out, "msg_type=0xB888", "version=*", "*.parquet"))[:3]:
+        tbl = pads.dataset(f).to_table()
+        for r in tbl.slice(0, 20).to_pylist():
+            ref = o.decode_row(by_doc[r["doc_id"]]["tokens"])
+            for k, v in ref["fields"].items():
+                got = r[k]
+                assert (got == v) or (got is None and v is None), (r["doc_id"], k, got, v)
+            recs = r["Records"]
+            assert len(recs) == len(ref["records"]["Records"])
+
+
+def test_resume_skips_completed_partitions(ray_session, sf_small, tmp_path):
+    """Kill mid-job; restart must not reprocess completed partitions
+    (north_rule resumability; reference analogue parallel_pdf_parser.py:170-182)."""
+    from engine.pipeline import run_job
+    out = str(tmp_path / "resume_out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(f"{sf_small}/sequences", out, f"{sf_small}/source_meta.parquet",
+                num_partitions=4, fail_after_partitions=2)
+    manifests = sorted(glob.glob(os.path.join(out, "_manifest", "*.json")))
+    assert len(manifests) == 2
+    mtimes = {m: os.path.getmtime(m) for m in manifests}
+    done_files = {p: os.path.getmtime(p) for p in
+                  glob.glob(os.path.join(out, "**", "p000[01]-*.parquet"), recursive=True)}
+    assert done_files
+
+    agg = run_job(f"{sf_small}/sequences", out, f"{sf_small}/source_meta.parquet",
+                  num_partitions=4)
+    # completed partitions untouched (no reprocessing)
+    for m, ts in mtimes.items():
+        assert os.path.getmtime(m) == ts
+    for p, ts in done_files.items():
+        assert os.path.getmtime(p) == ts, f"{p} was rewritten on resume"
+    # and the final result is still exactly right
+    o = OracleDecoder()
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    want = o.aggregate(t.to_pylist())
+    got = {(s, m): (n, tk) for s, m, n, tk in zip(
+        agg["source"].to_pylist(), agg["msg_type"].to_pylist(),
+        agg["n_rows"].to_pylist(), agg["sum_n_tok"].to_pylist())}
+    assert got == want
