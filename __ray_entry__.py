@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship parse -> enrich -> route -> aggregate job on
+the sf0.001 fixture corpus; ``queries()``/``oracle_sql()`` expose every
+implemented operator with a DuckDB-checkable equivalent (see
+engine/queries.py for the determinism conventions).  Ray is initialised by
+the driver before import — nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -21,24 +15,47 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import os
+    import shutil
+
+    import ray
+
+    from engine.fixtures import ensure_fixtures
+    from engine.pipeline import run_job
+
+    root = ensure_fixtures("sf0.001")
+    out = "/tmp/graft_entry_out"
+    shutil.rmtree(out, ignore_errors=True)
+    agg = run_job(os.path.join(root, "sequences"), out,
+                  os.path.join(root, "source_meta.parquet"), num_partitions=1)
+    return ray.data.from_arrow(agg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md section 2
+    plus the training-data operators (dedup / similarity / text analysis /
+    multimodal)."""
+    from engine.queries import QUERIES
+    q = dict(QUERIES)
+    try:
+        from engine.extras import EXTRA_QUERIES
+        q.update(EXTRA_QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (telemetry queries reference the
+    committed deterministic fixture corpus by absolute path; relational
+    queries use the pre-registered testdata views).  Queries without an
+    entry here are non-SQL-expressible (stateful/model/iterative) and get
+    the driver's rows-only check."""
+    from engine.queries import ORACLE_SQL
+    s = dict(ORACLE_SQL)
+    try:
+        from engine.extras import EXTRA_ORACLE_SQL
+        s.update(EXTRA_ORACLE_SQL)
+    except ImportError:
+        pass
+    return s

@@ -1,0 +1,512 @@
+"""Driver-gated queries: Ray Data implementations + equivalent DuckDB SQL.
+
+Every entry here appears in ``__ray_entry__.queries()`` with a matching
+``oracle_sql()`` string; the driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value-hash.  Conventions that make
+the comparison deterministic:
+
+* integer outputs everywhere (monetary/real values are converted to
+  integer cents/milli-units with ``floor(x*K + 0.5)`` / ``floor(x*K)`` —
+  identical double math in numpy and DuckDB — never rounded float sums);
+* all integer columns cast to int64, strings stay utf8, booleans bool;
+* telemetry queries read the committed deterministic fixture corpus
+  (``fixtures/sf0.01``), which the SQL references by absolute path;
+* relational/text/embedding queries read the driver's testdata tables
+  (pre-registered DuckDB views of the same parquet files).
+
+The SQL for the telemetry decode queries re-derives the reference bit
+arithmetic (LE byte windows, shift, mask — utils/byte_ops.py:31-66) from
+`tokens` int32 words, including the record-count clamp
+``min(logical, fits)`` of metadata_payload_parser.py:231-236.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from engine import fixtures, stages
+from engine.catalog import compile_catalog
+from engine.kernels import BatchView, Decoder, group_rows_by_layout
+from engine.oracle import ERR_OK
+
+FIX01 = "/root/repo/fixtures/sf0.01"
+SEQ_SQL = f"read_parquet('{FIX01}/sequences/*.parquet')"
+META_SQL = f"read_parquet('{FIX01}/source_meta.parquet')"
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+# ---------------------------------------------------------------------------
+
+def _seq_ds(sf_dir: str):
+    import ray
+    fix = fixtures.ensure_fixtures(fixtures.sf_of(sf_dir))
+    return ray.data.read_parquet(os.path.join(fix, "sequences"))
+
+
+def _table(sf_dir: str, name: str):
+    import ray
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _to_i64(t: pa.Table) -> pa.Table:
+    """Cast every integer column to int64 for dtype-stable comparisons."""
+    cols = {}
+    for name, col in zip(t.column_names, t.columns):
+        if pa.types.is_integer(col.type) and not pa.types.is_uint64(col.type):
+            cols[name] = pc.cast(col, pa.int64())
+        else:
+            cols[name] = col
+    return pa.table(cols)
+
+
+def _finalize(ds):
+    return ds.map_batches(_to_i64, batch_format="pyarrow")
+
+
+# --- SQL rendering helpers (payload byte b lives in tokens[5 + b//4]) ------
+
+def _sql_byte(i: str) -> str:
+    return f"((tokens[5 + ({i})//4]::BIGINT >> (8*(({i})%4))) & 255)"
+
+
+def _sql_uint(off, nbytes: int) -> str:
+    terms = [f"{_sql_byte(f'({off})+{k}')}*{256 ** k}" for k in range(nbytes)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_field(off: int, nbytes: int, signed: bool = False) -> str:
+    u = _sql_uint(str(off), nbytes)
+    if signed:
+        n = nbytes * 8
+        u = f"(CASE WHEN {u} >= {1 << (n - 1)} THEN {u} - {1 << n} ELSE {u} END)"
+    return f"(CASE WHEN (n_tok-4)*4 >= {off + nbytes} THEN {u} END)"
+
+
+def _sql_error_case() -> str:
+    compiled = compile_catalog()
+    types = sorted({mt for mt, _ in compiled})
+    pairs = {}
+    for mt, v in compiled:
+        pairs.setdefault(mt, []).append(v)
+    pair_sql = " OR ".join(
+        f"(tokens[1]={mt} AND tokens[2] IN ({','.join(map(str, sorted(vs)))}))"
+        for mt, vs in sorted(pairs.items()))
+    return (f"CASE WHEN n_tok < 4 THEN 1 "
+            f"WHEN tokens[1] NOT IN ({','.join(map(str, types))}) THEN 2 "
+            f"WHEN NOT ({pair_sql}) THEN 3 ELSE 0 END")
+
+
+# ---------------------------------------------------------------------------
+# telemetry queries (fixture corpus)
+# ---------------------------------------------------------------------------
+
+def q_parse_header(sf_dir: str):
+    ds = stages.parse_stage(_seq_ds(sf_dir))
+    ds = ds.map_batches(
+        lambda t: _to_i64(t.select(["doc_id", "msg_type", "version", "seq",
+                                    "ts", "error_code", "n_tok", "source"])),
+        batch_format="pyarrow")
+    return ds
+
+
+SQL_PARSE_HEADER = f"""
+SELECT doc_id,
+  CASE WHEN n_tok>=4 THEN tokens[1]::BIGINT END AS msg_type,
+  CASE WHEN n_tok>=4 THEN tokens[2]::BIGINT END AS version,
+  CASE WHEN n_tok>=4 THEN tokens[3]::BIGINT END AS seq,
+  CASE WHEN n_tok>=4 THEN tokens[4]::BIGINT END AS ts,
+  ({_sql_error_case()})::BIGINT AS error_code,
+  n_tok::BIGINT AS n_tok, source
+FROM {SEQ_SQL}
+"""
+
+
+def q_dead_letter_stats(sf_dir: str):
+    ds = stages.parse_stage(_seq_ds(sf_dir))
+    ds = ds.map_batches(lambda t: t.filter(pc.not_equal(t["error_code"], 0)),
+                        batch_format="pyarrow")
+    from ray.data.aggregate import Count
+    out = ds.groupby("error_code").aggregate(Count(alias_name="n_rows"))
+    return _finalize(out)
+
+
+SQL_DEAD_LETTER = f"""
+SELECT error_code, count(*)::BIGINT AS n_rows FROM (
+  SELECT ({_sql_error_case()})::BIGINT AS error_code FROM {SEQ_SQL}
+) WHERE error_code <> 0 GROUP BY error_code
+"""
+
+
+def q_route_counts(sf_dir: str):
+    ds = stages.ok_only(stages.parse_stage(_seq_ds(sf_dir)))
+    from ray.data.aggregate import Count
+    agg = ds.groupby("msg_type").aggregate(Count(alias_name="n_rows"))
+    df = agg.to_pandas()  # tiny result
+    df["sink"] = df["msg_type"].map(lambda m: f"0x{m:04X}")
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df[["sink", "n_rows"]]
+
+
+SQL_ROUTE_COUNTS = f"""
+SELECT printf('0x%04X', tokens[1]) AS sink, count(*)::BIGINT AS n_rows
+FROM {SEQ_SQL} WHERE ({_sql_error_case()}) = 0 GROUP BY 1
+"""
+
+
+def q_agg_source_msgtype(sf_dir: str):
+    """The north-star A6 aggregate, native groupby path."""
+    return _finalize(stages.aggregate_stage(stages.parse_stage(_seq_ds(sf_dir))))
+
+
+SQL_AGG = f"""
+SELECT source, tokens[1]::BIGINT AS msg_type, count(*)::BIGINT AS n_rows,
+       sum(n_tok)::BIGINT AS sum_n_tok
+FROM {SEQ_SQL} WHERE ({_sql_error_case()}) = 0 GROUP BY 1, 2
+"""
+
+
+def q_agg_enriched_site(sf_dir: str):
+    import ray
+    fix = fixtures.ensure_fixtures(fixtures.sf_of(sf_dir))
+    meta_ref = ray.put(pq.read_table(os.path.join(fix, "source_meta.parquet")))
+    ds = stages.enrich_stage(stages.ok_only(stages.parse_stage(_seq_ds(sf_dir))), meta_ref)
+    from ray.data.aggregate import Count, Sum
+    out = ds.groupby("site").aggregate(Count(alias_name="n_rows"),
+                                       Sum("n_tok", alias_name="sum_n_tok"))
+    return _finalize(out)
+
+
+SQL_AGG_SITE = f"""
+SELECT m.site AS site, count(*)::BIGINT AS n_rows, sum(s.n_tok)::BIGINT AS sum_n_tok
+FROM {SEQ_SQL} s JOIN {META_SQL} m USING (source)
+WHERE ({_sql_error_case()}) = 0 GROUP BY 1
+"""
+
+
+def q_enrich_rows(sf_dir: str):
+    import ray
+    fix = fixtures.ensure_fixtures(fixtures.sf_of(sf_dir))
+    meta_ref = ray.put(pq.read_table(os.path.join(fix, "source_meta.parquet")))
+    ds = stages.enrich_stage(stages.ok_only(stages.parse_stage(_seq_ds(sf_dir))), meta_ref)
+    return ds.map_batches(
+        lambda t: _to_i64(t.select(["doc_id", "source", "site", "hw_rev", "priority"])),
+        batch_format="pyarrow")
+
+
+SQL_ENRICH = f"""
+SELECT doc_id, source, m.site, m.hw_rev, m.priority::BIGINT AS priority
+FROM {SEQ_SQL} s JOIN {META_SQL} m USING (source)
+WHERE ({_sql_error_case()}) = 0
+"""
+
+
+def _decode_query(mt: int, ver: int, spec):
+    """Build a filter+decode query.  ``spec``: list of (out_name, builder)
+    where builder(cols, env) -> pa.Array."""
+    def run(sf_dir: str):
+        dec = Decoder()
+        layout = dec.compiled[(mt, ver)]
+
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            view = BatchView(t["tokens"])
+            cls = dec.classify(view)
+            rows = np.flatnonzero((cls["error_code"] == ERR_OK)
+                                  & (cls["msg_type"] == mt) & (cls["version"] == ver))
+            out_cols = {"doc_id": t["doc_id"].take(pa.array(rows))}
+            if rows.size:
+                cols = dec.decode_group(view, rows, layout)
+            else:
+                cols = {}
+            for out_name, builder in spec:
+                out_cols[out_name] = builder(cols, rows)
+            return _to_i64(pa.table(out_cols))
+
+        return _seq_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return run
+
+
+def _col(name, patype=None):
+    def b(cols, rows):
+        if not rows.size:
+            return pa.array([], type=patype or pa.int64())
+        arr = cols[name]
+        return pc.cast(arr, patype) if patype else arr
+    return b
+
+
+q_decode_heartbeat_v1 = _decode_query(0x2001, 1, [
+    ("status", _col("Status")), ("uptime", _col("Uptime")),
+    ("temp", _col("Temp")), ("load_pct", _col("Load Pct")),
+])
+
+SQL_DECODE_HEARTBEAT = f"""
+SELECT doc_id, {_sql_field(0, 1)} AS status, {_sql_field(1, 4)} AS uptime,
+       {_sql_field(5, 2, signed=True)} AS temp, {_sql_field(7, 1)} AS load_pct
+FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=8193 AND tokens[2]=1
+"""
+
+q_decode_thermal = _decode_query(0x3A11, 1, [
+    ("temp0", _col("Temp0")), ("temp1", _col("Temp1")),
+    ("temp2", _col("Temp2")), ("temp3", _col("Temp3")),
+    ("fan", _col("Fan")), ("throttle", _col("Throttle")),
+    ("throttle_str", _col("Throttle (Decoded)", pa.string())),
+])
+
+_THROTTLE_RAW = _sql_uint("6", 1)
+SQL_DECODE_THERMAL = f"""
+SELECT doc_id,
+  {_sql_field(0, 1, signed=True)} AS temp0, {_sql_field(1, 1, signed=True)} AS temp1,
+  {_sql_field(2, 1, signed=True)} AS temp2, {_sql_field(3, 1, signed=True)} AS temp3,
+  {_sql_field(4, 2)} AS fan, {_sql_field(6, 1)} AS throttle,
+  CASE WHEN (n_tok-4)*4 >= 7 THEN
+    CASE {_THROTTLE_RAW} WHEN 0 THEN 'NONE' WHEN 1 THEN 'LIGHT' WHEN 2 THEN 'HEAVY'
+         WHEN 7 THEN 'EMERGENCY'
+         ELSE 'UNKNOWN(' || {_THROTTLE_RAW}::VARCHAR || ')' END
+  END AS throttle_str
+FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=14865 AND tokens[2]=1
+"""
+
+
+def _bool_col(name):
+    def b(cols, rows):
+        if not rows.size:
+            return pa.array([], type=pa.bool_())
+        return cols[name]
+    return b
+
+
+q_decode_rf_bits = _decode_query(0x3A10, 1, [
+    ("wideband_flag", _bool_col("Wideband Flag")),
+    ("antenna_mask", _col("Antenna Mask")),
+    ("pci", _col("PCI")), ("counter", _col("Counter")), ("frac", _col("Frac")),
+])
+
+SQL_DECODE_RF = f"""
+SELECT doc_id,
+  CASE WHEN (n_tok-4)*4 >= 17 THEN (({_sql_byte('16')} >> 3) & 1) = 1 END AS wideband_flag,
+  CASE WHEN (n_tok-4)*4 >= 17 THEN ({_sql_byte('16')} >> 4) & 15 END AS antenna_mask,
+  {_sql_field(17, 2)} AS pci, {_sql_field(19, 4)} AS counter,
+  CASE WHEN (n_tok-4)*4 >= 36 THEN ({_sql_uint('32', 4)} >> 5) & {(1 << 27) - 1} END AS frac
+FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=14864 AND tokens[2]=1
+"""
+
+
+def q_decode_b888_records(sf_dir: str):
+    """Dynamic-count record explode: child table keyed (doc_id, record_idx)
+    — SURVEY M15/M16 with the min(logical, fits) clamp, as a flat Ray result
+    the DuckDB oracle reproduces with generate_series + bit arithmetic."""
+    dec = Decoder()
+    layout = dec.compiled[(0xB888, 1)]
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        view = BatchView(t["tokens"])
+        cls = dec.classify(view)
+        rows = np.flatnonzero((cls["error_code"] == ERR_OK)
+                              & (cls["msg_type"] == 0xB888) & (cls["version"] == 1))
+        if not rows.size:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "record_idx": pa.array([], type=pa.int64()),
+                             "crc_pass": pa.array([], type=pa.int64()),
+                             "crc_fail": pa.array([], type=pa.int64()),
+                             "harq": pa.array([], type=pa.int64()),
+                             "tb_size": pa.array([], type=pa.int64())})
+        cols = dec.decode_group(view, rows, layout)
+        recs = cols["Records"]
+        offs = recs.offsets.to_numpy()
+        counts = np.diff(offs)
+        doc = t["doc_id"].take(pa.array(rows)).to_numpy(zero_copy_only=False)
+        flat_doc = np.repeat(doc, counts)
+        ridx = np.arange(len(recs.values), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        st = recs.values
+        return _to_i64(pa.table({
+            "doc_id": pa.array(flat_doc, type=pa.string()),
+            "record_idx": pa.array(ridx),
+            "crc_pass": st.field("Num CRC Pass TB"),
+            "crc_fail": st.field("Num CRC Fail TB"),
+            "harq": st.field("HARQ Failure"),
+            "tb_size": st.field("TB Size"),
+        }))
+
+    return _seq_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+_B = "17 + 14*record_idx"
+SQL_B888_RECORDS = f"""
+WITH seq AS (
+  SELECT doc_id, tokens, n_tok FROM {SEQ_SQL}
+  WHERE n_tok>=4 AND tokens[1]=47240 AND tokens[2]=1
+), c AS (
+  SELECT doc_id, tokens, n_tok,
+         LEAST({_sql_uint('16', 1)}, GREATEST((n_tok-4)*4 - 17, 0)//14) AS cnt
+  FROM seq WHERE (n_tok-4)*4 >= 17
+), r AS (
+  SELECT doc_id, tokens, unnest(range(cnt)) AS record_idx FROM c
+)
+SELECT doc_id, record_idx::BIGINT AS record_idx,
+  {_sql_uint(f'({_B})+0', 2)}::BIGINT AS crc_pass,
+  {_sql_uint(f'({_B})+2', 2)}::BIGINT AS crc_fail,
+  {_sql_uint(f'({_B})+4', 2)}::BIGINT AS harq,
+  {_sql_uint(f'({_B})+10', 4)}::BIGINT AS tb_size
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries (driver testdata tables)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with integer-cent determinism."""
+    ds = _table(sf_dir, "lineitem")
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty": qty, "cents": cents})
+
+    from ray.data.aggregate import Count, Sum
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+            .groupby(["l_returnflag", "l_linestatus"]) \
+            .aggregate(Sum("qty", alias_name="sum_qty"),
+                       Sum("cents", alias_name="sum_price_cents"),
+                       Count(alias_name="n_rows"))
+    return _finalize(out)
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_price_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_top10_orders(sf_dir: str):
+    ds = _table(sf_dir, "orders")
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def fin(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "total_cents": cents})
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey::BIGINT AS o_orderkey,
+       CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_customers_per_region(sf_dir: str):
+    """Broadcast join: tiny nation+region dims resolved driver-side, joined
+    inside map_batches (SURVEY J-pattern: broadcast small side, no shuffle)."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmap = {nk: rmap[rk] for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                                           nation["n_regionkey"].to_pylist())}
+    ds = _table(sf_dir, "customer")
+
+    def add_region(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        reg = pd.Series(t["c_nationkey"].to_pandas()).map(nmap)
+        return pa.table({"region_name": pa.array(reg, type=pa.string())})
+
+    from ray.data.aggregate import Count
+    out = ds.map_batches(add_region, batch_format="pyarrow") \
+            .groupby("region_name").aggregate(Count(alias_name="n_cust"))
+    return _finalize(out)
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r.r_name AS region_name, count(*)::BIGINT AS n_cust
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1
+"""
+
+
+def q_events_by_type_hour(sf_dir: str):
+    ds = _table(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            "value_milli": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+            .groupby(["event_type", "hour"]) \
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_milli", alias_name="sum_value_milli"))
+    return _finalize(out)
+
+
+SQL_EVENTS_BY_TYPE_HOUR = """
+SELECT event_type, date_part('hour', ts)::BIGINT AS hour,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value*1000.0) AS BIGINT))::BIGINT AS sum_value_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_source_lang(sf_dir: str):
+    ds = _table(sf_dir, "documents").select_columns(["source", "lang"])
+    from ray.data.aggregate import Count
+    out = ds.groupby(["source", "lang"]).aggregate(Count(alias_name="_n"))
+    return out.map_batches(lambda t: t.select(["source", "lang"]),
+                           batch_format="pyarrow")
+
+
+SQL_DISTINCT_SOURCE_LANG = "SELECT DISTINCT source, lang FROM documents"
+
+
+QUERIES = {
+    "parse_header": q_parse_header,
+    "dead_letter_stats": q_dead_letter_stats,
+    "route_counts": q_route_counts,
+    "agg_source_msgtype": q_agg_source_msgtype,
+    "agg_enriched_site": q_agg_enriched_site,
+    "enrich_rows": q_enrich_rows,
+    "decode_heartbeat_v1": q_decode_heartbeat_v1,
+    "decode_thermal": q_decode_thermal,
+    "decode_rf_bits": q_decode_rf_bits,
+    "decode_b888_records": q_decode_b888_records,
+    "lineitem_agg": q_lineitem_agg,
+    "top10_orders": q_top10_orders,
+    "customers_per_region": q_customers_per_region,
+    "events_by_type_hour": q_events_by_type_hour,
+    "distinct_source_lang": q_distinct_source_lang,
+}
+
+ORACLE_SQL = {
+    "parse_header": SQL_PARSE_HEADER,
+    "dead_letter_stats": SQL_DEAD_LETTER,
+    "route_counts": SQL_ROUTE_COUNTS,
+    "agg_source_msgtype": SQL_AGG,
+    "agg_enriched_site": SQL_AGG_SITE,
+    "enrich_rows": SQL_ENRICH,
+    "decode_heartbeat_v1": SQL_DECODE_HEARTBEAT,
+    "decode_thermal": SQL_DECODE_THERMAL,
+    "decode_rf_bits": SQL_DECODE_RF,
+    "decode_b888_records": SQL_B888_RECORDS,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "top10_orders": SQL_TOP10_ORDERS,
+    "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+    "events_by_type_hour": SQL_EVENTS_BY_TYPE_HOUR,
+    "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,
+}

@@ -54,12 +54,19 @@ def shared_decoder() -> Decoder:
 def parse_batch(t: pa.Table) -> pa.Table:
     """Header extract + validation as envelope columns (no exceptions —
     error-status columns per SURVEY 1.4 instead of models/errors.py)."""
+    from engine.oracle import ERR_TOO_SHORT_HEADER
     t = t.combine_chunks()
     view = BatchView(t["tokens"])
     cls = shared_decoder().classify(view)
+    no_hdr = cls["error_code"] == ERR_TOO_SHORT_HEADER
     for name in ENVELOPE_PARSE_COLS:
-        typ = pa.int8() if name == "error_code" else pa.int32()
-        t = t.append_column(name, pa.array(cls[name], type=typ))
+        if name == "error_code":
+            t = t.append_column(name, pa.array(cls[name], type=pa.int8()))
+        else:
+            # header fields are null when the header itself is absent
+            t = t.append_column(name, pa.array(
+                cls[name], type=pa.int32(),
+                mask=no_hdr if no_hdr.any() else None))
     return t
 
 
@@ -182,9 +189,12 @@ class DecodeRouter:
             out_lineage.append(self._lineage_rows(
                 "dead_letter", -1, dl, path, (time.monotonic() - t0) * 1e3))
 
+        import pyarrow.compute as pc
         cls = {"error_code": err,
-               "msg_type": t["msg_type"].to_numpy(),
-               "version": t["version"].to_numpy()}
+               "msg_type": pc.fill_null(t["msg_type"], -1).to_numpy(
+                   zero_copy_only=False).astype(np.int64),
+               "version": pc.fill_null(t["version"], -1).to_numpy(
+                   zero_copy_only=False).astype(np.int64)}
         for mt, ver, rows in group_rows_by_layout(self.decoder, cls):
             layout = self.decoder.compiled[(mt, ver)]
             cols = self.decoder.decode_group(view, rows, layout)
