@@ -27,6 +27,8 @@ ROWS = {
     "bench": 2_000_000,
 }
 
+NUM_FILES = {"sf0.001": 8, "sf0.01": 8, "sf0.1": 16, "bench": 64}
+
 
 def sf_of(sf_dir: str) -> str:
     """Map a driver sf_dir like /root/testdata/sf0.01 to a fixture scale."""
@@ -40,8 +42,9 @@ def fixture_root(sf: str) -> str:
     return os.path.join(REPO_FIXDIR if sf in ("sf0.001", "sf0.01") else TMP_FIXDIR, sf)
 
 
-def ensure_fixtures(sf: str = "sf0.01", num_files: int = 8) -> str:
+def ensure_fixtures(sf: str = "sf0.01", num_files: int = 0) -> str:
     """Idempotently generate the corpus for a scale; returns its directory."""
+    num_files = num_files or NUM_FILES.get(sf, 8)
     root = fixture_root(sf)
     marker = os.path.join(root, "_SUCCESS.json")
     want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 1}

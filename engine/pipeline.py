@@ -60,8 +60,8 @@ def _clean_partition_outputs(out_dir: str, tag: str) -> None:
 
 
 def run_partition(files: Sequence[str], out_dir: str, tag: str,
-                  source_meta_ref, batch_size: int = 16384,
-                  concurrency=(1, 16)) -> None:
+                  source_meta_ref, batch_size: int = 65536,
+                  concurrency=(1, 32)) -> None:
     """One streaming execution over this partition's files."""
     ds = ray.data.read_parquet(list(files))
     ds = stages.parse_stage(ds, batch_size=batch_size)
@@ -94,8 +94,8 @@ def fold_aggregate(out_dir: str) -> pa.Table:
 
 
 def run_job(input_dir: str, out_dir: str, source_meta_path: str,
-            num_partitions: int = 1, batch_size: int = 16384,
-            concurrency=(1, 16), resume: bool = True,
+            num_partitions: int = 1, batch_size: int = 65536,
+            concurrency=(1, 32), resume: bool = True,
             fail_after_partitions: Optional[int] = None) -> pa.Table:
     """Full resumable job.  ``fail_after_partitions`` injects a mid-pipeline
     crash after N completed partitions (for the resume test)."""

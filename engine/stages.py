@@ -70,7 +70,7 @@ def parse_batch(t: pa.Table) -> pa.Table:
     return t
 
 
-def parse_stage(ds, batch_size: int = 16384):
+def parse_stage(ds, batch_size: int = 65536):
     return ds.map_batches(parse_batch, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
 
@@ -94,15 +94,24 @@ class Enricher:
             self.maps[col] = dict(zip(srcs, meta[col].to_pylist()))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pandas as pd
-        src = pd.Series(t["source"].to_pandas())
-        for col in ("site", "hw_rev"):
-            t = t.append_column(col, pa.array(src.map(self.maps[col]), type=pa.string()))
-        t = t.append_column("priority", pa.array(src.map(self.maps["priority"]), type=pa.int32()))
+        import pyarrow.compute as pc
+        # dictionary-encode once: per-batch cost is O(distinct sources) python
+        # work + one vectorized take, not O(rows)
+        d = pc.dictionary_encode(t["source"].combine_chunks())
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        idx = d.indices
+        for col, patype in (("site", pa.string()), ("hw_rev", pa.string()),
+                            ("priority", pa.int32())):
+            m = self.maps[col]
+            mapped = pa.array([m.get(s) for s in uniq], type=patype)
+            arr = pa.DictionaryArray.from_arrays(idx, mapped).cast(patype)
+            t = t.append_column(col, arr)
         return t
 
 
-def enrich_stage(ds, source_meta_ref, batch_size: int = 16384, concurrency=(1, 8)):
+def enrich_stage(ds, source_meta_ref, batch_size: int = 65536, concurrency=(1, 32)):
     return ds.map_batches(Enricher, fn_constructor_args=(source_meta_ref,),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
@@ -151,7 +160,8 @@ class DecodeRouter:
     def _write_sink(self, rel: str, table: pa.Table) -> str:
         d = os.path.join(self.out_dir, rel)
         os.makedirs(d, exist_ok=True)
-        min_doc = min(table["doc_id"].to_pylist())
+        import pyarrow.compute as pc
+        min_doc = pc.min(table["doc_id"]).as_py()
         path = os.path.join(d, f"{self.part_tag}-{min_doc}-{table.num_rows}.parquet")
         _atomic_write(table, path)
         return path
@@ -213,7 +223,7 @@ class DecodeRouter:
 
 
 def decode_route_stage(ds, out_dir: str, part_tag: str = "p0000",
-                       batch_size: int = 16384, concurrency=(1, 16)):
+                       batch_size: int = 65536, concurrency=(1, 32)):
     return ds.map_batches(DecodeRouter, fn_constructor_args=(out_dir, part_tag),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
