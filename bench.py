@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line on stdout:
+  {"metric": "pipeline_wall_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": ..., "tokens_per_sec": ...}
+
+``--scaling`` runs the headline job twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same pre-generated input and reports
+both throughputs plus scaling efficiency = (t8/t32)/4 — the in-sandbox
+evidence for the north rule's N vs 4N cluster-size criterion (see
+BASELINE.md).  The OS page cache is warmed with one untimed read first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = 8_000_000
+# Bench I/O lives on tmpfs: on a real N -> 4N cluster every node brings its
+# own disks, so storage bandwidth scales with the cluster; this sandbox has
+# ONE shared 80 MB/s disk, which would turn a CPU-scaling measurement into a
+# shared-disk measurement.  tmpfs emulates per-node storage (see BASELINE.md).
+OUT_DIR = "/dev/shm/graft_bench_out"
+
+
+def _bench_corpus():
+    from engine import fixtures
+    root = fixtures.ensure_fixtures("bench")
+    return root
+
+
+def _warm(path: str) -> None:
+    import pyarrow.dataset as pads
+    pads.dataset(path).to_table()  # page-cache warm, untimed
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from engine.pipeline import run_job
+    from engine import stages
+
+    root = _bench_corpus()
+    seq = os.path.join(root, "sequences")
+    _warm(seq)
+
+    # cluster warmup (untimed): one dry run over a slice of the corpus spawns
+    # every Ray worker process and pays the python-import + module-cache cost
+    # up front.  Without this, the higher-CPU run spends proportionally more
+    # wall on one-time worker cold start and the steady-state throughput
+    # comparison is biased.
+    warm_out = "/dev/shm/graft_bench_warmup"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    try:  # ~1/8 of the corpus: run partition 0 of 8, then stop
+        run_job(seq, warm_out, os.path.join(root, "source_meta.parquet"),
+                num_partitions=8, resume=False, fail_after_partitions=1)
+    except RuntimeError:
+        pass
+    shutil.rmtree(warm_out, ignore_errors=True)
+
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    total_tokens = int(pc.sum(pads.dataset(seq).to_table(columns=["n_tok"])["n_tok"]).as_py())
+
+    queries: dict[str, float] = {}
+
+    # headline: full resumable parse -> enrich -> decode -> route -> aggregate
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    t0 = time.monotonic()
+    run_job(seq, OUT_DIR, os.path.join(root, "source_meta.parquet"),
+            num_partitions=1)
+    pipeline_sec = time.monotonic() - t0
+    queries["pipeline"] = round(pipeline_sec, 3)
+
+    # A6 aggregate over the same corpus, combiner pattern (production path;
+    # the native groupby variant is exercised at gate scale in the tests)
+    t0 = time.monotonic()
+    stages.pre_aggregated(stages.parse_stage(ray.data.read_parquet(seq))).to_pandas()
+    queries["agg_combiner"] = round(time.monotonic() - t0, 3)
+
+    # relational paths over the driver testdata at $GRAFT_SF_DIR
+    try:
+        from engine import queries as q
+        t0 = time.monotonic()
+        q.q_lineitem_agg(sf_dir).to_pandas()
+        queries["lineitem_agg"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        q.q_events_by_type_hour(sf_dir).to_pandas()
+        queries["events_agg"] = round(time.monotonic() - t0, 3)
+    except FileNotFoundError:
+        pass
+
+    # training-data operators (documents/embeddings), if present at sf_dir
+    try:
+        from engine import extras
+        for name in ("dedup_minhash_lsh", "simsearch_topk"):
+            fn = extras.EXTRA_QUERIES.get(name) or extras.ROWS_ONLY_QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.monotonic()
+            res = fn(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 3)
+    except (ImportError, FileNotFoundError):
+        pass
+
+    return {
+        "metric": "pipeline_wall_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "bench_rows": BENCH_ROWS,
+        "bench_tokens": total_tokens,
+        "rows_per_sec": round(BENCH_ROWS / pipeline_sec),
+        "tokens_per_sec": round(total_tokens / pipeline_sec),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh ray.init processes at 8 and 32 CPUs (N vs 4N)."""
+    _bench_corpus()  # pre-generate so both runs share identical input
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    result = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "rows_per_sec_8": lo["rows_per_sec"], "rows_per_sec_32": hi["rows_per_sec"],
+        "tokens_per_sec_8": lo["tokens_per_sec"], "tokens_per_sec_32": hi["tokens_per_sec"],
+        "queries_8": lo["queries"], "queries_32": hi["queries"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        res = run_scaling()
+    else:
+        res = run_bench()
+        import ray
+        ray.shutdown()
+    print(json.dumps(res))

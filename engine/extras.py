@@ -1,0 +1,41 @@
+"""Aggregated training-data operators: dedup, similarity, text, multimodal.
+
+``EXTRA_QUERIES`` feeds ``__ray_entry__.queries()``; entries present in
+``EXTRA_ORACLE_SQL`` are DuckDB-gated, the rest get the driver's rows-only
+check (LSH / sketches / stubs are not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from engine import dedup, multimodal, simsearch, text
+
+EXTRA_QUERIES = {
+    # text analysis
+    "text_stats": text.q_text_stats,
+    "doc_fingerprint_md5": text.q_doc_fingerprint,
+    "fingerprint_rolling": text.q_fingerprint_rolling,
+    "lang_id": text.q_lang_id,
+    "quality_score": text.q_quality_score,
+    # dedup
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+    # similarity search
+    "simsearch_topk": simsearch.q_simsearch_topk,
+    "simsearch_lsh": simsearch.q_simsearch_lsh,
+    "embedding_near_dup": simsearch.q_embedding_near_dup,
+    # multimodal plumbing
+    "multimodal_decode": multimodal.q_multimodal_decode,
+    "multimodal_stats": multimodal.q_multimodal_stats,
+}
+
+EXTRA_ORACLE_SQL = {
+    "text_stats": text.SQL_TEXT_STATS,
+    "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,
+    "dedup_exact": dedup.SQL_DEDUP_EXACT,
+    "simsearch_topk": simsearch.SQL_SIMSEARCH_TOPK,
+}
+
+ROWS_ONLY_QUERIES = {k: v for k, v in EXTRA_QUERIES.items()
+                     if k not in EXTRA_ORACLE_SQL}

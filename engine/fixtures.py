@@ -18,16 +18,16 @@ from engine.catalog import catalog_to_json
 
 SEED = 20260817
 REPO_FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
-TMP_FIXDIR = "/tmp/graft_fixtures"
+TMP_FIXDIR = "/dev/shm/graft_fixtures"
 
 ROWS = {
     "sf0.001": 2_000,
     "sf0.01": 20_000,
     "sf0.1": 200_000,
-    "bench": 2_000_000,
+    "bench": 8_000_000,
 }
 
-NUM_FILES = {"sf0.001": 8, "sf0.01": 8, "sf0.1": 16, "bench": 64}
+NUM_FILES = {"sf0.001": 8, "sf0.01": 8, "sf0.1": 16, "bench": 128}
 
 
 def sf_of(sf_dir: str) -> str:

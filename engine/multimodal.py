@@ -1,0 +1,125 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as Arrow ``binary`` columns with
+typed metadata columns alongside.  The decode/feature-extract kernels that
+would need PIL/ffmpeg are STUBBED (those libraries are not in this
+container — ``RealImageDecoder`` raises ``NotImplementedError``), but the
+Ray-side plumbing is real and tested: schema, actor-pool stage shape
+(decoder "model" loaded once per actor in ``__init__``), small batch sizes
+for large binary rows, deterministic fake extraction, and output layout.
+
+The fake payloads are synthesized deterministically from the documents
+table (text bytes + a seeded header), so the stage is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# a tiny deterministic "container format": magic, width, height, channels
+_MAGIC = b"FKIM"
+
+
+def make_binary_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic fake image container derived from a document."""
+    h = hashlib.blake2b(f"{doc_id}".encode(), digest_size=8).digest()
+    w = 16 + h[0] % 64
+    ht = 16 + h[1] % 64
+    ch = 1 + h[2] % 3
+    body = (text.encode("utf-8") * 4)[: w * ht * ch]
+    body += bytes(max(0, w * ht * ch - len(body)))
+    return _MAGIC + struct.pack("<HHB", w, ht, ch) + body
+
+
+def attach_binary_column(sf_dir: str):
+    """documents -> (doc_id, payload binary, n_bytes) dataset."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
+        payloads = [make_binary_payload(d, s)
+                    for d, s in zip(ids, t["text"].to_pylist())]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        })
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+class RealImageDecoder:
+    """The real decode path — STUB.  PIL/opencv are not available in this
+    container; on a real deployment, replace :class:`FakeImageDecoder` with
+    this class in :func:`q_multimodal_decode` (same signature)."""
+
+    def __init__(self):
+        raise NotImplementedError(
+            "image decode libraries are not available in this environment; "
+            "use FakeImageDecoder for the plumbing path")
+
+
+class FakeImageDecoder:
+    """Actor-pool decode stage: parses the fake container header, computes a
+    deterministic 8-bin byte histogram "feature" per payload.  ``__init__``
+    is the once-per-actor model-load site (ST4 shape); batches are kept
+    small because binary rows are large."""
+
+    def __init__(self):
+        self.magic = _MAGIC  # stands in for model/codec initialization
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        widths, heights, chans, feats, ok = [], [], [], [], []
+        for buf in t["payload"].to_pylist():
+            if buf[:4] != self.magic or len(buf) < 9:
+                widths.append(None); heights.append(None); chans.append(None)
+                feats.append(None); ok.append(False)
+                continue
+            w, h, c = struct.unpack("<HHB", buf[4:9])
+            body = np.frombuffer(buf, dtype=np.uint8, offset=9)
+            hist = np.bincount(body >> 5, minlength=8).astype(np.int64)
+            widths.append(w); heights.append(h); chans.append(c)
+            feats.append(hist.tolist()); ok.append(True)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "channels": pa.array(chans, type=pa.int32()),
+            "byte_hist": pa.array(feats, type=pa.list_(pa.int64())),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+        })
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-column decode/feature stage (rows-only check): actor pool,
+    small batches (large rows), typed metadata out."""
+    ds = attach_binary_column(sf_dir)
+    return ds.map_batches(FakeImageDecoder, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4), num_cpus=1)
+
+
+def q_multimodal_stats(sf_dir: str):
+    """Aggregate over decoded metadata: count + sum bytes per channel count."""
+    ds = q_multimodal_decode(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"channels": t["channels"],
+                       "px": pc.multiply(pc.cast(t["width"], pa.int64()),
+                                         pc.cast(t["height"], pa.int64()))})
+        g = pa.TableGroupBy(t2, "channels").aggregate([("px", "sum"), ("px", "count")])
+        return pa.table({"channels": pc.cast(g["channels"], pa.int64()),
+                         "sum_px": g["px_sum"],
+                         "n_docs": pc.cast(g["px_count"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("channels").aggregate(Sum("sum_px", alias_name="sum_px"),
+                                       Sum("n_docs", alias_name="n_docs"))

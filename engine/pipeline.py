@@ -59,16 +59,44 @@ def _clean_partition_outputs(out_dir: str, tag: str) -> None:
     shutil.rmtree(os.path.join(out_dir, "_lineage", tag), ignore_errors=True)
 
 
+def default_num_blocks() -> int:
+    """Explicit target_num_blocks (north_rule): ~2 blocks per cluster CPU so
+    every core gets work without drowning the scheduler in tiny tasks."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(8, 2 * ncpu)
+
+
 def run_partition(files: Sequence[str], out_dir: str, tag: str,
                   source_meta_ref, batch_size: int = 65536,
-                  concurrency=(1, 32)) -> None:
-    """One streaming execution over this partition's files."""
-    ds = ray.data.read_parquet(list(files))
-    ds = stages.parse_stage(ds, batch_size=batch_size)
-    ds = stages.enrich_stage(ds, source_meta_ref, batch_size=batch_size)
-    lin = stages.decode_route_stage(ds, out_dir, part_tag=tag,
-                                    batch_size=batch_size, concurrency=concurrency)
-    lin.write_parquet(os.path.join(out_dir, "_lineage", tag))
+                  concurrency=(1, 32), use_actor_stages: bool = False,
+                  target_num_blocks: Optional[int] = None) -> None:
+    """One streaming execution over this partition's files.
+
+    Uses the fused parse+enrich+decode+route stage (see stages._FusedState
+    for the task-pool-vs-actor-pool measurement); ``use_actor_stages=True``
+    runs the equivalent 3-stage actor-pool pipeline instead."""
+    nb = target_num_blocks or default_num_blocks()
+    ds = ray.data.read_parquet(list(files), override_num_blocks=nb)
+    if use_actor_stages:
+        ds = stages.parse_stage(ds, batch_size=batch_size)
+        ds = stages.enrich_stage(ds, source_meta_ref, batch_size=batch_size)
+        lin = stages.decode_route_stage(ds, out_dir, part_tag=tag,
+                                        batch_size=batch_size, concurrency=concurrency)
+    else:
+        lin = stages.fused_stage(ds, out_dir, tag, source_meta_ref)
+    # lineage is tiny (one row per sink x source x batch): collect it on the
+    # driver and write ONE file — no Ray Write operator on the hot path
+    refs = lin.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows or True]
+    lin_tbl = pa.concat_tables(tables) if tables else stages.LINEAGE_SCHEMA.empty_table()
+    d = os.path.join(out_dir, "_lineage", tag)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "lineage.parquet.tmp")
+    pq.write_table(lin_tbl, tmp)
+    os.replace(tmp, os.path.join(d, "lineage.parquet"))
 
 
 def fold_aggregate(out_dir: str) -> pa.Table:
@@ -95,7 +123,7 @@ def fold_aggregate(out_dir: str) -> pa.Table:
 
 def run_job(input_dir: str, out_dir: str, source_meta_path: str,
             num_partitions: int = 1, batch_size: int = 65536,
-            concurrency=(1, 32), resume: bool = True,
+            concurrency=(1, 32), resume: bool = True, use_actor_stages: bool = False,
             fail_after_partitions: Optional[int] = None) -> pa.Table:
     """Full resumable job.  ``fail_after_partitions`` injects a mid-pipeline
     crash after N completed partitions (for the resume test)."""
@@ -116,7 +144,8 @@ def run_job(input_dir: str, out_dir: str, source_meta_path: str,
         _clean_partition_outputs(out_dir, tag)
         t0 = time.monotonic()
         run_partition(pfiles, out_dir, tag, source_meta_ref,
-                      batch_size=batch_size, concurrency=concurrency)
+                      batch_size=batch_size, concurrency=concurrency,
+                      use_actor_stages=use_actor_stages)
         man = {"part": tag, "files": pfiles, "completed": True,
                "wall_s": round(time.monotonic() - t0, 3)}
         tmp = man_path + ".tmp"

@@ -365,22 +365,31 @@ FROM r
 # ---------------------------------------------------------------------------
 
 def q_lineitem_agg(sf_dir: str):
-    """TPC-H Q1-shaped grouped aggregate with integer-cent determinism."""
+    """TPC-H Q1-shaped grouped aggregate with integer-cent determinism.
+
+    Combiner pattern (SURVEY 2.5): per-batch partials inside map_batches, so
+    the exchange moves one row per (flag, status) per batch — at 100 TB the
+    shuffle input is KBs, not the table."""
     ds = _table(sf_dir, "lineitem")
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         qty = pc.cast(t["l_quantity"], pa.int64())
         cents = pc.cast(pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "l_linestatus": t["l_linestatus"],
-                         "qty": qty, "cents": cents})
+        g = pa.TableGroupBy(pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty": qty, "cents": cents}), ["l_returnflag", "l_linestatus"]) \
+            .aggregate([("qty", "sum"), ("cents", "sum"), ("qty", "count")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "l_linestatus": g["l_linestatus"],
+                         "sum_qty": g["qty_sum"], "sum_price_cents": g["cents_sum"],
+                         "n_rows": pc.cast(g["qty_count"], pa.int64())})
 
-    from ray.data.aggregate import Count, Sum
-    out = ds.map_batches(prep, batch_format="pyarrow") \
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072) \
             .groupby(["l_returnflag", "l_linestatus"]) \
-            .aggregate(Sum("qty", alias_name="sum_qty"),
-                       Sum("cents", alias_name="sum_price_cents"),
-                       Count(alias_name="n_rows"))
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_price_cents", alias_name="sum_price_cents"),
+                       Sum("n_rows", alias_name="n_rows"))
     return _finalize(out)
 
 
@@ -441,18 +450,22 @@ JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1
 def q_events_by_type_hour(sf_dir: str):
     ds = _table(sf_dir, "events")
 
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
             "event_type": t["event_type"],
             "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
             "value_milli": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()),
-        })
+        }), ["event_type", "hour"]).aggregate([("value_milli", "sum"),
+                                               ("value_milli", "count")])
+        return pa.table({"event_type": g["event_type"], "hour": g["hour"],
+                         "n_events": pc.cast(g["value_milli_count"], pa.int64()),
+                         "sum_value_milli": g["value_milli_sum"]})
 
-    from ray.data.aggregate import Count, Sum
-    out = ds.map_batches(prep, batch_format="pyarrow") \
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072) \
             .groupby(["event_type", "hour"]) \
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value_milli", alias_name="sum_value_milli"))
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value_milli", alias_name="sum_value_milli"))
     return _finalize(out)
 
 

@@ -1,0 +1,236 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+* brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (``ray.put`` once, read per worker), per-batch top-k, tiny
+  driver merge — the exact-baseline.  Gated: DuckDB's
+  ``list_cosine_similarity`` reproduces it;
+* LSH-bucketed ANN (random hyperplanes): the scale path — probe only the
+  query's bucket ring instead of every row;
+* embedding cosine near-dup pairs: hyperplane blocking + exact verify.
+
+All math in float64 so the DuckDB (double) oracle ranks identically.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+QUERY_IDS = [0, 1, 2]
+TOP_K = 5
+
+
+def _emb(sf_dir: str):
+    import ray
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _batch_mat(t: pa.Table) -> np.ndarray:
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(t.num_rows, -1)
+
+
+def _query_matrix(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = pc.is_in(t["vec_id"], value_set=pa.array(QUERY_IDS))
+    qt = t.filter(mask).sort_by("vec_id")
+    return _batch_mat(qt)
+
+
+def q_simsearch_topk(sf_dir: str):
+    """Brute-force cosine top-5 per query vector (exact ANN baseline).
+
+    Per batch: one float64 matmul against the broadcast query matrix plus a
+    partial top-k; the driver merges ~k rows per batch.  Ties break on
+    neighbor_id so ranking is deterministic."""
+    import ray
+    Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qn = ray.get(q_ref)
+        M = _batch_mat(t)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (M / norms[:, None]) @ qn.T          # (n, n_query)
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(QUERY_IDS):
+            s = sims[:, qi]
+            keep = ids != qid
+            idx = np.flatnonzero(keep)
+            if idx.size == 0:
+                continue
+            # partial top-k with (sim desc, id asc) determinism
+            order = np.lexsort((ids[idx], -s[idx]))[:TOP_K]
+            sel = idx[order]
+            out_q += [qid] * len(sel)
+            out_n += ids[sel].tolist()
+            out_s += s[sel].tolist()
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    parts = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow",
+                                     batch_size=None).to_pandas()
+    rows = []
+    for qid in QUERY_IDS:
+        g = parts[parts.query_id == qid] \
+            .sort_values(["sim", "neighbor_id"], ascending=[False, True]) \
+            .head(TOP_K)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((qid, int(r.neighbor_id), rank))
+    return pa.table({"query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                     "rank": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
+SQL_SIMSEARCH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({','.join(map(str, QUERY_IDS))})
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (rows-only): the 100 TB path
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_PROBE_RADIUS = 2
+
+
+def _planes(dim: int, seed: int = 424242) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((_N_PLANES, dim))
+
+
+def q_simsearch_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN: bucket rows by sign pattern, probe the query's
+    bucket plus all probes within Hamming radius _PROBE_RADIUS
+    (multi-probe), exact-rank inside the probed set.  On this synthetic
+    UNclustered (uniform-random) embedding table, 8 planes at radius 2 scan
+    ~14% of rows for ~0.4 mean recall of the exact top-5 — real embedding
+    corpora cluster, where the same setting does far better.  Tunable via
+    _N_PLANES / _PROBE_RADIUS;
+    at 100 TB the bucket id becomes the partition key so a query touches a
+    bounded slice of the corpus instead of all of it."""
+    Q = _query_matrix(sf_dir)
+    P = _planes(Q.shape[1])
+    qcodes = ((Q @ P.T) > 0).astype(np.uint32)
+    probe_sets: List[set] = []
+    import itertools
+    for qc in qcodes:
+        base = int((qc << np.arange(_N_PLANES, dtype=np.uint32)).sum())
+        probes = {base}
+        for r in range(1, _PROBE_RADIUS + 1):
+            for bits in itertools.combinations(range(_N_PLANES), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                probes.add(base ^ m)
+        probe_sets.append(probes)
+
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        M = _batch_mat(t)
+        codes = ((M @ P.T) > 0).astype(np.uint32)
+        code = (codes << np.arange(_N_PLANES, dtype=np.uint32)).sum(axis=1)
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy()
+        out_q, out_n, out_s = [], [], []
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        for qi, qid in enumerate(QUERY_IDS):
+            hit = np.isin(code, list(probe_sets[qi])) & (ids != qid)
+            if not hit.any():
+                continue
+            s = Mn[hit] @ qn[qi]
+            hid = ids[hit]
+            order = np.lexsort((hid, -s))[:TOP_K]
+            out_q += [qid] * len(order)
+            out_n += hid[order].tolist()
+            out_s += s[order].tolist()
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    parts = _emb(sf_dir).map_batches(bucket_filter, batch_format="pyarrow",
+                                     batch_size=None).to_pandas()
+    rows = []
+    for qid in QUERY_IDS:
+        g = parts[parts.query_id == qid] \
+            .sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((qid, int(r.neighbor_id), rank, int(round(r.sim * 1e6))))
+    return pa.table({"query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                     "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+                     "sim_micro": pa.array([r[3] for r in rows], type=pa.int64())})
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cosine >= 0.99): hyperplane-band
+    blocking, exact verify inside buckets — the embedding analogue of
+    MinHash-LSH."""
+    import pandas as pd
+    dim = _query_matrix(sf_dir).shape[1]
+    P = _planes(dim, seed=777)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        M = _batch_mat(t)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        codes = ((Mn @ P.T) > 0).astype(np.uint32)
+        code = (codes << np.arange(_N_PLANES, dtype=np.uint32)).sum(axis=1)
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "bucket": pa.array(code.astype(np.int64)),
+                         "emb": t["embedding"]})
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(group["vec_id"], group["emb"]))
+        a, b, sim = [], [], []
+        for i in range(len(rows)):
+            vi = np.asarray(rows[i][1], dtype=np.float64)
+            ni = np.linalg.norm(vi) or 1.0
+            for j in range(i + 1, len(rows)):
+                vj = np.asarray(rows[j][1], dtype=np.float64)
+                nj = np.linalg.norm(vj) or 1.0
+                c = float(vi @ vj / (ni * nj))
+                if c >= 0.99:
+                    a.append(rows[i][0]); b.append(rows[j][0])
+                    sim.append(int(round(c * 1e6)))
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_micro": sim})
+
+    out = _emb(sf_dir).map_batches(sketch, batch_format="pyarrow", batch_size=None) \
+        .groupby("bucket").map_groups(pairs_of, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty or "vec_a" not in df.columns:
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64()),
+                         "cos_micro": pa.array([], type=pa.int64())})
+    df = df.drop_duplicates(ignore_index=True) \
+           .sort_values(["vec_a", "vec_b"], ignore_index=True)
+    return pa.table({"vec_a": pa.array(df["vec_a"].astype(np.int64)),
+                     "vec_b": pa.array(df["vec_b"].astype(np.int64)),
+                     "cos_micro": pa.array(df["cos_micro"].astype(np.int64))})
