@@ -1,0 +1,109 @@
+"""CLI entry point: ``python -m engine.job`` (the ``ray job submit`` target).
+
+Subcommands (replacing the reference's CLI surface, ``src/app.py:282-381``
+and ``hex_decoder_module/cli.py:56-178``, with one job entry per SURVEY X3):
+
+  run        full parse -> enrich -> decode -> route -> aggregate job
+  gen        generate a seeded sequences corpus + source_meta
+  agg        re-fold the aggregate from an existing output's lineage
+  show       quick query over job output (per-sink counts, agg table)
+
+On a real cluster this module is the payload of
+``ray job submit -- python -m engine.job run ...``; in the sandbox it
+initialises a local session (guarded — the driver calls entry() with Ray
+already up, and never imports this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="engine.job")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a seeded corpus")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--seed", type=int, default=20260817)
+    g.add_argument("--out", required=True)
+    g.add_argument("--files", type=int, default=32)
+
+    r = sub.add_parser("run", help="run the full pipeline job")
+    r.add_argument("--input", required=True, help="sequences parquet dir")
+    r.add_argument("--out", required=True)
+    r.add_argument("--source-meta", required=True)
+    r.add_argument("--partitions", type=int, default=1)
+    r.add_argument("--batch-size", type=int, default=65536)
+    r.add_argument("--target-num-blocks", type=int, default=None)
+    r.add_argument("--actor-stages", action="store_true",
+                   help="use the 3-stage actor-pool pipeline instead of the fused stage")
+    r.add_argument("--no-resume", action="store_true")
+
+    a = sub.add_parser("agg", help="re-fold aggregate from lineage")
+    a.add_argument("--out", required=True)
+
+    s = sub.add_parser("show", help="summarize a job output dir")
+    s.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from engine import datagen
+        datagen.generate_sequences(args.rows, args.seed,
+                                   os.path.join(args.out, "sequences"), args.files)
+        datagen.generate_source_meta(os.path.join(args.out, "source_meta.parquet"))
+        print(json.dumps({"out": args.out, "rows": args.rows}))
+        return 0
+
+    if args.cmd == "run":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.pipeline import run_job
+        import time
+        t0 = time.monotonic()
+        agg = run_job(args.input, args.out, args.source_meta,
+                      num_partitions=args.partitions, batch_size=args.batch_size,
+                      resume=not args.no_resume,
+                      use_actor_stages=args.actor_stages,
+                      target_num_blocks=args.target_num_blocks)
+        print(json.dumps({"out": args.out, "agg_rows": agg.num_rows,
+                          "wall_s": round(time.monotonic() - t0, 3)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "agg":
+        from engine.pipeline import fold_aggregate
+        agg = fold_aggregate(args.out)
+        print(agg.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "show":
+        with open(os.path.join(args.out, "sink_counts.json")) as f:
+            print(json.dumps(json.load(f), indent=1))
+        import pyarrow.parquet as pq
+        agg = pq.read_table(os.path.join(args.out, "agg.parquet"))
+        print(agg.to_pandas().head(20).to_string(index=False))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,6 +124,7 @@ def fold_aggregate(out_dir: str) -> pa.Table:
 def run_job(input_dir: str, out_dir: str, source_meta_path: str,
             num_partitions: int = 1, batch_size: int = 65536,
             concurrency=(1, 32), resume: bool = True, use_actor_stages: bool = False,
+            target_num_blocks: Optional[int] = None,
             fail_after_partitions: Optional[int] = None) -> pa.Table:
     """Full resumable job.  ``fail_after_partitions`` injects a mid-pipeline
     crash after N completed partitions (for the resume test)."""
@@ -145,7 +146,8 @@ def run_job(input_dir: str, out_dir: str, source_meta_path: str,
         t0 = time.monotonic()
         run_partition(pfiles, out_dir, tag, source_meta_ref,
                       batch_size=batch_size, concurrency=concurrency,
-                      use_actor_stages=use_actor_stages)
+                      use_actor_stages=use_actor_stages,
+                      target_num_blocks=target_num_blocks)
         man = {"part": tag, "files": pfiles, "completed": True,
                "wall_s": round(time.monotonic() - t0, 3)}
         tmp = man_path + ".tmp"

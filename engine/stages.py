@@ -42,8 +42,26 @@ ENVELOPE_PARSE_COLS = ["msg_type", "version", "seq", "ts", "error_code"]
 
 
 @functools.lru_cache(maxsize=1)
+def _pin_arrow_threads() -> bool:
+    """One Arrow compute/IO thread per Ray worker.
+
+    Each worker process otherwise spawns Arrow's default pool
+    (os.cpu_count() threads): with 32 workers that is ~1000 threads fighting
+    over 32 cores during parquet encode / compute kernels, which wrecks
+    scaling at high concurrency.  Ray pins OMP_NUM_THREADS=1 for the same
+    reason; Arrow's pool is separate and needs explicit pinning."""
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=1)
 def shared_decoder() -> Decoder:
     """Per-worker-process compiled catalog (cheap, deterministic)."""
+    _pin_arrow_threads()
     return Decoder()
 
 
