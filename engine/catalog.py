@@ -51,9 +51,15 @@ HEADER_TOKENS = 4  # [msg_type, version, seq, ts]
 # "Num CA" -> "Num Records" -> popcount("Cumulative Bitmask") -> default 1.
 COUNT_FIELD_PRIORITY = ("Num CA", "Num Records", "Cumulative Bitmask")
 
-# The one msg_type with derived-field post-processing (BLER), mirroring the
-# `if logcode_id == "0xB888"` dispatch in decoder/field_post_processor.py:33-38.
+# Per-msg_type derived-field plugin registry (SURVEY X2): the reference
+# hardcodes `if logcode_id == "0xB888"` in decoder/field_post_processor.py:33-38;
+# here the dispatch is a registry so new derivations are one entry, not a
+# code change in the decode path.  The only registered rule is the BLER /
+# Residual-BLER family (field_post_processor.py:41-148), implemented
+# vectorized in engine.kernels.Decoder._apply_bler and scalar in
+# engine.oracle.OracleDecoder._apply_bler.
 BLER_MSG_TYPE = 0xB888
+DERIVED_REGISTRY = {BLER_MSG_TYPE: "bler_pdsch"}
 
 
 @dataclass
@@ -373,7 +379,7 @@ def compile_catalog(cat: Optional[Dict[int, LogcodeDef]] = None) -> Dict[Tuple[i
             out[(mt, ver)] = CompiledLayout(
                 msg_type=mt, msg_name=lc.name, version=ver, table_name=tname,
                 scalars=scalars, records=records, count_source=csrc,
-                has_bler=(mt == BLER_MSG_TYPE),
+                has_bler=(DERIVED_REGISTRY.get(mt) == "bler_pdsch"),
             )
     return out
 

@@ -477,6 +477,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_sessions(sf_dir: str):
+    """Session windowing over the events log (SURVEY 2.9 streaming-shape):
+    partition by user, sort by ts within the group, break sessions on
+    >30-minute gaps — ``groupby(key).map_groups`` over the ordered group is
+    the Ray Data form of a session window; the SQL oracle is the standard
+    lag()-gap formulation.  Ordering assumption: only within-user order
+    matters, and it is established inside the group."""
+    import pandas as pd
+    ds = _table(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        brk = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(brk.sum())],
+                             "n_events": [len(g)]})
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    import ray
+    return ray.data.from_pandas(out.to_pandas().astype(
+        {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}))
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id, sum(brk)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM d GROUP BY 1
+"""
+
+
 def q_distinct_source_lang(sf_dir: str):
     ds = _table(sf_dir, "documents").select_columns(["source", "lang"])
     from ray.data.aggregate import Count
@@ -503,6 +542,7 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "customers_per_region": q_customers_per_region,
     "events_by_type_hour": q_events_by_type_hour,
+    "user_sessions": q_user_sessions,
     "distinct_source_lang": q_distinct_source_lang,
 }
 
@@ -521,5 +561,6 @@ ORACLE_SQL = {
     "top10_orders": SQL_TOP10_ORDERS,
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
     "events_by_type_hour": SQL_EVENTS_BY_TYPE_HOUR,
+    "user_sessions": SQL_USER_SESSIONS,
     "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,
 }

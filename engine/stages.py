@@ -299,6 +299,36 @@ def ok_only(ds):
                           batch_format="pyarrow")
 
 
+def aggregate_salted(parsed_ds, salt_buckets: int = 16):
+    """Key-salted two-phase aggregate (the north-rule hot-key answer).
+
+    The hot msg_type holds >=50% of rows, so a naive ``groupby(source,
+    msg_type)`` sends half the table through the reducers owning one key.
+    Phase 1 groups on ``(source, msg_type, salt)`` with
+    ``salt = hash(doc_id) % S`` — the hot key's rows spread over S reducers;
+    phase 2 folds the S partials per key (tiny).  Results are identical to
+    :func:`aggregate_stage`; use whichever the key cardinality and skew
+    profile favor (combine with the per-batch combiner of
+    :func:`pre_aggregated` when batches are key-dense)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["error_code"], 0))
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["doc_id"].to_pandas()), index=False).to_numpy()
+        salt = (h % np.uint64(salt_buckets)).astype(np.int32)
+        return pa.table({"source": t["source"], "msg_type": t["msg_type"],
+                         "n_tok": t["n_tok"], "salt": pa.array(salt)})
+
+    from ray.data.aggregate import Count, Sum
+    phase1 = parsed_ds.map_batches(add_salt, batch_format="pyarrow") \
+        .groupby(["source", "msg_type", "salt"]) \
+        .aggregate(Count(alias_name="n_rows"), Sum("n_tok", alias_name="sum_n_tok"))
+    return phase1.groupby(["source", "msg_type"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"), Sum("sum_n_tok", alias_name="sum_n_tok"))
+
+
 def aggregate_stage(parsed_ds):
     """Native ``groupby(source, msg_type).aggregate(count, sum(n_tok))``
     (BASELINE.json north_star A6).  Ray performs partial+final under the

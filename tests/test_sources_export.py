@@ -1,0 +1,117 @@
+"""Raw hex-text ingestion parity + JSON export parity tests."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from engine import sources
+from engine.oracle import OracleDecoder
+
+REF_HEX = "/root/reference/hex_decoder_module/sample_input.hex"
+REF_HEX2 = "/root/reference/hex_decoder_module/test_0x1c07.hex"
+
+
+def test_parse_reference_golden_hex_files():
+    """The reference's own golden inputs parse: header fields per
+    decoder/header_decoder.py:13-19, version word per icd_query.py:114-115."""
+    # version = full u32 LE at payload offset 0 (cf. metadata_0xB888.json
+    # version keys like '65537' = 0x00010001)
+    for path, want_logcode, want_version in [
+            (REF_HEX, 0xB823, 0x00030002), (REF_HEX2, 0x1C07, 0x00020001)]:
+        if not os.path.exists(path):
+            pytest.skip("reference goldens unavailable")
+        with open(path) as f:
+            blocks = sources.split_packets(f.read())
+        assert len(blocks) == 1
+        p = sources.parse_hex_packet(blocks[0])
+        assert p["error"] in (sources.INGEST_OK, sources.INGEST_LENGTH_MISMATCH)
+        toks = sources.packet_to_tokens(p["header"], p["payload"])
+        assert toks[0] == want_logcode
+        assert toks[1] == want_version
+
+
+def test_hex_roundtrip_fixture_rows(sf_small):
+    """render -> parse round trip preserves token arrays exactly."""
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    checked = 0
+    for toks in t["tokens"].to_pylist()[:200]:
+        if len(toks) < 4:
+            continue
+        text = sources.render_hex_packet(toks)
+        p = sources.parse_hex_packet(text)
+        assert p["error"] == sources.INGEST_OK
+        back = sources.packet_to_tokens(p["header"], p["payload"])
+        assert back == toks
+        checked += 1
+    assert checked > 150
+
+
+def test_read_hex_packets_dataset(ray_session, sf_small, tmp_path):
+    """Multi-packet hex file -> sequences-shaped Dataset, incl. malformed."""
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    rows = [tk for tk in t["tokens"].to_pylist()[:20] if len(tk) >= 4][:10]
+    content = "\n".join(sources.render_hex_packet(tk) for tk in rows)
+    content += "\nLength: 7\nHeader: ZZ\nPayload:\n00\n"  # malformed block
+    f = tmp_path / "packets.hex"
+    f.write_text(content)
+    ds = sources.read_hex_packets(str(f))
+    out = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(out) == 11
+    ok = out[out.ingest_error == sources.INGEST_OK]
+    assert len(ok) == 10
+    got = {list(r) and tuple(r) for r in ok["tokens"].map(list)}
+    assert got == {tuple(r) for r in rows}
+    assert (out[out.ingest_error != 0]["n_tok"] == 0).all()
+
+
+def test_json_export_matches_oracle(ray_session, sf_small, tmp_path):
+    """Nested JSON view (metadata_payload_parser.py:127-140 shape) agrees
+    with the oracle's flattened '(Record i)' view field-for-field."""
+    import ray
+    from engine.export import json_stage, write_pretty, append_jsonl
+    ds = ray.data.read_parquet(f"{sf_small}/sequences").limit(300)
+    out = json_stage(ds).to_pandas()
+    o = OracleDecoder()
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    toks_by_doc = dict(zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()))
+    checked = 0
+    for doc, js in zip(out["doc_id"], out["json"]):
+        ref = o.decode_row(toks_by_doc[doc])
+        if ref["error_code"] != 0:
+            assert js is None
+            continue
+        doc_json = json.loads(js)
+        assert doc_json["logcode_id"] == f"0x{ref['msg_type']:04X}"
+        assert doc_json["version"]["value"] == ref["version"]
+        for k, v in ref["flat"].items():
+            if " (Decoded)" in k:
+                base = k.replace(" (Decoded)", "")  # incl. "X (Decoded) (Record i)"
+                assert doc_json["fields"][base]["decoded"] == v, (doc, k)
+            else:
+                got = doc_json["fields"][k]["raw"]
+                assert got == v or (got is None and v is None), (doc, k, got, v)
+        checked += 1
+    assert checked > 200
+    # file-writer parity helpers
+    d = json.loads(out["json"].dropna().iloc[0])
+    write_pretty(d, str(tmp_path / "one.json"))
+    append_jsonl(d, str(tmp_path / "all.jsonl"))
+    assert json.load(open(tmp_path / "one.json")) == d
+
+
+def test_salted_aggregate_equals_plain(ray_session, sf_small):
+    import ray
+    from engine import stages
+    parsed = stages.parse_stage(ray.data.read_parquet(f"{sf_small}/sequences"))
+    a = stages.aggregate_salted(parsed, salt_buckets=8).to_pandas()
+    o = OracleDecoder()
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    want = o.aggregate(t.to_pylist())
+    got = {(r.source, r.msg_type): (int(r.n_rows), int(r.sum_n_tok))
+           for r in a.itertuples()}
+    assert got == want
