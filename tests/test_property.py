@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis): vectorized kernels vs scalar oracle
+over adversarial (offset, length, payload) grids, plus edge-case batches."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from engine.kernels import BatchView, Decoder, gather_bits
+from engine.oracle import OracleDecoder, extract_bits
+
+
+def _mk_batch(rows):
+    lens = np.array([len(r) for r in rows], dtype=np.int32)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    values = (np.concatenate([np.asarray(r, dtype=np.int32) for r in rows])
+              if offsets[-1] else np.array([], dtype=np.int32))
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values, type=pa.int32()))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=64),
+    off=st.integers(min_value=0, max_value=520),
+    ln=st.integers(min_value=1, max_value=64),
+)
+def test_gather_bits_equals_reference_extract(payload, off, ln):
+    """gather_bits == metadata_payload_parser._extract_bits semantics for
+    every in-bounds (offset, length), including word-straddling windows."""
+    pad_to_words = payload + bytes((-len(payload)) % 4)
+    toks = [0, 0, 0, 0] + list(np.frombuffer(pad_to_words, dtype=np.int32))
+    view = BatchView(_mk_batch([toks]))
+    got = gather_bits(view.pad, view.payload_start.copy(), off, ln)
+    want = extract_bits(pad_to_words, off, ln)
+    end_byte = (off + ln + 7) // 8
+    if end_byte <= len(pad_to_words):
+        assert int(got[0]) == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_random_rows_decode_like_oracle(data):
+    """Random token rows (valid header, arbitrary payload) decode identically
+    in the vectorized and scalar paths — including truncated payloads."""
+    dec = Decoder()
+    o = OracleDecoder()
+    keys = sorted(dec.compiled)
+    mt, ver = data.draw(st.sampled_from(keys))
+    n_words = data.draw(st.integers(min_value=0, max_value=40))
+    payload = data.draw(st.lists(
+        st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1),
+        min_size=n_words, max_size=n_words))
+    toks = [mt, ver, 0, 0] + payload
+    ref = o.decode_row(toks)
+    view = BatchView(_mk_batch([toks]))
+    cols = dec.decode_group(view, np.array([0]), dec.compiled[(mt, ver)])
+    def eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) and isinstance(b, float) and np.isnan(a) and np.isnan(b):
+            return True
+        return a == b
+
+    for k, v in ref["fields"].items():
+        got = cols[k].to_pylist()[0]
+        assert eq(got, v), (hex(mt), ver, k, got, v)
+    for rname, rrows in ref["records"].items():
+        got_list = cols[rname].to_pylist()[0]
+        assert len(got_list) == len(rrows)
+        for got_r, want_r in zip(got_list, rrows):
+            assert set(got_r) == set(want_r)
+            for k in got_r:
+                assert eq(got_r[k], want_r[k]), (hex(mt), ver, rname, k)
+
+
+def test_empty_and_all_dead_letter_batches():
+    dec = Decoder()
+    # empty batch
+    view = BatchView(_mk_batch([]))
+    cls = dec.classify(view)
+    assert len(cls["error_code"]) == 0
+    # all rows dead letters (short header / unknown type)
+    rows = [[], [1], [0xDEAD, 1, 2, 3, 4]]
+    view = BatchView(_mk_batch(rows))
+    cls = dec.classify(view)
+    assert (cls["error_code"] != 0).all()
+    assert list(cls["error_code"]) == [1, 1, 2]
