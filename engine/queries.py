@@ -477,6 +477,102 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _rev_cents(t: pa.Table) -> pa.Table:
+    rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+    cents = pc.cast(pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64())
+    return pa.table({"key": pc.cast(t["l_orderkey"], pa.int64()),
+                     "revenue_cents": cents})
+
+
+def q_order_revenue_native_join(sf_dir: str):
+    """Both-sides-large join, native path: ``Dataset.join`` (hash-partitioned
+    on the key), then combiner aggregate by order priority."""
+    li = _table(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(_rev_cents, batch_format="pyarrow")
+    od = _table(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    joined = li.join(od, join_type="inner", num_partitions=8,
+                     on=("key",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_orderpriority", "revenue_cents"]),
+                            "o_orderpriority").aggregate(
+            [("revenue_cents", "sum"), ("revenue_cents", "count")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "revenue_cents": g["revenue_cents_sum"],
+                         "n_items": pc.cast(g["revenue_cents_count"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_items", alias_name="n_items"))
+    return _finalize(out)
+
+
+def q_order_revenue_bucketed_join(sf_dir: str, buckets: int = 8):
+    """Both-sides-large join, explicit portable pattern (ray_guide): add
+    ``bucket = key % B`` to both sides, union with a side tag, group by
+    bucket and hash-join each bucket locally in ``map_groups``.
+
+    Partitioning assumption: co-location by ``key % B``; B=8 here.  A hot
+    key would be salted into sub-buckets on the probe side (the fact side
+    streams; only the build side must fit a bucket in memory)."""
+    import pandas as pd
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        r = _rev_cents(t)
+        return pa.table({"bucket": pc.cast(pc.bit_wise_and(r["key"], buckets - 1), pa.int32()),
+                         "key": r["key"], "side": pa.array(np.zeros(len(r), dtype=np.int8)),
+                         "revenue_cents": r["revenue_cents"],
+                         "priority": pa.nulls(len(r), pa.string())})
+
+    def od_prep(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        n = t.num_rows
+        return pa.table({"bucket": pc.cast(pc.bit_wise_and(key, buckets - 1), pa.int32()),
+                         "key": key, "side": pa.array(np.ones(n, dtype=np.int8)),
+                         "revenue_cents": pa.nulls(n, pa.int64()),
+                         "priority": t["o_orderpriority"]})
+
+    li = _table(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+    od = _table(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_orderpriority"]) \
+        .map_batches(od_prep, batch_format="pyarrow")
+
+    def join_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        build = g[g["side"] == 1][["key", "priority"]]
+        probe = g[g["side"] == 0][["key", "revenue_cents"]]
+        m = probe.merge(build, on="key", how="inner")
+        # the unioned nullable int64 column arrives as pandas float64 —
+        # restore exact int64 before summing
+        m["revenue_cents"] = m["revenue_cents"].astype("int64")
+        out = m.groupby("priority", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_items=("revenue_cents", "count"))
+        out["n_items"] = out["n_items"].astype("int64")
+        return out.rename(columns={"priority": "o_orderpriority"})
+
+    from ray.data.aggregate import Sum
+    out = li.union(od).groupby("bucket").map_groups(join_bucket, batch_format="pandas") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_items", alias_name="n_items"))
+    return _finalize(out)
+
+
+SQL_ORDER_REVENUE = """
+SELECT o.o_orderpriority AS o_orderpriority,
+       sum(CAST(floor(l.l_extendedprice*(1.0 - l.l_discount)*100.0 + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def q_user_sessions(sf_dir: str):
     """Session windowing over the events log (SURVEY 2.9 streaming-shape):
     partition by user, sort by ts within the group, break sessions on
@@ -543,6 +639,8 @@ QUERIES = {
     "customers_per_region": q_customers_per_region,
     "events_by_type_hour": q_events_by_type_hour,
     "user_sessions": q_user_sessions,
+    "order_revenue_native_join": q_order_revenue_native_join,
+    "order_revenue_bucketed_join": q_order_revenue_bucketed_join,
     "distinct_source_lang": q_distinct_source_lang,
 }
 
@@ -562,5 +660,7 @@ ORACLE_SQL = {
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
     "events_by_type_hour": SQL_EVENTS_BY_TYPE_HOUR,
     "user_sessions": SQL_USER_SESSIONS,
+    "order_revenue_native_join": SQL_ORDER_REVENUE,
+    "order_revenue_bucketed_join": SQL_ORDER_REVENUE,
     "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,
 }
