@@ -63,6 +63,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("show", help="summarize a job output dir")
     s.add_argument("--out", required=True)
 
+    c = sub.add_parser("catalog", help="query the schema catalog "
+                       "(reference src/app.py query/list/search/versions parity)")
+    c.add_argument("action", choices=["list", "search", "versions", "table", "deps"])
+    c.add_argument("arg", nargs="?", help="search term / logcode (0xNNNN)")
+    c.add_argument("--version", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -100,6 +106,22 @@ def main(argv=None) -> int:
         import pyarrow.parquet as pq
         agg = pq.read_table(os.path.join(args.out, "agg.parquet"))
         print(agg.to_pandas().head(20).to_string(index=False))
+        return 0
+
+    if args.cmd == "catalog":
+        from engine import catalog_query as cq
+        if args.action == "list":
+            rows = cq.list_logcodes()
+        elif args.action == "search":
+            rows = cq.search_logcodes(args.arg or "")
+        elif args.action == "versions":
+            rows = cq.versions_of(args.arg)
+        elif args.action == "table":
+            rows = cq.table_layout(args.arg, args.version or 1)
+        else:
+            rows = [{"table": t} for t in cq.dependency_closure(args.arg)]
+        for r in rows:
+            print(json.dumps(r))
         return 0
 
     return 1
