@@ -97,6 +97,17 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
     tmp = os.path.join(d, "lineage.parquet.tmp")
     pq.write_table(lin_tbl, tmp)
     os.replace(tmp, os.path.join(d, "lineage.parquet"))
+    # per-partition executor metrics (A4 observability: per-stage wall/cpu/
+    # rows, the Ray Data analogue of the reference's per-batch progress logs)
+    try:
+        stats = lin.stats()
+        if stats:
+            sd = os.path.join(out_dir, "_stats")
+            os.makedirs(sd, exist_ok=True)
+            with open(os.path.join(sd, f"{tag}.txt"), "w") as f:
+                f.write(stats)
+    except Exception:
+        pass
 
 
 def fold_aggregate(out_dir: str) -> pa.Table:
