@@ -1,0 +1,76 @@
+"""Skew handling: hot msg_type >=50% of rows (the north-rule fixture).
+
+Routing is shuffle-free (each task writes its own per-sink files), so a hot
+type cannot create a hot reducer; the aggregate paths handle hot keys via
+per-batch combining (pre_aggregated) or key salting (aggregate_salted).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from engine.oracle import ERR_OK, OracleDecoder
+
+
+def test_corpus_is_hot_skewed(sf_small):
+    """The fixture corpus must exercise skew: one msg_type >= 50% of rows."""
+    t = pads.dataset(f"{sf_small}/sequences").to_table()
+    o = OracleDecoder()
+    counts = {}
+    for toks in t["tokens"].to_pylist():
+        p = o.parse_row(toks)
+        if p["error_code"] == ERR_OK:
+            counts[p["msg_type"]] = counts.get(p["msg_type"], 0) + 1
+    hot = max(counts.values())
+    assert hot / t.num_rows >= 0.5
+    assert max(counts, key=counts.get) == 0x2001
+
+
+def test_routing_has_no_hot_task(ray_session, sf_small, tmp_path):
+    """Shuffle-free fan-out: the hot sink's rows are spread across every
+    batch's own output files — no single task owns the hot key."""
+    import ray
+    from engine import stages
+    import pyarrow.parquet as pq
+    ref = ray.put(pq.read_table(f"{sf_small}/source_meta.parquet"))
+    out = str(tmp_path / "route")
+    lin = stages.fused_stage(
+        ray.data.read_parquet(f"{sf_small}/sequences"), out, "p0000", ref)
+    tbl = pa.concat_tables(ray.get(lin.to_arrow_refs()))
+    df = tbl.to_pandas()
+    hot = df[df.sink == "0x2001"]
+    # one output file per batch for the hot sink; max file share bounded by
+    # batch size, not by key frequency
+    assert hot["path"].nunique() >= 4
+    per_file = hot.groupby("path")["rows"].sum()
+    assert per_file.max() <= hot["rows"].sum() * 0.6
+
+
+def test_salted_aggregate_on_extreme_skew(ray_session, tmp_path):
+    """99%-single-key dataset: salted two-phase agg still exact."""
+    import ray
+    from engine import stages
+    rng = np.random.default_rng(3)
+    n = 20_000
+    mt = np.where(rng.random(n) < 0.99, 0x2001, 0x3A11).astype(np.int32)
+    ver = np.ones(n, dtype=np.int32)
+    payload_words = 2
+    toks = np.zeros((n, 4 + payload_words), dtype=np.int32)
+    toks[:, 0] = mt
+    toks[:, 1] = ver
+    values = pa.array(toks.ravel(), type=pa.int32())
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * (4 + payload_words))
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": pa.ListArray.from_arrays(offsets, values),
+        "n_tok": pa.array(np.full(n, 4 + payload_words, dtype=np.int32)),
+        "source": pa.array(["s0"] * n),
+    })
+    ds = ray.data.from_arrow(t)
+    parsed = stages.parse_stage(ds)
+    agg = stages.aggregate_salted(parsed, salt_buckets=16).to_pandas()
+    got = {(r.source, r.msg_type): (int(r.n_rows), int(r.sum_n_tok))
+           for r in agg.itertuples()}
+    n_hot = int((mt == 0x2001).sum())
+    assert got[("s0", 0x2001)] == (n_hot, n_hot * 6)
+    assert got[("s0", 0x3A11)] == (n - n_hot, (n - n_hot) * 6)
