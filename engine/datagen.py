@@ -161,8 +161,8 @@ def generate_sequences(n_rows: int, seed: int, out_dir: str, num_files: int = 8)
     # ---- fixed-width scalar types -----------------------------------------
     def thermal_setter(u8, rng, n):
         _set_uint(u8, 6, 1, _enum_values(rng, n, [0, 1, 2, 7]))
-    parts.append(_stratum(rng, frac(0.06), 0x3A10, 1, 10))
-    parts.append(_stratum(rng, frac(0.06), 0x3A11, 1, 2, thermal_setter))
+    parts.append(_stratum(rng, frac(0.04), 0x3A10, 1, 10))
+    parts.append(_stratum(rng, frac(0.04), 0x3A11, 1, 2, thermal_setter))
 
     # ---- 0x4B20 MsgTrace: fixed count 4, plus clamp-truncated variant -----
     parts.append(_stratum(rng, frac(0.04), 0x4B20, 1, 5))
@@ -171,10 +171,26 @@ def generate_sequences(n_rows: int, seed: int, out_dir: str, num_files: int = 8)
     # ---- GenericEvent family ----------------------------------------------
     def ge4_setter(u8, rng, n):
         _set_uint(u8, 0, 1, _enum_values(rng, n, [0, 1, 2]))
-    parts.append(_stratum(rng, frac(0.02), 0x5C01, 1, 3))
-    parts.append(_stratum(rng, frac(0.02), 0x5C02, 1, 3))
-    parts.append(_stratum(rng, frac(0.02), 0x5C03, 1, 2))
-    parts.append(_stratum(rng, frac(0.02), 0x5C04, 1, 3, ge4_setter))
+    parts.append(_stratum(rng, frac(0.015), 0x5C01, 1, 3))
+    parts.append(_stratum(rng, frac(0.015), 0x5C02, 1, 3))
+    parts.append(_stratum(rng, frac(0.015), 0x5C03, 1, 2))
+    parts.append(_stratum(rng, frac(0.015), 0x5C04, 1, 3, ge4_setter))
+
+    # ---- 0x6000..0x601F GenericStat family (32 seeded layouts, ~6%) -------
+    from engine.catalog import compile_catalog
+    compiled = compile_catalog()
+    for k in range(32):
+        mt = 0x6000 + k
+        layout = compiled[(mt, 1)]
+        size_bits = max(s.abs_off_bits + s.length_bits for s in layout.scalars)
+        wds = ((size_bits + 7) // 8 + 3) // 4
+        enum_offs = [s.abs_off_bits // 8 for s in layout.scalars if s.enum]
+
+        def gs_setter(u8, rng, n, offs=tuple(enum_offs)):
+            for o in offs:
+                _set_uint(u8, o, 1, _enum_values(rng, n, [0, 1, 2]))
+        parts.append(_stratum(rng, frac(0.064 / 32), mt, 1, max(1, wds),
+                              gs_setter if enum_offs else None))
 
     # ---- dead-letter strata -----------------------------------------------
     parts.append(_stratum(rng, frac(0.008), 0xDEAD, 1, 3))          # unknown type

@@ -47,7 +47,7 @@ def ensure_fixtures(sf: str = "sf0.01", num_files: int = 0) -> str:
     num_files = num_files or NUM_FILES.get(sf, 8)
     root = fixture_root(sf)
     marker = os.path.join(root, "_SUCCESS.json")
-    want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 1}
+    want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 2}
     if os.path.exists(marker):
         try:
             with open(marker) as f:
