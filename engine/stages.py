@@ -214,26 +214,41 @@ class DecodeRouter:
         err = t["error_code"].to_numpy()
         out_lineage = []
 
-        # dead letters
-        bad = np.flatnonzero(err != ERR_OK)
-        if bad.size:
-            dl = t.select([c for c in DEAD_LETTER_COLS if c in t.column_names]) \
-                 .take(pa.array(bad))
-            path = self._write_sink("dead_letter", dl)
-            out_lineage.append(self._lineage_rows(
-                "dead_letter", -1, dl, path, (time.monotonic() - t0) * 1e3))
-
         import pyarrow.compute as pc
         cls = {"error_code": err,
                "msg_type": pc.fill_null(t["msg_type"], -1).to_numpy(
                    zero_copy_only=False).astype(np.int64),
                "version": pc.fill_null(t["version"], -1).to_numpy(
                    zero_copy_only=False).astype(np.int64)}
-        for mt, ver, rows in group_rows_by_layout(self.decoder, cls):
+
+        # one permutation take for the whole batch (dead letters + every
+        # group), then zero-copy slices per sink — with ~45 layouts a
+        # per-group take would copy the envelope ~45 times
+        bad = np.flatnonzero(err != ERR_OK)
+        groups = list(group_rows_by_layout(self.decoder, cls))
+        perm_parts = ([bad] if bad.size else []) + [rows for _, _, rows in groups]
+        if not perm_parts:
+            return LINEAGE_SCHEMA.empty_table()
+        perm = np.concatenate(perm_parts)
+        all_cols = [c for c in dict.fromkeys(DEAD_LETTER_COLS + ENVELOPE_SINK_COLS)
+                    if c in t.column_names]
+        env_all = t.select(all_cols).take(pa.array(perm)).combine_chunks()
+
+        pos = 0
+        if bad.size:
+            dl = env_all.slice(0, bad.size).select(
+                [c for c in DEAD_LETTER_COLS if c in env_all.column_names])
+            pos = bad.size
+            path = self._write_sink("dead_letter", dl)
+            out_lineage.append(self._lineage_rows(
+                "dead_letter", -1, dl, path, (time.monotonic() - t0) * 1e3))
+
+        env_cols = [c for c in ENVELOPE_SINK_COLS if c in env_all.column_names]
+        for mt, ver, rows in groups:
             layout = self.decoder.compiled[(mt, ver)]
             cols = self.decoder.decode_group(view, rows, layout)
-            env = t.select([c for c in ENVELOPE_SINK_COLS if c in t.column_names]) \
-                   .take(pa.array(rows))
+            env = env_all.slice(pos, len(rows)).select(env_cols)
+            pos += len(rows)
             for name, arr in cols.items():
                 env = env.append_column(name, arr)
             sink = f"0x{mt:04X}"
@@ -241,8 +256,6 @@ class DecodeRouter:
             out_lineage.append(self._lineage_rows(
                 sink, mt, env, path, (time.monotonic() - t0) * 1e3))
 
-        if not out_lineage:
-            return LINEAGE_SCHEMA.empty_table()
         return pa.concat_tables(out_lineage)
 
 
