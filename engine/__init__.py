@@ -12,4 +12,19 @@ hex_decoder_module/__init__.py:1-22):
 from engine.catalog import build_catalog, compile_catalog
 from engine.oracle import OracleDecoder
 
-__all__ = ["build_catalog", "compile_catalog", "OracleDecoder"]
+__all__ = [
+    "build_catalog", "compile_catalog", "OracleDecoder",
+    # stage combinators (engine.stages): parse_stage, enrich_stage,
+    # decode_route_stage, fused_stage, aggregate_stage, pre_aggregated,
+    # aggregate_salted — imported lazily to keep `import engine` light
+]
+
+
+def __getattr__(name):
+    import importlib
+    for mod in ("stages", "pipeline", "sources", "export", "queries",
+                "dedup", "simsearch", "text", "multimodal", "catalog_query"):
+        m = importlib.import_module(f"engine.{mod}")
+        if hasattr(m, name):
+            return getattr(m, name)
+    raise AttributeError(name)

@@ -134,18 +134,26 @@ def _convert(raw: np.ndarray, type_name: str, length_bits: int):
 
 def _enum_strings(raw: np.ndarray, enum: Dict[int, str],
                   valid: Optional[np.ndarray] = None) -> pa.Array:
-    """Friendly enum strings with UNKNOWN(<v>) default (type_converters.py:81-85)."""
-    import pandas as pd
-    s = pd.Series(raw.astype(np.int64)).map(enum)
-    missing = s.isna().to_numpy()
+    """Friendly enum strings with UNKNOWN(<v>) default (type_converters.py:81-85).
+
+    Dense-table lookup: known keys are small ints, so the mapping is one
+    numpy take against a prebuilt object table; only out-of-range /
+    unmapped values pay string formatting (and only over their subset)."""
+    keys = raw.astype(np.int64)
+    max_key = max(enum) if enum else 0
+    table = np.full(max_key + 2, None, dtype=object)  # last slot = sentinel
+    for k, v in enum.items():
+        if k >= 0:
+            table[k] = v
+    idx = np.where((keys >= 0) & (keys <= max_key), keys, max_key + 1)
+    out = table[idx]
+    missing = out == None  # noqa: E711  (elementwise)
     if missing.any():
-        fills = np.char.add(np.char.add("UNKNOWN(", raw[missing].astype(np.int64).astype(str)), ")")
-        s = s.astype(object)
-        s.iloc[np.flatnonzero(missing)] = fills
-    arr = pa.array(s.to_numpy(dtype=object), type=pa.string())
+        mk = keys[missing]
+        out[missing] = np.char.add(np.char.add("UNKNOWN(", mk.astype(str)), ")")
     if valid is not None and not valid.all():
-        arr = pa.array(np.where(valid, s.to_numpy(dtype=object), None), type=pa.string())
-    return arr
+        out = np.where(valid, out, None)
+    return pa.array(out, type=pa.string())
 
 
 def parse_header(view: BatchView) -> Dict[str, np.ndarray]:
