@@ -90,7 +90,7 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
     # lineage is tiny (one row per sink x source x batch): collect it on the
     # driver and write ONE file — no Ray Write operator on the hot path
     refs = lin.to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_rows or True]
+    tables = [t for t in ray.get(refs) if t.num_columns]
     lin_tbl = pa.concat_tables(tables) if tables else stages.LINEAGE_SCHEMA.empty_table()
     d = os.path.join(out_dir, "_lineage", tag)
     os.makedirs(d, exist_ok=True)
@@ -108,6 +108,34 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
                 f.write(stats)
     except Exception:
         pass
+
+
+def run_hex_job(hex_paths, metadata_path: str, out_dir: str,
+                tag: str = "p0000") -> pa.Table:
+    """Migration path: the reference's raw inputs, end-to-end on Ray.
+
+    ``Length:/Header:/Payload:`` hex text files + a REFERENCE-format
+    metadata JSON (the user's Step-1 output, metadata_cli.py) ->
+    parse -> decode -> per-sink Parquet + dead letters + lineage, using the
+    same router as the Parquet pipeline.  Verified on the reference's own
+    ``payload_b888_input.hex`` + ``metadata_0xB888.json`` against its
+    golden parsed outputs (tests/test_reference_parity.py)."""
+    from engine import sources
+
+    ds = sources.read_hex_packets(hex_paths)
+
+    def run(t: pa.Table) -> pa.Table:
+        t = stages.parse_batch(t, metadata_path=metadata_path)
+        router = stages.DecodeRouter(out_dir, tag, metadata_path=metadata_path)
+        return router(t)
+
+    lin = ds.map_batches(run, batch_format="pyarrow", batch_size=None)
+    tables = [t for t in ray.get(lin.to_arrow_refs()) if t.num_columns]
+    lin_tbl = pa.concat_tables(tables) if tables else stages.LINEAGE_SCHEMA.empty_table()
+    d = os.path.join(out_dir, "_lineage", tag)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(lin_tbl, os.path.join(d, "lineage.parquet"))
+    return fold_aggregate(out_dir)
 
 
 def fold_aggregate(out_dir: str) -> pa.Table:

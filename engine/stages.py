@@ -58,10 +58,17 @@ def _pin_arrow_threads() -> bool:
     return True
 
 
-@functools.lru_cache(maxsize=1)
-def shared_decoder() -> Decoder:
-    """Per-worker-process compiled catalog (cheap, deterministic)."""
+@functools.lru_cache(maxsize=8)
+def shared_decoder(metadata_path: Optional[str] = None) -> Decoder:
+    """Per-worker-process compiled catalog (cheap, deterministic).
+
+    With ``metadata_path``, the catalog is loaded from a REFERENCE-format
+    metadata JSON (engine.ref_metadata) instead of the synthetic catalog —
+    the migration path for users carrying their own Step-1 metadata files."""
     _pin_arrow_threads()
+    if metadata_path:
+        from engine.ref_metadata import load_metadata_json
+        return Decoder(load_metadata_json(metadata_path))
     return Decoder()
 
 
@@ -69,13 +76,13 @@ def shared_decoder() -> Decoder:
 # Parse stage (stateless tasks; M1-M5 vectorized)
 # ---------------------------------------------------------------------------
 
-def parse_batch(t: pa.Table) -> pa.Table:
+def parse_batch(t: pa.Table, metadata_path: Optional[str] = None) -> pa.Table:
     """Header extract + validation as envelope columns (no exceptions —
     error-status columns per SURVEY 1.4 instead of models/errors.py)."""
     from engine.oracle import ERR_TOO_SHORT_HEADER
     t = t.combine_chunks()
     view = BatchView(t["tokens"])
-    cls = shared_decoder().classify(view)
+    cls = shared_decoder(metadata_path).classify(view)
     no_hdr = cls["error_code"] == ERR_TOO_SHORT_HEADER
     for name in ENVELOPE_PARSE_COLS:
         if name == "error_code":
@@ -176,10 +183,11 @@ class DecodeRouter:
     writes, the checkpoint-manifest prerequisite, SURVEY section 4).
     """
 
-    def __init__(self, out_dir: str, part_tag: str = "p0000"):
+    def __init__(self, out_dir: str, part_tag: str = "p0000",
+                 metadata_path: Optional[str] = None):
         self.out_dir = out_dir
         self.part_tag = part_tag
-        self.decoder = shared_decoder()
+        self.decoder = shared_decoder(metadata_path)
 
     def _write_sink(self, rel: str, table: pa.Table) -> str:
         d = os.path.join(self.out_dir, rel)

@@ -107,3 +107,37 @@ def test_multi_logcode_metadata_loads():
     compiled = load_metadata_json(f"{R}/test_metadata_multi.json")
     types = {mt for mt, _ in compiled}
     assert len(types) >= 2
+
+
+@needs_ref
+def test_hex_job_end_to_end_with_reference_inputs(ray_session, tmp_path):
+    """The reference's OWN hex file + OWN metadata JSON through the full Ray
+    pipeline: routed sink parquet carries the golden's decoded values."""
+    import glob
+    import pyarrow.dataset as pads
+    from engine.pipeline import run_hex_job
+    out = str(tmp_path / "hexjob")
+    agg = run_hex_job([f"{R}/payload_b888_input.hex"],
+                      f"{R}/metadata_0xB888.json", out)
+    g = json.load(open(f"{R}/parsed_with_corrected_metadata.json"))
+    ver = g["version"]["value"]
+    files = glob.glob(f"{out}/msg_type=0xB888/version={ver}/*.parquet")
+    assert len(files) == 1
+    row = pads.dataset(files[0]).to_table().to_pylist()[0]
+    # spot-check scalar fields + record expansion against the golden
+    for name in ("Num Records", "Num Total Slots", "Num CA", "Cumulative Bitmask"):
+        assert row[name] == g["fields"][name]["raw"], name
+    recs = row["Records"]
+    n_rec = len({k for k in g["fields"] if "(Record" in k and k.endswith("(Record 0)")})
+    assert len(recs) == len({int(m.group(1)) for m in
+                             (re.search(r"\(Record (\d+)\)$", k) for k in g["fields"])
+                             if m})
+    for i, rec in enumerate(recs):
+        for fk, fv in rec.items():
+            gk = f"{fk} (Record {i})"
+            if fk.endswith(" (Decoded)"):
+                continue
+            if gk in g["fields"]:
+                assert fv == g["fields"][gk]["raw"], gk
+    # aggregate counts one OK row
+    assert agg.num_rows == 1 and agg["n_rows"][0].as_py() == 1
