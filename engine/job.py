@@ -57,6 +57,12 @@ def main(argv=None) -> int:
                    help="use the 3-stage actor-pool pipeline instead of the fused stage")
     r.add_argument("--no-resume", action="store_true")
 
+    h = sub.add_parser("run-hex", help="decode reference hex files with a "
+                       "reference metadata JSON (migration path)")
+    h.add_argument("--input", required=True, nargs="+", help="hex text file(s)")
+    h.add_argument("--metadata", required=True, help="reference metadata JSON")
+    h.add_argument("--out", required=True)
+
     a = sub.add_parser("agg", help="re-fold aggregate from lineage")
     a.add_argument("--out", required=True)
 
@@ -91,6 +97,14 @@ def main(argv=None) -> int:
                       target_num_blocks=args.target_num_blocks)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows,
                           "wall_s": round(time.monotonic() - t0, 3)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "run-hex":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.pipeline import run_hex_job
+        agg = run_hex_job(args.input, args.metadata, args.out)
+        print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
         ray.shutdown()
         return 0
 
