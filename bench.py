@@ -183,8 +183,9 @@ def run_scaling() -> dict:
         "tokens_per_sec_8": r8["tokens_per_sec"], "tokens_per_sec_32": r32["tokens_per_sec"],
         "queries_8": r8["queries"], "queries_32": r32["queries"],
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
         json.dump(result, f, indent=1)
     return result
 
