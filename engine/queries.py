@@ -639,6 +639,7 @@ QUERIES = {
     "customers_per_region": q_customers_per_region,
     "events_by_type_hour": q_events_by_type_hour,
     "user_sessions": q_user_sessions,
+    "tumbling_window_actors": __import__("engine.streaming", fromlist=["t"]).tumbling_window_counts,
     "order_revenue_native_join": q_order_revenue_native_join,
     "order_revenue_bucketed_join": q_order_revenue_bucketed_join,
     "distinct_source_lang": q_distinct_source_lang,
@@ -660,6 +661,7 @@ ORACLE_SQL = {
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
     "events_by_type_hour": SQL_EVENTS_BY_TYPE_HOUR,
     "user_sessions": SQL_USER_SESSIONS,
+    "tumbling_window_actors": __import__("engine.streaming", fromlist=["t"]).SQL_TUMBLING_WINDOW,
     "order_revenue_native_join": SQL_ORDER_REVENUE,
     "order_revenue_bucketed_join": SQL_ORDER_REVENUE,
     "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,
