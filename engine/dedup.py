@@ -166,13 +166,21 @@ def q_dedup_minhash_lsh(sf_dir: str):
         cand_df = __import__("pandas").DataFrame({"doc_a": [], "doc_b": []})
     cand_df = cand_df.drop_duplicates(ignore_index=True)
 
-    # verify: exact word-3-gram Jaccard on the candidate set (small)
+    # verify: exact word-3-gram Jaccard on the candidate set.  Only the
+    # CANDIDATE documents' texts reach the driver (filter pushed into the
+    # read) — the corpus itself never does, so this stays O(candidates)
+    # at 100 TB, not O(table).
+    cand_ids = set(map(int, cand_df.get("doc_a", []))) | \
+        set(map(int, cand_df.get("doc_b", [])))
     texts = {}
-    for bt in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        for d, s in zip(pc.cast(bt["doc_id"], pa.int64()).to_pylist(),
-                        bt["text"].to_pylist()):
-            texts[d] = s
+    if cand_ids:
+        import pyarrow.dataset as pads
+        import pyarrow.compute as _pc
+        tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+            .to_table(columns=["doc_id", "text"],
+                      filter=_pc.field("doc_id").isin(sorted(cand_ids)))
+        texts = dict(zip(pc.cast(tbl["doc_id"], pa.int64()).to_pylist(),
+                         tbl["text"].to_pylist()))
     rows = []
     for da, db in zip(cand_df.get("doc_a", []), cand_df.get("doc_b", [])):
         sa, sb = _word_shingles(texts[da]), _word_shingles(texts[db])
