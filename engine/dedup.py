@@ -194,6 +194,40 @@ def q_dedup_minhash_lsh(sf_dir: str):
                      "jaccard_milli": pa.array([r[2] for r in rows], type=pa.int64())})
 
 
+def q_dedup_clusters(sf_dir: str, threshold_milli: int = 500):
+    """Near-dup clusters + survivor selection: union-find over the verified
+    MinHash-LSH pairs (the candidate graph is small after verification, so
+    components resolve on the driver; at a scale where it is not, switch to
+    the iterative min-label-propagation groupby the ray_guide describes —
+    same output contract).  Survivor = min doc_id per cluster."""
+    pairs = q_dedup_minhash_lsh(sf_dir)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b, j in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist(),
+                       pairs["jaccard_milli"].to_pylist()):
+        if j >= threshold_milli:
+            union(a, b)
+    members = sorted({d for p in zip(pairs["doc_a"].to_pylist(),
+                                     pairs["doc_b"].to_pylist()) for d in p})
+    rows = [(d, find(d), find(d) == d) for d in members]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "cluster_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "survivor": pa.array([r[2] for r in rows], type=pa.bool_()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (rows-only)
 # ---------------------------------------------------------------------------

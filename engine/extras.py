@@ -19,6 +19,7 @@ EXTRA_QUERIES = {
     # dedup
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_clusters": dedup.q_dedup_clusters,
     "dedup_simhash": dedup.q_dedup_simhash,
     "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
     # similarity search

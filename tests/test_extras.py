@@ -95,3 +95,28 @@ def test_lang_id_and_quality_deterministic(ray_session):
     qs = _tbl(q_quality_score(SF_DIR))
     scores = qs["quality_score"].to_pylist()
     assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_dedup_clusters_transitive(ray_session, tmp_path):
+    """A~B and B~C verbatim dup chain collapses to one cluster with the
+    min doc_id as survivor."""
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.slice(0, 1).to_pydict()
+    chain = []
+    for new_id in (777001, 777002):
+        d = dict(base)
+        d["doc_id"] = [new_id]
+        chain.append(pa.table(d, schema=src.schema))
+    aug = pa.concat_tables([src] + chain)
+    d = tmp_path / "augc"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_dedup_clusters
+    t = q_dedup_clusters(str(d))
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    orig = src["doc_id"][0].as_py()
+    assert rows[orig]["survivor"] is True
+    assert rows[777001]["cluster_id"] == rows[orig]["cluster_id"]
+    assert rows[777002]["cluster_id"] == rows[orig]["cluster_id"]
+    assert rows[777001]["survivor"] is False
