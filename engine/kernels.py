@@ -338,19 +338,26 @@ class Decoder:
 
 
 def group_rows_by_layout(decoder: Decoder, cls: Dict[str, np.ndarray]):
-    """Yield (msg_type, version, row_indices) for OK rows, grouped."""
+    """Yield (msg_type, version, row_indices) for OK rows, grouped.
+
+    Keys pack (msg_type, version) into 64 bits with the version as a full
+    unsigned 32-bit field — reference metadata uses u32 version words
+    (e.g. 65537 = 0x00010001), so 20-bit packing would collide."""
     ok = cls["error_code"] == ERR_OK
     mt = cls["msg_type"].astype(np.int64)
     ver = cls["version"].astype(np.int64)
-    keys = np.where(ok, (mt << 20) + ver, -1)  # versions are tiny ints
+    keys = (mt.astype(np.uint64) << _U64(32)) | (ver.astype(np.uint64) & _U64(0xFFFFFFFF))
+    keys = np.where(ok, keys, _U64(0xFFFFFFFFFFFFFFFF))
     order = np.argsort(keys, kind="stable")
     keys_sorted = keys[order]
-    bounds = np.flatnonzero(np.diff(keys_sorted)) + 1
+    bounds = np.flatnonzero(np.diff(keys_sorted) != 0) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(keys_sorted)]])
     for s, e in zip(starts, ends):
         k = keys_sorted[s]
-        if k < 0:
+        if k == _U64(0xFFFFFFFFFFFFFFFF):
             continue
         rows = order[s:e]
-        yield int(k >> 20), int(k & 0xFFFFF), np.sort(rows)
+        # version yielded unsigned (0..2^32-1): catalog/compiled keys are the
+        # non-negative u32 version-word values (cf. metadata '65537' keys)
+        yield int(k >> _U64(32)), int(k & _U64(0xFFFFFFFF)), np.sort(rows)

@@ -190,3 +190,25 @@ def test_truncated_scalar_is_null():
     assert cols["RSRP"].to_pylist()[0] is not None
     assert cols["Noise"].to_pylist() == [None]
     assert cols["Wide Counter"].to_pylist() == [None]
+
+
+def test_large_u32_version_grouping():
+    """Reference metadata uses full-u32 version words (e.g. 0x01000001);
+    grouping must not collide or mangle them (regression: 20-bit packing)."""
+    from engine.catalog import CompiledLayout, ScalarSpec
+    big_ver = 0x01000001
+    layout = CompiledLayout(
+        msg_type=0x1234, msg_name="T", version=big_ver, table_name="t",
+        scalars=[ScalarSpec("A", "Uint16", 0, 16)], records=[],
+        count_source=None, has_bler=False)
+    dec = Decoder({(0x1234, big_ver): layout})
+    toks = [0x1234, big_ver, 0, 0, 0x0000BEEF]
+    view = BatchView(_mk_batch([toks]))
+    cls = dec.classify(view)
+    assert cls["error_code"][0] == ERR_OK
+    groups = list(group_rows_by_layout(dec, cls))
+    assert len(groups) == 1
+    mt, ver, rows = groups[0]
+    assert (mt, ver) == (0x1234, big_ver)
+    cols = dec.decode_group(view, rows, dec.compiled[(mt, ver)])
+    assert cols["A"].to_pylist() == [0xBEEF]
