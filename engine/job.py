@@ -63,6 +63,14 @@ def main(argv=None) -> int:
     h.add_argument("--metadata", required=True, help="reference metadata JSON")
     h.add_argument("--out", required=True)
 
+    cp = sub.add_parser("compact", help="compact small per-sink files")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--max-files", type=int, default=4)
+
+    rp = sub.add_parser("replay", help="re-drive dead letters after a catalog update")
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--metadata", default=None, help="reference metadata JSON")
+
     a = sub.add_parser("agg", help="re-fold aggregate from lineage")
     a.add_argument("--out", required=True)
 
@@ -104,6 +112,21 @@ def main(argv=None) -> int:
         ray = _ensure_ray(args.num_cpus)
         from engine.pipeline import run_hex_job
         agg = run_hex_job(args.input, args.metadata, args.out)
+        print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.pipeline import compact_sinks
+        print(json.dumps(compact_sinks(args.out, args.max_files)))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "replay":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.pipeline import replay_dead_letters
+        agg = replay_dead_letters(args.out, metadata_path=args.metadata)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
         ray.shutdown()
         return 0

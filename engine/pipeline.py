@@ -138,6 +138,76 @@ def run_hex_job(hex_paths, metadata_path: str, out_dir: str,
     return fold_aggregate(out_dir)
 
 
+def compact_sinks(out_dir: str, max_files_per_sink: int = 4) -> Dict[str, int]:
+    """Per-sink small-file compaction (the object-store file-count answer
+    from SCALE.md): any sink directory holding more than
+    ``max_files_per_sink`` parquet files is rewritten as one file per
+    ``max_files_per_sink`` chunk, atomically (write + rename before
+    deleting inputs), as parallel Ray tasks — one task per sink, since
+    sinks are independent."""
+
+    @ray.remote
+    def compact_dir(d: str, cap: int) -> int:
+        import pyarrow.parquet as _pq
+        import pyarrow.dataset as _pads
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if len(files) <= cap:
+            return 0
+        tbl = _pads.dataset(files).to_table()
+        tmp = os.path.join(d, "compacted.parquet.tmp")
+        _pq.write_table(tbl, tmp, compression="lz4")
+        os.replace(tmp, os.path.join(d, "compacted-0000.parquet"))
+        for f in files:
+            os.remove(f)
+        return len(files)
+
+    sink_dirs = sorted({os.path.dirname(p) for p in glob.glob(
+        os.path.join(out_dir, "msg_type=*", "version=*", "*.parquet"))}
+        | {d for d in [os.path.join(out_dir, "dead_letter")] if os.path.isdir(d)})
+    results = ray.get([compact_dir.remote(d, max_files_per_sink) for d in sink_dirs])
+    return {d: n for d, n in zip(sink_dirs, results) if n}
+
+
+def replay_dead_letters(out_dir: str, replay_tag: str = "replay0",
+                        metadata_path: Optional[str] = None) -> pa.Table:
+    """Re-drive the dead-letter sink through the decoder — the recovery
+    path after a catalog update adds previously-unknown msg_types/versions
+    (the reference's analogue is re-running Step 2 with regenerated
+    metadata).  Newly-decodable rows route to their proper sinks under a
+    fresh partition tag; still-bad rows land in the replay's own
+    dead-letter files.  Returns the refreshed aggregate."""
+    dl = sorted(glob.glob(os.path.join(out_dir, "dead_letter", "*.parquet")))
+    if dl:
+        ds = ray.data.read_parquet(dl)
+
+        def rerun(t: pa.Table) -> pa.Table:
+            t = t.select(["doc_id", "tokens", "n_tok", "source"])
+            t = stages.parse_batch(t, metadata_path=metadata_path)
+            router = stages.DecodeRouter(out_dir, replay_tag,
+                                         metadata_path=metadata_path)
+            return router(t)
+
+        lin = ds.map_batches(rerun, batch_format="pyarrow", batch_size=None)
+        tables = [t for t in ray.get(lin.to_arrow_refs()) if t.num_columns]
+        lin_tbl = (pa.concat_tables(tables) if tables
+                   else stages.LINEAGE_SCHEMA.empty_table())
+        for f in dl:  # replayed rows now live in their new sinks
+            os.remove(f)
+        d = os.path.join(out_dir, "_lineage", replay_tag)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(lin_tbl, os.path.join(d, "lineage.parquet"))
+        # original dead-letter lineage rows are superseded: drop them so the
+        # fold reflects the post-replay state
+        for lf in glob.glob(os.path.join(out_dir, "_lineage", "*", "lineage.parquet")):
+            if replay_tag in lf:
+                continue
+            t = pq.read_table(lf)
+            kept = t.filter(pc.not_equal(t["sink"], "dead_letter"))
+            if kept.num_rows != t.num_rows:
+                pq.write_table(kept, lf)
+    return fold_aggregate(out_dir)
+
+
 def fold_aggregate(out_dir: str) -> pa.Table:
     """Driver-side fold of the per-batch partial aggregates (tiny)."""
     lin = pads.dataset(os.path.join(out_dir, "_lineage")).to_table()
