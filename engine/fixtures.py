@@ -24,10 +24,10 @@ ROWS = {
     "sf0.001": 2_000,
     "sf0.01": 20_000,
     "sf0.1": 200_000,
-    "bench": 16_000_000,
+    "bench": 32_000_000,
 }
 
-NUM_FILES = {"sf0.001": 8, "sf0.01": 8, "sf0.1": 16, "bench": 32}
+NUM_FILES = {"sf0.001": 8, "sf0.01": 8, "sf0.1": 16, "bench": 64}
 
 
 def sf_of(sf_dir: str) -> str:
