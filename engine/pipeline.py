@@ -62,9 +62,10 @@ def _clean_partition_outputs(out_dir: str, tag: str) -> None:
 def default_num_blocks(files: Optional[Sequence[str]] = None) -> int:
     """Explicit target_num_blocks (north_rule): ~2 blocks per cluster CPU so
     every core gets work without drowning the scheduler in tiny tasks, AND
-    at most ~16 MB of input per block — blocks beyond ~500k rows degrade
-    the fused decode batch superlinearly (measured: 500k-row blocks ran
-    ~6x slower per row than 250k at 32 CPUs)."""
+    at most ~16 MB of input per block so waves pack evenly.  (A 6x cliff
+    originally blamed on big blocks was actually reader micro-batch fusion
+    — fixed by the explicit batch size in stages.fused_stage; the cap
+    stays for wave packing.)"""
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:

@@ -306,13 +306,23 @@ class _FusedState:
         return st
 
 
-def fused_stage(ds, out_dir: str, part_tag: str = "p0000", source_meta_ref=None):
-    """parse -> enrich -> decode+route as one block-sized map_batches pass."""
+FUSED_BATCH_ROWS = 262_144
+
+
+def fused_stage(ds, out_dir: str, part_tag: str = "p0000", source_meta_ref=None,
+                batch_size: int = FUSED_BATCH_ROWS):
+    """parse -> enrich -> decode+route as one map_batches pass.
+
+    The batch size is EXPLICIT, never None: when Ray fuses this operator
+    into the parquet read, ``batch_size=None`` means "whatever micro-batch
+    the reader streams" (~10k rows), which multiplies the per-batch cost
+    (one parquet file per live sink per batch) ~40x — measured as an
+    8.6s-vs-1.3s per-task difference on 500k-row read tasks."""
     def fused(t: pa.Table) -> pa.Table:
         st = _FusedState.get(out_dir, part_tag, source_meta_ref)
         return st.router(st.enricher(parse_batch(t)))
 
-    return ds.map_batches(fused, batch_format="pyarrow", batch_size=None,
+    return ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
 
 

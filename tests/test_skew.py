@@ -35,7 +35,8 @@ def test_routing_has_no_hot_task(ray_session, sf_small, tmp_path):
     ref = ray.put(pq.read_table(f"{sf_small}/source_meta.parquet"))
     out = str(tmp_path / "route")
     lin = stages.fused_stage(
-        ray.data.read_parquet(f"{sf_small}/sequences"), out, "p0000", ref)
+        ray.data.read_parquet(f"{sf_small}/sequences"), out, "p0000", ref,
+        batch_size=256)  # small batches so the tiny corpus yields many files
     tbl = pa.concat_tables(ray.get(lin.to_arrow_refs()))
     df = tbl.to_pandas()
     hot = df[df.sink == "0x2001"]
