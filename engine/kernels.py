@@ -66,9 +66,16 @@ class BatchView:
     ``pad`` is the flat LE byte buffer of all token values (one memcpy per
     batch for the 16-byte tail guard, amortized over every field of every
     group); ``tok_start``/``tok_len`` index rows into it.
+
+    ``exact_nbytes`` (optional, per-row int) carries the TRUE payload byte
+    length for sources whose payloads are not word-aligned (the hex text
+    ingest pads the last word with zeros; the reference checks field
+    end_byte against ``len(payload)`` exactly, metadata_payload_parser's
+    available_bytes).  When given, it overrides the word-derived
+    ``payload_nbytes`` for scalar validity and record-fit clamping.
     """
 
-    def __init__(self, tokens: pa.Array):
+    def __init__(self, tokens: pa.Array, exact_nbytes=None):
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         offs = tokens.offsets.to_numpy().astype(np.int64)
@@ -81,6 +88,11 @@ class BatchView:
         self.tok_len = offs[1:] - offs[:-1]  # tokens per row
         self.payload_start = (self.tok_start + HEADER_TOKENS) * 4  # byte offset
         self.payload_nbytes = np.maximum(self.tok_len - HEADER_TOKENS, 0) * 4
+        if exact_nbytes is not None:
+            en = np.asarray(exact_nbytes, dtype=np.int64)
+            # trust only sane values: within the word-padded window
+            ok = (en >= 0) & (en <= self.payload_nbytes)
+            self.payload_nbytes = np.where(ok, en, self.payload_nbytes)
         self.n = len(self.tok_len)
 
 def gather_bits(pad: np.ndarray, base_bytes: np.ndarray, off_bits: int,

@@ -140,9 +140,14 @@ class OracleDecoder:
             return bin(int(v)).count("1") if v is not None else 0
         return 1
 
-    def decode_row(self, tokens: List[int]) -> Dict[str, Any]:
+    def decode_row(self, tokens: List[int],
+                   payload_nbytes: Optional[int] = None) -> Dict[str, Any]:
         """Full decode of one OK row; returns fields, records, and the
-        flattened reference-style view."""
+        flattened reference-style view.
+
+        ``payload_nbytes``: true body byte length for non-word-aligned
+        sources (hex ingest pads tokens to a word boundary); the reference
+        checks field end_byte against ``len(payload)`` exactly."""
         parsed = self.parse_row(tokens)
         out: Dict[str, Any] = dict(parsed)
         if parsed["error_code"] != ERR_OK:
@@ -151,6 +156,8 @@ class OracleDecoder:
 
         layout = self.compiled[(parsed["msg_type"], parsed["version"])]
         payload = np.asarray(tokens[HEADER_TOKENS:], dtype=np.int32).tobytes()
+        if payload_nbytes is not None and 0 <= payload_nbytes <= len(payload):
+            payload = payload[:payload_nbytes]
 
         fields: Dict[str, Any] = {}
         for s in layout.scalars:

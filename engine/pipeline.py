@@ -145,7 +145,7 @@ def run_hex_job(hex_paths, metadata_path: str, out_dir: str,
     lin_tbl = pa.concat_tables(tables) if tables else stages.LINEAGE_SCHEMA.empty_table()
     d = os.path.join(out_dir, "_lineage", tag)
     os.makedirs(d, exist_ok=True)
-    pq.write_table(lin_tbl, os.path.join(d, "lineage.parquet"))
+    _atomic_pq(lin_tbl, os.path.join(d, "lineage.parquet"))
     return fold_aggregate(out_dir)
 
 
@@ -155,19 +155,31 @@ def compact_sinks(out_dir: str, max_files_per_sink: int = 4) -> Dict[str, int]:
     ``max_files_per_sink`` parquet files is rewritten as one file per
     ``max_files_per_sink`` chunk, atomically (write + rename before
     deleting inputs), as parallel Ray tasks — one task per sink, since
-    sinks are independent."""
+    sinks are independent.
+
+    Re-compaction safety: the output file gets a FRESH generation index
+    (``compacted-{n}.parquet`` with n past every existing one), never a name
+    in the input list — renaming onto an input and then deleting inputs
+    would destroy the sink's data on a second compaction."""
 
     @ray.remote
     def compact_dir(d: str, cap: int) -> int:
+        import re as _re
         import pyarrow.parquet as _pq
         import pyarrow.dataset as _pads
         files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         if len(files) <= cap:
             return 0
+        gen = 1 + max((int(m.group(1)) for m in
+                       (_re.fullmatch(r"compacted-(\d+)\.parquet",
+                                      os.path.basename(f)) for f in files)
+                       if m), default=-1)
         tbl = _pads.dataset(files).to_table()
-        tmp = os.path.join(d, "compacted.parquet.tmp")
+        tmp = os.path.join(d, f"compacted.parquet.tmp.{os.getpid()}")
         _pq.write_table(tbl, tmp, compression="lz4")
-        os.replace(tmp, os.path.join(d, "compacted-0000.parquet"))
+        dest = os.path.join(d, f"compacted-{gen:04d}.parquet")
+        assert dest not in files
+        os.replace(tmp, dest)
         for f in files:
             os.remove(f)
         return len(files)
@@ -179,20 +191,44 @@ def compact_sinks(out_dir: str, max_files_per_sink: int = 4) -> Dict[str, int]:
     return {d: n for d, n in zip(sink_dirs, results) if n}
 
 
-def replay_dead_letters(out_dir: str, replay_tag: str = "replay0",
+def next_replay_tag(out_dir: str) -> str:
+    """Unique per-invocation replay tag (``replay0``, ``replay1``, ...):
+    scanning existing ``_lineage/replay*`` dirs so a second replay never
+    overwrites the first replay's recovered-row lineage."""
+    import re as _re
+    used = [int(m.group(1)) for m in
+            (_re.fullmatch(r"replay(\d+)", os.path.basename(d)) for d in
+             glob.glob(os.path.join(out_dir, "_lineage", "replay*")))
+            if m]
+    return f"replay{max(used, default=-1) + 1}"
+
+
+def _atomic_pq(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def replay_dead_letters(out_dir: str, replay_tag: Optional[str] = None,
                         metadata_path: Optional[str] = None) -> pa.Table:
     """Re-drive the dead-letter sink through the decoder — the recovery
     path after a catalog update adds previously-unknown msg_types/versions
     (the reference's analogue is re-running Step 2 with regenerated
     metadata).  Newly-decodable rows route to their proper sinks under a
-    fresh partition tag; still-bad rows land in the replay's own
-    dead-letter files.  Returns the refreshed aggregate."""
+    fresh partition tag (auto-derived, unique per invocation); still-bad
+    rows land in the replay's own dead-letter files.  Returns the
+    refreshed aggregate."""
+    if replay_tag is None:
+        replay_tag = next_replay_tag(out_dir)
     dl = sorted(glob.glob(os.path.join(out_dir, "dead_letter", "*.parquet")))
     if dl:
         ds = ray.data.read_parquet(dl)
 
         def rerun(t: pa.Table) -> pa.Table:
-            t = t.select(["doc_id", "tokens", "n_tok", "source"])
+            keep = [c for c in ("doc_id", "tokens", "n_tok", "source",
+                                "declared_len", "payload_nbytes")
+                    if c in t.column_names]
+            t = t.select(keep)
             t = stages.parse_batch(t, metadata_path=metadata_path)
             router = stages.DecodeRouter(out_dir, replay_tag,
                                          metadata_path=metadata_path)
@@ -206,16 +242,17 @@ def replay_dead_letters(out_dir: str, replay_tag: str = "replay0",
             os.remove(f)
         d = os.path.join(out_dir, "_lineage", replay_tag)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(lin_tbl, os.path.join(d, "lineage.parquet"))
+        _atomic_pq(lin_tbl, os.path.join(d, "lineage.parquet"))
         # original dead-letter lineage rows are superseded: drop them so the
-        # fold reflects the post-replay state
+        # fold reflects the post-replay state (atomic rewrite — a crash
+        # mid-write must not corrupt live lineage)
         for lf in glob.glob(os.path.join(out_dir, "_lineage", "*", "lineage.parquet")):
-            if replay_tag in lf:
+            if os.path.basename(os.path.dirname(lf)) == replay_tag:
                 continue
             t = pq.read_table(lf)
             kept = t.filter(pc.not_equal(t["sink"], "dead_letter"))
             if kept.num_rows != t.num_rows:
-                pq.write_table(kept, lf)
+                _atomic_pq(kept, lf)
     return fold_aggregate(out_dir)
 
 

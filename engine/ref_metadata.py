@@ -115,9 +115,14 @@ def load_metadata_json(path_or_dict, msg_type: int | None = None
     return out
 
 
-def payload_hex_to_tokens(payload_hex: str, msg_type: int) -> list:
-    """Payload-only hex (reference Step-2 input) -> token row: version word
-    becomes header token [1], remaining bytes become payload words."""
+def payload_hex_to_row(payload_hex: str, msg_type: int) -> Tuple[list, int]:
+    """Payload-only hex (reference Step-2 input) -> ``(token row, true body
+    byte length)``: version word becomes header token [1], remaining bytes
+    become payload words (zero-padded to a word boundary in the token
+    domain).  The second element is ``len(payload) - 4`` EXACTLY — feed it
+    to ``BatchView(exact_nbytes=...)`` / a ``payload_nbytes`` column so
+    validity and record-fit clamps match the reference's available_bytes
+    check on non-word-aligned payloads."""
     import numpy as np
     m = re.search(r"Payload:\s*([0-9A-Fa-f\s\n]+?)(?:\n\n|\Z)", payload_hex,
                   re.IGNORECASE | re.DOTALL)
@@ -127,9 +132,17 @@ def payload_hex_to_tokens(payload_hex: str, msg_type: int) -> list:
     b = bytes.fromhex(re.sub(r"\s+", "", payload_hex))
     version = int.from_bytes(b[0:4], "little") if len(b) >= 4 else 0
     body = b[4:]
+    nbytes = len(body)
     body += bytes((-len(body)) % 4)
     words = np.frombuffer(body, dtype="<i4")
 
     def as_i32(v):
         return v - (1 << 32) if v >= (1 << 31) else v
-    return [as_i32(msg_type), as_i32(version), 0, 0] + [int(w) for w in words]
+    toks = [as_i32(msg_type), as_i32(version), 0, 0] + [int(w) for w in words]
+    return toks, nbytes
+
+
+def payload_hex_to_tokens(payload_hex: str, msg_type: int) -> list:
+    """Token row only — see :func:`payload_hex_to_row` for the exact-length
+    variant used by the decode path."""
+    return payload_hex_to_row(payload_hex, msg_type)[0]

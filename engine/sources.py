@@ -122,7 +122,8 @@ def read_hex_packets(paths):
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
-        doc_ids, toks, n_toks, sources, decls, errs = [], [], [], [], [], []
+        doc_ids, toks, n_toks, sources, decls, errs, nbytes = \
+            [], [], [], [], [], [], []
         for path, data in zip(batch["path"].to_pylist(),
                               batch["bytes"].to_pylist()):
             stem = os.path.splitext(os.path.basename(path))[0]
@@ -135,16 +136,22 @@ def read_hex_packets(paths):
                 decls.append(p.get("declared"))
                 if p["error"] in (INGEST_OK, INGEST_LENGTH_MISMATCH):
                     row = packet_to_tokens(p["header"], p["payload"])
+                    # TRUE body byte length (after the 4-byte version word):
+                    # the token row zero-pads to a word boundary, so the
+                    # decoder must clamp validity/fits on this, not n_tok
+                    nb = max(len(p["payload"]) - 4, 0)
                 else:
-                    row = []
+                    row, nb = [], 0
                 toks.append(row)
                 n_toks.append(len(row))
+                nbytes.append(nb)
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.string()),
             "tokens": pa.array(toks, type=pa.list_(pa.int32())),
             "n_tok": pa.array(n_toks, type=pa.int32()),
             "source": pa.array(sources, type=pa.string()),
             "declared_len": pa.array(decls, type=pa.int64()),
+            "payload_nbytes": pa.array(nbytes, type=pa.int32()),
             "ingest_error": pa.array(errs, type=pa.int8()),
         })
 

@@ -59,12 +59,8 @@ def _pin_arrow_threads() -> bool:
 
 
 @functools.lru_cache(maxsize=8)
-def shared_decoder(metadata_path: Optional[str] = None) -> Decoder:
-    """Per-worker-process compiled catalog (cheap, deterministic).
-
-    With ``metadata_path``, the catalog is loaded from a REFERENCE-format
-    metadata JSON (engine.ref_metadata) instead of the synthetic catalog —
-    the migration path for users carrying their own Step-1 metadata files."""
+def _shared_decoder_cached(metadata_path: Optional[str],
+                           fingerprint) -> Decoder:
     _pin_arrow_threads()
     if metadata_path:
         from engine.ref_metadata import load_metadata_json
@@ -72,16 +68,47 @@ def shared_decoder(metadata_path: Optional[str] = None) -> Decoder:
     return Decoder()
 
 
+def shared_decoder(metadata_path: Optional[str] = None) -> Decoder:
+    """Per-worker-process compiled catalog (cheap, deterministic).
+
+    With ``metadata_path``, the catalog is loaded from a REFERENCE-format
+    metadata JSON (engine.ref_metadata) instead of the synthetic catalog —
+    the migration path for users carrying their own Step-1 metadata files.
+    The cache key includes the file's (mtime_ns, size) fingerprint: Ray
+    reuses worker processes across executions, so a regenerated metadata
+    file at the same path must NOT hit a stale compiled catalog."""
+    fp = None
+    if metadata_path:
+        try:
+            st = os.stat(metadata_path)
+            fp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            fp = None
+    return _shared_decoder_cached(metadata_path, fp)
+
+
 # ---------------------------------------------------------------------------
 # Parse stage (stateless tasks; M1-M5 vectorized)
 # ---------------------------------------------------------------------------
+
+def batch_view(t: pa.Table) -> BatchView:
+    """BatchView over a batch's tokens, honoring an exact ``payload_nbytes``
+    column when the source provides one (hex ingest: payloads are padded to
+    word boundary in the token domain; validity must use true byte length)."""
+    import pyarrow.compute as pc
+    exact = None
+    if "payload_nbytes" in t.column_names:
+        exact = pc.fill_null(t["payload_nbytes"], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    return BatchView(t["tokens"], exact_nbytes=exact)
+
 
 def parse_batch(t: pa.Table, metadata_path: Optional[str] = None) -> pa.Table:
     """Header extract + validation as envelope columns (no exceptions —
     error-status columns per SURVEY 1.4 instead of models/errors.py)."""
     from engine.oracle import ERR_TOO_SHORT_HEADER
     t = t.combine_chunks()
-    view = BatchView(t["tokens"])
+    view = batch_view(t)
     cls = shared_decoder(metadata_path).classify(view)
     no_hdr = cls["error_code"] == ERR_TOO_SHORT_HEADER
     for name in ENVELOPE_PARSE_COLS:
@@ -149,7 +176,7 @@ def enrich_stage(ds, source_meta_ref, batch_size: int = 65536, concurrency=(1, 3
 ENVELOPE_SINK_COLS = ["doc_id", "source", "site", "hw_rev", "priority",
                       "version", "seq", "ts", "n_tok", "tokens"]
 DEAD_LETTER_COLS = ["doc_id", "source", "n_tok", "tokens", "msg_type",
-                    "version", "error_code"]
+                    "version", "error_code", "declared_len", "payload_nbytes"]
 
 LINEAGE_SCHEMA = pa.schema([
     ("part", pa.string()), ("sink", pa.string()), ("msg_type", pa.int32()),
@@ -218,7 +245,7 @@ class DecodeRouter:
     def __call__(self, t: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         t = t.combine_chunks()
-        view = BatchView(t["tokens"])
+        view = batch_view(t)
         err = t["error_code"].to_numpy()
         out_lineage = []
 
@@ -299,9 +326,16 @@ class _FusedState:
 
     @classmethod
     def get(cls, out_dir: str, part_tag: str, source_meta_ref) -> "_FusedState":
-        key = (out_dir, part_tag)
+        # key includes the broadcast side-table's identity: worker processes
+        # outlive executions, so a re-run to the same out_dir/tag with a
+        # CHANGED source_meta table must rebuild, not reuse stale maps
+        ref_key = (source_meta_ref.hex()
+                   if isinstance(source_meta_ref, ray.ObjectRef)
+                   else id(source_meta_ref))
+        key = (out_dir, part_tag, ref_key)
         st = cls._cache.get(key)
         if st is None:
+            cls._cache.clear()  # bounded: one live state per worker
             st = cls._cache[key] = cls(out_dir, part_tag, source_meta_ref)
         return st
 

@@ -115,3 +115,69 @@ def test_salted_aggregate_equals_plain(ray_session, sf_small):
     got = {(r.source, r.msg_type): (int(r.n_rows), int(r.sum_n_tok))
            for r in a.itertuples()}
     assert got == want
+
+
+def test_hex_exact_payload_length_semantics(ray_session, tmp_path):
+    """Non-word-aligned hex payload: the token row is zero-padded to a word
+    boundary, but validity/fits must use the TRUE byte length (reference
+    metadata_payload_parser available_bytes).  Regression: a trailing field
+    inside the pad decoded as 0 instead of null, and the record clamp
+    admitted one extra record."""
+    from engine.pipeline import run_hex_job
+    md = {
+        "logcode_id": "0x7A7A", "logcode_name": "PadTest",
+        "version_offset": 0, "version_length": 32,
+        "versions": {"1": {"table_name": "9-0", "fields": [
+            {"name": "A", "type_name": "Uint8", "offset_bytes": 0,
+             "offset_bits": 0, "length_bits": 8, "count": None,
+             "enum_mappings": None},
+            {"name": "Tail", "type_name": "Uint16", "offset_bytes": 4,
+             "offset_bits": 0, "length_bits": 16, "count": None,
+             "enum_mappings": None},
+            {"name": "Recs", "type_name": "Table 9-1", "offset_bytes": 1,
+             "offset_bits": 0, "length_bits": 0, "count": 3,
+             "enum_mappings": None},
+        ]}},
+        "all_tables": {"9-1": {"fields": [
+            {"name": "V", "type_name": "Uint16", "offset_bytes": 0,
+             "offset_bits": 0, "length_bits": 16, "count": None,
+             "enum_mappings": None},
+        ]}},
+    }
+    mdp = str(tmp_path / "pad_metadata.json")
+    with open(mdp, "w") as f:
+        json.dump(md, f)
+    # payload = 4-byte version word + 5 body bytes (NOT word-aligned):
+    # Tail needs body bytes [4:6] -> only byte 4 exists -> null;
+    # Recs (2-byte records from offset 1): fits = (5-1)//2 = 2, not
+    # (8-1)//2 = 3 under the padded length
+    hexfile = tmp_path / "pad.hex"
+    hexfile.write_text(
+        "Length: 21\n"
+        "Header: 15 00 7A 7A 01 00 00 00 02 00 00 00\n"
+        "Payload:\n01 00 00 00 AA BB CC DD EE\n")
+
+    # ingestion carries the exact body length
+    ds = sources.read_hex_packets([str(hexfile)])
+    row = ds.take_all()[0]
+    assert row["payload_nbytes"] == 5
+    assert row["n_tok"] == 6  # 4 header tokens + 2 padded words
+
+    out = str(tmp_path / "padjob")
+    run_hex_job([str(hexfile)], mdp, out)
+    sink = pads.dataset(glob.glob(f"{out}/msg_type=0x7A7A/version=1/*.parquet"))
+    r = sink.to_table().to_pylist()[0]
+    assert r["A"] == 0xAA
+    assert r["Tail"] is None
+    assert len(r["Recs"]) == 2
+    assert [x["V"] for x in r["Recs"]] == [0xCCBB, 0xEEDD]
+
+    # scalar oracle agrees field-for-field under the same exact length
+    from engine.ref_metadata import load_metadata_json, payload_hex_to_row
+    o = OracleDecoder(load_metadata_json(mdp))
+    toks, nb = payload_hex_to_row(hexfile.read_text(), 0x7A7A)
+    assert nb == 5
+    res = o.decode_row(toks, payload_nbytes=nb)
+    assert res["fields"]["A"] == 0xAA and res["fields"]["Tail"] is None
+    assert len(res["records"]["Recs"]) == 2
+    assert [x["V"] for x in res["records"]["Recs"]] == [0xCCBB, 0xEEDD]
