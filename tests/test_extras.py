@@ -120,3 +120,111 @@ def test_dedup_clusters_transitive(ray_session, tmp_path):
     assert rows[777001]["cluster_id"] == rows[orig]["cluster_id"]
     assert rows[777002]["cluster_id"] == rows[orig]["cluster_id"]
     assert rows[777001]["survivor"] is False
+
+
+def test_minhash_hot_bucket_bounded(ray_session, tmp_path):
+    """10k identical docs (one hot LSH bucket) must finish in bounded time
+    with O(k) star pairs, not O(k^2) all-pairs — the exact-collapse +
+    bucket-cap scale guarantee."""
+    import time
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    boiler = src.slice(0, 1).to_pydict()
+    k = 10_000
+    flood = {c: boiler[c] * k for c in boiler}
+    flood["doc_id"] = list(range(5_000_000, 5_000_000 + k))
+    aug = pa.concat_tables([src, pa.table(flood, schema=src.schema)])
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_dedup_minhash_lsh
+    t0 = time.monotonic()
+    t = q_dedup_minhash_lsh(str(d))
+    wall = time.monotonic() - t0
+    orig = src["doc_id"][0].as_py()
+    # star: every flood doc pairs with the group's min id (the original)
+    flood_pairs = [(a, b) for a, b in zip(t["doc_a"].to_pylist(),
+                                          t["doc_b"].to_pylist())
+                   if b >= 5_000_000 or a >= 5_000_000]
+    assert len(flood_pairs) == k  # k star edges (orig + k dups), not ~k^2/2
+    assert all(a == orig for a, _ in flood_pairs)
+    jm = dict(zip(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()),
+                  t["jaccard_milli"].to_pylist()))
+    assert jm[(orig, 5_000_000)] == 1000
+    assert wall < 120, f"hot bucket took {wall:.1f}s"
+
+
+def test_minhash_finds_planted_near_duplicate(ray_session, tmp_path):
+    """A doc sharing most of its words with an original (true Jaccard ~0.8)
+    must surface via the signature estimate."""
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    row = src.slice(0, 1).to_pydict()
+    words = row["text"][0].split()
+    assert len(words) >= 20
+    near = dict(row)
+    near["doc_id"] = [444444]
+    near["text"] = [" ".join(words[:-2] + ["zzz", "qqq"])]  # perturb the tail
+    aug = pa.concat_tables([src, pa.table(near, schema=src.schema)])
+    d = tmp_path / "near"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_dedup_minhash_lsh, _word_shingles
+    sa = _word_shingles(row["text"][0])
+    sb = _word_shingles(near["text"][0])
+    true_j = len(sa & sb) / len(sa | sb)
+    assert true_j >= 0.6  # the plant really is a near dup
+    t = q_dedup_minhash_lsh(str(d))
+    pairs = {(a, b): j for a, b, j in zip(
+        t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+        t["jaccard_milli"].to_pylist())}
+    orig = src["doc_id"][0].as_py()
+    assert (orig, 444444) in pairs
+    assert abs(pairs[(orig, 444444)] / 1000 - true_j) < 0.25  # 64-perm noise
+
+
+def test_verify_pairs_exact_refines(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    dup = src.slice(0, 1).to_pydict()
+    dup["doc_id"] = [999999]
+    aug = pa.concat_tables([src, pa.table(dup, schema=src.schema)])
+    d = tmp_path / "vx"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_dedup_minhash_lsh, verify_pairs_exact
+    pairs = q_dedup_minhash_lsh(str(d))
+    refined = verify_pairs_exact(str(d), pairs)
+    ex = dict(zip(zip(refined["doc_a"].to_pylist(), refined["doc_b"].to_pylist()),
+                  refined["jaccard_exact_milli"].to_pylist()))
+    orig = src["doc_id"][0].as_py()
+    assert ex[(orig, 999999)] == 1000
+
+
+def test_ngram_jaccard_skewed_group_bounded(ray_session, tmp_path):
+    """One dominant (source, lang) group (2k same-length docs) must stay
+    bounded via length-banding + the bucket cap (star fallback), and still
+    find a planted near-identical pair."""
+    import time
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.slice(0, 1).to_pydict()
+    words = base["text"][0].split()
+    k = 2000
+    flood = {c: base[c] * k for c in base}
+    flood["doc_id"] = list(range(6_000_000, 6_000_000 + k))
+    # same source/lang/length but mostly-distinct content
+    flood["text"] = [" ".join(f"w{i}x{j}" for j in range(len(words)))
+                     for i in range(k)]
+    flood["text"][1] = flood["text"][0]  # one planted identical pair
+    aug = pa.concat_tables([src, pa.table(flood, schema=src.schema)])
+    d = tmp_path / "skewg"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_ngram_jaccard_pairs
+    t0 = time.monotonic()
+    t = q_ngram_jaccard_pairs(str(d))
+    wall = time.monotonic() - t0
+    pairs = set(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+    assert (6_000_000, 6_000_001) in pairs
+    assert wall < 120, f"skewed group took {wall:.1f}s"
