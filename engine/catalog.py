@@ -264,6 +264,22 @@ def build_catalog() -> Dict[int, LogcodeDef]:
         },
     )
 
+    # --- 0x7F01 DeviceInfo: String-typed field (M12) -----------------------
+    # String semantics per utils/type_converters.py:114-141: fixed byte
+    # window (length_bits/8), clamped to the payload end, cut at the first
+    # NUL, utf-8 decoded with raw-hex fallback.
+    cat[0x7F01] = LogcodeDef(
+        0x7F01, "DeviceInfo",
+        version_map={1: "14-1"},
+        tables={
+            "14-1": [
+                _f("Sensor Name", "String", 0, length_bits=96),  # 12 bytes
+                _f("Reading", "Int16", 12),
+                _f("Scale", "Uint8", 14),
+            ],
+        },
+    )
+
     # --- 0x5C01..0x5C04 GenericEvent family: widen the catalog -------------
     for i, (tname, fields) in enumerate([
         ("12-1", [_f("Kind", "Uint8", 0), _f("Value", "Int32", 1), _f("Scale", "Float32", 5)]),

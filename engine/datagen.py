@@ -192,6 +192,20 @@ def generate_sequences(n_rows: int, seed: int, out_dir: str, num_files: int = 8)
         parts.append(_stratum(rng, frac(0.064 / 32), mt, 1, max(1, wds),
                               gs_setter if enum_offs else None))
 
+    # ---- 0x7F01 DeviceInfo: String-typed field (M12) ----------------------
+    # names are NUL-padded into the fixed 12-byte window; one pool entry is
+    # exactly 12 bytes (no terminator -> full-window cut)
+    _NAMES = ["TEMP_CORE", "FAN_MAIN", "VOLT_RAIL3", "AMBIENT", "GPU_DIE",
+              "PSU", "NVME_CTRL", "BATTERY_PACK"]
+    _NAME_M = np.zeros((len(_NAMES), 12), dtype=np.uint8)
+    for _i, _nm in enumerate(_NAMES):
+        _NAME_M[_i, :len(_nm)] = np.frombuffer(_nm.encode(), dtype=np.uint8)
+
+    def devinfo_setter(u8, rng, n):
+        idx = rng.integers(0, len(_NAMES), size=n)
+        u8[:, 0:12] = _NAME_M[idx]
+    parts.append(_stratum(rng, frac(0.02), 0x7F01, 1, 4, devinfo_setter))
+
     # ---- dead-letter strata -----------------------------------------------
     parts.append(_stratum(rng, frac(0.008), 0xDEAD, 1, 3))          # unknown type
     parts.append(_stratum(rng, frac(0.005), 0x2001, 99, 2))         # unknown version

@@ -47,7 +47,8 @@ def ensure_fixtures(sf: str = "sf0.01", num_files: int = 0) -> str:
     num_files = num_files or NUM_FILES.get(sf, 8)
     root = fixture_root(sf)
     marker = os.path.join(root, "_SUCCESS.json")
-    want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 2}
+    # v3: catalog gained 0x7F01 DeviceInfo (String field, M12) + its stratum
+    want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 3}
     if os.path.exists(marker):
         try:
             with open(marker) as f:

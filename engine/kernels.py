@@ -119,6 +119,31 @@ def gather_bits(pad: np.ndarray, base_bytes: np.ndarray, off_bits: int,
     return v
 
 
+def _decode_string_field(pad: np.ndarray, start: np.ndarray, end: np.ndarray,
+                         length_bytes: int) -> pa.Array:
+    """Vectorized-window String decode (utils/type_converters.py:114-141).
+
+    ``start``: absolute byte start per row; ``end``: absolute payload end
+    per row.  Semantics match the reference exactly: the fixed window is
+    clamped to the payload end, cut at the first NUL, utf-8 decoded with a
+    raw-hex fallback.  The byte windows gather in one strided numpy op;
+    only the (short, bounded) per-row decode is Python."""
+    avail = np.clip(end - start, 0, length_bytes)
+    safe = np.clip(start, 0, max(pad.size - length_bytes, 0))
+    W = pad[safe[:, None] + np.arange(max(length_bytes, 1))]
+    out = []
+    for i in range(len(start)):
+        rb = W[i, :avail[i]].tobytes()
+        nul = rb.find(b"\x00")
+        if nul != -1:
+            rb = rb[:nul]
+        try:
+            out.append(rb.decode("utf-8"))
+        except UnicodeDecodeError:
+            out.append(rb.hex())
+    return pa.array(out, type=pa.string())
+
+
 def _convert(raw: np.ndarray, type_name: str, length_bits: int):
     """Vectorized type conversion -> (numpy values, arrow type)."""
     if type_name.startswith("Int"):
@@ -229,6 +254,13 @@ class Decoder:
         scal_valid: Dict[str, np.ndarray] = {}
 
         for s in layout.scalars:
+            if s.type_name == "String":
+                # byte-aligned fixed window; clamps itself to the payload
+                # end, so no validity mask (reference returns '' not null)
+                cols[s.name] = _decode_string_field(
+                    view.pad, base + s.abs_off_bits // 8, base + nbytes,
+                    s.length_bits // 8)
+                continue
             end_byte = (s.abs_off_bits + s.length_bits + 7) // 8
             valid = nbytes >= end_byte
             raw = gather_bits(view.pad, base.copy(), s.abs_off_bits, s.length_bits)
@@ -284,6 +316,12 @@ class Decoder:
         names: List[str] = []
         raw_np: Dict[str, np.ndarray] = {}
         for f in rec.fields:
+            if f.type_name == "String":
+                children.append(_decode_string_field(
+                    view.pad, rec_base + f.abs_off_bits // 8,
+                    base[row_idx] + nbytes[row_idx], f.length_bits // 8))
+                names.append(f.name)
+                continue
             raw = gather_bits(view.pad, rec_base.copy(), f.abs_off_bits, f.length_bits)
             vals, patype = _convert(raw, f.type_name, f.length_bits)
             raw_np[f.name] = raw

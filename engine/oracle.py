@@ -115,6 +115,20 @@ class OracleDecoder:
 
     # -- decode -------------------------------------------------------------
     def _decode_scalar(self, payload: bytes, s: ScalarSpec, extra_off_bits: int = 0):
+        if s.type_name == "String":
+            # exact decode_string semantics (utils/type_converters.py:114-141)
+            off = (s.abs_off_bits + extra_off_bits) // 8
+            length = s.length_bits // 8
+            if off + length > len(payload):
+                length = len(payload) - off
+            rb = payload[off:off + length] if length > 0 else b""
+            nul = rb.find(b"\x00")
+            if nul != -1:
+                rb = rb[:nul]
+            try:
+                return rb.decode("utf-8"), None
+            except UnicodeDecodeError:
+                return rb.hex(), None
         raw = extract_bits(payload, s.abs_off_bits + extra_off_bits, s.length_bits)
         if raw is None:
             return None, None

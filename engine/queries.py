@@ -275,6 +275,39 @@ FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=14865 AND tokens[2]=1
 """
 
 
+def _string_col(name):
+    def b(cols, rows):
+        if not rows.size:
+            return pa.array([], type=pa.string())
+        return cols[name]
+    return b
+
+
+q_decode_device_info = _decode_query(0x7F01, 1, [
+    ("sensor_name", _string_col("Sensor Name")),
+    ("reading", _col("Reading")), ("scale", _col("Scale")),
+])
+
+
+def _sql_cstring(off: int, nbytes: int) -> str:
+    """Rebuild a fixed-window NUL-terminated ASCII string from payload
+    bytes: stop at the first NUL or the payload end (the reference's
+    decode_string clamp, utils/type_converters.py:126-135)."""
+    expr = "''"
+    for k in reversed(range(nbytes)):
+        b = (f"(CASE WHEN (n_tok-4)*4 > ({off}+{k}) "
+             f"THEN {_sql_byte(f'({off})+{k}')} ELSE 0 END)")
+        expr = f"(CASE WHEN {b} = 0 THEN '' ELSE chr(({b})::INT) || {expr} END)"
+    return expr
+
+
+SQL_DECODE_DEVICE_INFO = f"""
+SELECT doc_id, {_sql_cstring(0, 12)} AS sensor_name,
+  {_sql_field(12, 2, signed=True)} AS reading, {_sql_field(14, 1)} AS scale
+FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=32513 AND tokens[2]=1
+"""
+
+
 def _bool_col(name):
     def b(cols, rows):
         if not rows.size:
@@ -622,6 +655,7 @@ def q_distinct_source_lang(sf_dir: str):
 
 SQL_DISTINCT_SOURCE_LANG = "SELECT DISTINCT source, lang FROM documents"
 
+from engine import streaming as _streaming  # noqa: E402  (after helpers)
 
 QUERIES = {
     "parse_header": q_parse_header,
@@ -634,12 +668,13 @@ QUERIES = {
     "decode_thermal": q_decode_thermal,
     "decode_rf_bits": q_decode_rf_bits,
     "decode_b888_records": q_decode_b888_records,
+    "decode_device_info": q_decode_device_info,
     "lineitem_agg": q_lineitem_agg,
     "top10_orders": q_top10_orders,
     "customers_per_region": q_customers_per_region,
     "events_by_type_hour": q_events_by_type_hour,
     "user_sessions": q_user_sessions,
-    "tumbling_window_actors": __import__("engine.streaming", fromlist=["t"]).tumbling_window_counts,
+    "tumbling_window_actors": _streaming.tumbling_window_counts,
     "order_revenue_native_join": q_order_revenue_native_join,
     "order_revenue_bucketed_join": q_order_revenue_bucketed_join,
     "distinct_source_lang": q_distinct_source_lang,
@@ -656,12 +691,13 @@ ORACLE_SQL = {
     "decode_thermal": SQL_DECODE_THERMAL,
     "decode_rf_bits": SQL_DECODE_RF,
     "decode_b888_records": SQL_B888_RECORDS,
+    "decode_device_info": SQL_DECODE_DEVICE_INFO,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "top10_orders": SQL_TOP10_ORDERS,
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
     "events_by_type_hour": SQL_EVENTS_BY_TYPE_HOUR,
     "user_sessions": SQL_USER_SESSIONS,
-    "tumbling_window_actors": __import__("engine.streaming", fromlist=["t"]).SQL_TUMBLING_WINDOW,
+    "tumbling_window_actors": _streaming.SQL_TUMBLING_WINDOW,
     "order_revenue_native_join": SQL_ORDER_REVENUE,
     "order_revenue_bucketed_join": SQL_ORDER_REVENUE,
     "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,

@@ -212,3 +212,49 @@ def test_large_u32_version_grouping():
     assert (mt, ver) == (0x1234, big_ver)
     cols = dec.decode_group(view, rows, dec.compiled[(mt, ver)])
     assert cols["A"].to_pylist() == [0xBEEF]
+
+
+def test_string_decode_semantics_match_reference():
+    """M12 String decode (utils/type_converters.py:114-141): NUL cut,
+    payload-end clamp, utf-8 with raw-hex fallback, full-window no-NUL —
+    vectorized kernels vs scalar oracle on each edge."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.catalog import CompiledLayout, ScalarSpec
+    from engine.kernels import BatchView, Decoder
+    from engine.oracle import OracleDecoder
+
+    layout = CompiledLayout(
+        msg_type=0x7F02, msg_name="StrTest", version=1, table_name="t",
+        scalars=[ScalarSpec("S", "String", 0, 64),        # 8-byte window
+                 ScalarSpec("After", "Uint8", 64, 8)],
+        records=[], count_source=None, has_bler=False)
+    compiled = {(0x7F02, 1): layout}
+
+    def row(payload: bytes):
+        body = payload + bytes((-len(payload)) % 4)
+        words = np.frombuffer(body, dtype="<i4")
+        return [0x7F02, 1, 0, 0] + [int(w) for w in words]
+
+    cases = [
+        (b"ABC\x00XYZW" + b"\x07", "ABC"),          # NUL cut
+        (b"ABCDEFGH" + b"\x07", "ABCDEFGH"),        # full window, no NUL
+        (b"AB", "AB"),                              # payload ends mid-window
+        (b"\xff\xfeZZ\x00abc" + b"\x07", "fffe5a5a"),  # invalid utf-8 -> hex
+        (b"", ""),                                  # empty payload
+    ]
+    toks = [row(p) for p, _ in cases]
+    o = OracleDecoder(compiled)
+    for tk, (p, want) in zip(toks, cases):
+        got = o.decode_row(tk, payload_nbytes=len(p))["fields"]["S"]
+        assert got == want, (p, got, want)
+
+    lens = [len(t) for t in toks]
+    flat = np.concatenate([np.asarray(t, dtype=np.int32) for t in toks])
+    offs = np.zeros(len(toks) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    arr = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, type=pa.int32()))
+    view = BatchView(arr, exact_nbytes=np.array([len(p) for p, _ in cases]))
+    dec = Decoder(compiled)
+    cols = dec.decode_group(view, np.arange(len(toks)), layout)
+    assert cols["S"].to_pylist() == [w for _, w in cases]
