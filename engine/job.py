@@ -56,12 +56,17 @@ def main(argv=None) -> int:
     r.add_argument("--actor-stages", action="store_true",
                    help="use the 3-stage actor-pool pipeline instead of the fused stage")
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--version-fallback", action="store_true",
+                   help="decode unknown versions of known logcodes with the "
+                        "logcode's first table (reference CLI-path semantics, "
+                        "version_resolver.py:46-50) instead of dead-lettering")
 
     h = sub.add_parser("run-hex", help="decode reference hex files with a "
                        "reference metadata JSON (migration path)")
     h.add_argument("--input", required=True, nargs="+", help="hex text file(s)")
     h.add_argument("--metadata", required=True, help="reference metadata JSON")
     h.add_argument("--out", required=True)
+    h.add_argument("--version-fallback", action="store_true")
 
     cp = sub.add_parser("compact", help="compact small per-sink files")
     cp.add_argument("--out", required=True)
@@ -70,6 +75,7 @@ def main(argv=None) -> int:
     rp = sub.add_parser("replay", help="re-drive dead letters after a catalog update")
     rp.add_argument("--out", required=True)
     rp.add_argument("--metadata", default=None, help="reference metadata JSON")
+    rp.add_argument("--version-fallback", action="store_true")
 
     a = sub.add_parser("agg", help="re-fold aggregate from lineage")
     a.add_argument("--out", required=True)
@@ -102,7 +108,8 @@ def main(argv=None) -> int:
                       num_partitions=args.partitions, batch_size=args.batch_size,
                       resume=not args.no_resume,
                       use_actor_stages=args.actor_stages,
-                      target_num_blocks=args.target_num_blocks)
+                      target_num_blocks=args.target_num_blocks,
+                      version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows,
                           "wall_s": round(time.monotonic() - t0, 3)}))
         ray.shutdown()
@@ -111,7 +118,8 @@ def main(argv=None) -> int:
     if args.cmd == "run-hex":
         ray = _ensure_ray(args.num_cpus)
         from engine.pipeline import run_hex_job
-        agg = run_hex_job(args.input, args.metadata, args.out)
+        agg = run_hex_job(args.input, args.metadata, args.out,
+                          version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
         ray.shutdown()
         return 0
@@ -126,7 +134,8 @@ def main(argv=None) -> int:
     if args.cmd == "replay":
         ray = _ensure_ray(args.num_cpus)
         from engine.pipeline import replay_dead_letters
-        agg = replay_dead_letters(args.out, metadata_path=args.metadata)
+        agg = replay_dead_letters(args.out, metadata_path=args.metadata,
+                                  version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
         ray.shutdown()
         return 0

@@ -219,11 +219,24 @@ class Decoder:
     compiled layout lists.
     """
 
-    def __init__(self, compiled: Optional[Dict[Tuple[int, int], CompiledLayout]] = None):
+    def __init__(self, compiled: Optional[Dict[Tuple[int, int], CompiledLayout]] = None,
+                 version_fallback: bool = False):
+        """``version_fallback=True`` enables the reference CLI-path
+        semantics (decoder/version_resolver.py:46-50): an unknown version
+        of a KNOWN logcode resolves to the logcode's first available table
+        instead of dead-lettering with error 3.  The default is the strict
+        metadata-path behavior (metadata_payload_parser.py:80-85)."""
         self.compiled = compiled or compile_catalog()
+        self.version_fallback = version_fallback
         self.known_types = np.array(sorted({mt for mt, _ in self.compiled}), dtype=np.int64)
         self.known_keys = np.array(sorted((mt << 32) | (v & 0xFFFFFFFF)
                                           for mt, v in self.compiled), dtype=np.uint64)
+        first: Dict[int, int] = {}
+        for mt, v in self.compiled:  # insertion order = catalog/version order
+            first.setdefault(mt, v)
+        self._fb_types = self.known_types
+        self._fb_vers = np.array([first[int(mt)] for mt in self.known_types],
+                                 dtype=np.int64)
 
     # -- error classification ----------------------------------------------
     def classify(self, view: BatchView) -> Dict[str, np.ndarray]:
@@ -237,8 +250,16 @@ class Decoder:
         err[~known_v] = ERR_UNKNOWN_VERSION
         err[~known_t] = ERR_UNKNOWN_MSG_TYPE
         err[~h["has_hdr"]] = ERR_TOO_SHORT_HEADER
+        layout_ver = ver.copy()
+        if self.version_fallback:
+            fb = (err == ERR_UNKNOWN_VERSION)
+            if fb.any():
+                idx = np.searchsorted(self._fb_types, mt[fb])
+                layout_ver[fb] = self._fb_vers[np.clip(idx, 0, len(self._fb_vers) - 1)]
+                err[fb] = ERR_OK
         return {"msg_type": h["msg_type"], "version": h["version"],
-                "seq": h["seq"], "ts": h["ts"], "error_code": err}
+                "seq": h["seq"], "ts": h["ts"], "error_code": err,
+                "layout_version": layout_ver.astype(np.int32)}
 
     # -- scalar + record decode for one homogeneous group -------------------
     def decode_group(self, view: BatchView, rows: np.ndarray,
@@ -390,12 +411,14 @@ class Decoder:
 def group_rows_by_layout(decoder: Decoder, cls: Dict[str, np.ndarray]):
     """Yield (msg_type, version, row_indices) for OK rows, grouped.
 
+    Grouping uses ``layout_version`` when present (the fallback-resolved
+    decode table); the envelope's raw ``version`` column is untouched.
     Keys pack (msg_type, version) into 64 bits with the version as a full
     unsigned 32-bit field — reference metadata uses u32 version words
     (e.g. 65537 = 0x00010001), so 20-bit packing would collide."""
     ok = cls["error_code"] == ERR_OK
     mt = cls["msg_type"].astype(np.int64)
-    ver = cls["version"].astype(np.int64)
+    ver = cls.get("layout_version", cls["version"]).astype(np.int64)
     keys = (mt.astype(np.uint64) << _U64(32)) | (ver.astype(np.uint64) & _U64(0xFFFFFFFF))
     keys = np.where(ok, keys, _U64(0xFFFFFFFFFFFFFFFF))
     order = np.argsort(keys, kind="stable")

@@ -83,7 +83,8 @@ def default_num_blocks(files: Optional[Sequence[str]] = None) -> int:
 def run_partition(files: Sequence[str], out_dir: str, tag: str,
                   source_meta_ref, batch_size: int = 65536,
                   concurrency=(1, 32), use_actor_stages: bool = False,
-                  target_num_blocks: Optional[int] = None) -> None:
+                  target_num_blocks: Optional[int] = None,
+                  version_fallback: bool = False) -> None:
     """One streaming execution over this partition's files.
 
     Uses the fused parse+enrich+decode+route stage (see stages._FusedState
@@ -97,7 +98,8 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
         lin = stages.decode_route_stage(ds, out_dir, part_tag=tag,
                                         batch_size=batch_size, concurrency=concurrency)
     else:
-        lin = stages.fused_stage(ds, out_dir, tag, source_meta_ref)
+        lin = stages.fused_stage(ds, out_dir, tag, source_meta_ref,
+                                 version_fallback=version_fallback)
     # lineage is tiny (one row per sink x source x batch): collect it on the
     # driver and write ONE file — no Ray Write operator on the hot path
     refs = lin.to_arrow_refs()
@@ -122,7 +124,7 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
 
 
 def run_hex_job(hex_paths, metadata_path: str, out_dir: str,
-                tag: str = "p0000") -> pa.Table:
+                tag: str = "p0000", version_fallback: bool = False) -> pa.Table:
     """Migration path: the reference's raw inputs, end-to-end on Ray.
 
     ``Length:/Header:/Payload:`` hex text files + a REFERENCE-format
@@ -136,8 +138,10 @@ def run_hex_job(hex_paths, metadata_path: str, out_dir: str,
     ds = sources.read_hex_packets(hex_paths)
 
     def run(t: pa.Table) -> pa.Table:
-        t = stages.parse_batch(t, metadata_path=metadata_path)
-        router = stages.DecodeRouter(out_dir, tag, metadata_path=metadata_path)
+        t = stages.parse_batch(t, metadata_path=metadata_path,
+                               version_fallback=version_fallback)
+        router = stages.DecodeRouter(out_dir, tag, metadata_path=metadata_path,
+                                     version_fallback=version_fallback)
         return router(t)
 
     lin = ds.map_batches(run, batch_format="pyarrow", batch_size=None)
@@ -210,7 +214,8 @@ def _atomic_pq(table: pa.Table, path: str) -> None:
 
 
 def replay_dead_letters(out_dir: str, replay_tag: Optional[str] = None,
-                        metadata_path: Optional[str] = None) -> pa.Table:
+                        metadata_path: Optional[str] = None,
+                        version_fallback: bool = False) -> pa.Table:
     """Re-drive the dead-letter sink through the decoder — the recovery
     path after a catalog update adds previously-unknown msg_types/versions
     (the reference's analogue is re-running Step 2 with regenerated
@@ -229,9 +234,11 @@ def replay_dead_letters(out_dir: str, replay_tag: Optional[str] = None,
                                 "declared_len", "payload_nbytes")
                     if c in t.column_names]
             t = t.select(keep)
-            t = stages.parse_batch(t, metadata_path=metadata_path)
+            t = stages.parse_batch(t, metadata_path=metadata_path,
+                                   version_fallback=version_fallback)
             router = stages.DecodeRouter(out_dir, replay_tag,
-                                         metadata_path=metadata_path)
+                                         metadata_path=metadata_path,
+                                         version_fallback=version_fallback)
             return router(t)
 
         lin = ds.map_batches(rerun, batch_format="pyarrow", batch_size=None)
@@ -282,7 +289,8 @@ def run_job(input_dir: str, out_dir: str, source_meta_path: str,
             num_partitions: int = 1, batch_size: int = 65536,
             concurrency=(1, 32), resume: bool = True, use_actor_stages: bool = False,
             target_num_blocks: Optional[int] = None,
-            fail_after_partitions: Optional[int] = None) -> pa.Table:
+            fail_after_partitions: Optional[int] = None,
+            version_fallback: bool = False) -> pa.Table:
     """Full resumable job.  ``fail_after_partitions`` injects a mid-pipeline
     crash after N completed partitions (for the resume test)."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
@@ -304,7 +312,8 @@ def run_job(input_dir: str, out_dir: str, source_meta_path: str,
         run_partition(pfiles, out_dir, tag, source_meta_ref,
                       batch_size=batch_size, concurrency=concurrency,
                       use_actor_stages=use_actor_stages,
-                      target_num_blocks=target_num_blocks)
+                      target_num_blocks=target_num_blocks,
+                      version_fallback=version_fallback)
         man = {"part": tag, "files": pfiles, "completed": True,
                "wall_s": round(time.monotonic() - t0, 3)}
         tmp = man_path + ".tmp"

@@ -89,7 +89,7 @@ def _sql_field(off: int, nbytes: int, signed: bool = False) -> str:
     return f"(CASE WHEN (n_tok-4)*4 >= {off + nbytes} THEN {u} END)"
 
 
-def _sql_error_case() -> str:
+def _sql_error_case(version_fallback: bool = False) -> str:
     compiled = compile_catalog()
     types = sorted({mt for mt, _ in compiled})
     pairs = {}
@@ -98,9 +98,33 @@ def _sql_error_case() -> str:
     pair_sql = " OR ".join(
         f"(tokens[1]={mt} AND tokens[2] IN ({','.join(map(str, sorted(vs)))}))"
         for mt, vs in sorted(pairs.items()))
+    if version_fallback:
+        # reference version_resolver.py:46-50: any known logcode decodes
+        # (unknown version -> first table), so error 3 cannot occur
+        return (f"CASE WHEN n_tok < 4 THEN 1 "
+                f"WHEN tokens[1] NOT IN ({','.join(map(str, types))}) THEN 2 "
+                f"ELSE 0 END")
     return (f"CASE WHEN n_tok < 4 THEN 1 "
             f"WHEN tokens[1] NOT IN ({','.join(map(str, types))}) THEN 2 "
             f"WHEN NOT ({pair_sql}) THEN 3 ELSE 0 END")
+
+
+def _sql_layout_version() -> str:
+    """Fallback-resolved decode table: the raw version when the (logcode,
+    version) pair is known, else the logcode's first version."""
+    compiled = compile_catalog()
+    pairs, first = {}, {}
+    for mt, v in compiled:
+        pairs.setdefault(mt, []).append(v)
+        first.setdefault(mt, v)
+    pair_sql = " OR ".join(
+        f"(tokens[1]={mt} AND tokens[2] IN ({','.join(map(str, sorted(vs)))}))"
+        for mt, vs in sorted(pairs.items()))
+    firsts = " ".join(f"WHEN {mt} THEN {v}" for mt, v in sorted(first.items()))
+    # unknown LOGCODE rows keep the raw version (no fallback applies; they
+    # stay error 2), matching Decoder.classify's layout_version
+    return (f"(CASE WHEN ({pair_sql}) THEN tokens[2]::BIGINT "
+            f"ELSE (CASE tokens[1] {firsts} ELSE tokens[2] END)::BIGINT END)")
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +148,31 @@ SELECT doc_id,
   CASE WHEN n_tok>=4 THEN tokens[4]::BIGINT END AS ts,
   ({_sql_error_case()})::BIGINT AS error_code,
   n_tok::BIGINT AS n_tok, source
+FROM {SEQ_SQL}
+"""
+
+
+def q_parse_header_fallback(sf_dir: str):
+    """Strict-vs-fallback pair, fallback side: unknown versions of known
+    logcodes classify OK and resolve to the logcode's first table
+    (reference version_resolver.py:46-50); ``layout_version`` records the
+    table the row decodes under, ``version`` stays raw."""
+    def parse_fb(t: pa.Table) -> pa.Table:
+        return stages.parse_batch(t, version_fallback=True)
+
+    ds = _seq_ds(sf_dir).map_batches(parse_fb, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: _to_i64(t.select(["doc_id", "msg_type", "version",
+                                    "layout_version", "error_code"])),
+        batch_format="pyarrow")
+
+
+SQL_PARSE_HEADER_FALLBACK = f"""
+SELECT doc_id,
+  CASE WHEN n_tok>=4 THEN tokens[1]::BIGINT END AS msg_type,
+  CASE WHEN n_tok>=4 THEN tokens[2]::BIGINT END AS version,
+  CASE WHEN n_tok>=4 THEN {_sql_layout_version()} END AS layout_version,
+  ({_sql_error_case(version_fallback=True)})::BIGINT AS error_code
 FROM {SEQ_SQL}
 """
 
@@ -252,6 +301,41 @@ SELECT doc_id, {_sql_field(0, 1)} AS status, {_sql_field(1, 4)} AS uptime,
        {_sql_field(5, 2, signed=True)} AS temp, {_sql_field(7, 1)} AS load_pct
 FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=8193 AND tokens[2]=1
 """
+
+def q_decode_heartbeat_fallback(sf_dir: str):
+    """Heartbeat rows decoded UNDER FALLBACK with the v1 layout: raw v1
+    rows plus every unknown-version row (e.g. the corpus's v99 stratum),
+    which the strict path dead-letters — the other half of the
+    strict-vs-fallback gated pair (decode_heartbeat_v1 is strict)."""
+    dec = Decoder(version_fallback=True)
+    layout = dec.compiled[(0x2001, 1)]
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        view = BatchView(t["tokens"])
+        cls = dec.classify(view)
+        rows = np.flatnonzero((cls["error_code"] == ERR_OK)
+                              & (cls["msg_type"] == 0x2001)
+                              & (cls["layout_version"] == 1))
+        out_cols = {"doc_id": t["doc_id"].take(pa.array(rows)),
+                    "version": pa.array(cls["version"][rows], type=pa.int64())}
+        cols = dec.decode_group(view, rows, layout) if rows.size else {}
+        for out_name, name in (("status", "Status"), ("uptime", "Uptime"),
+                               ("temp", "Temp"), ("load_pct", "Load Pct")):
+            out_cols[out_name] = cols[name] if rows.size else \
+                pa.array([], type=pa.int64())
+        return _to_i64(pa.table(out_cols))
+
+    return _seq_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DECODE_HEARTBEAT_FALLBACK = f"""
+SELECT doc_id, tokens[2]::BIGINT AS version,
+       {_sql_field(0, 1)} AS status, {_sql_field(1, 4)} AS uptime,
+       {_sql_field(5, 2, signed=True)} AS temp, {_sql_field(7, 1)} AS load_pct
+FROM {SEQ_SQL} WHERE n_tok>=4 AND tokens[1]=8193 AND tokens[2]<>2
+"""
+
 
 q_decode_thermal = _decode_query(0x3A11, 1, [
     ("temp0", _col("Temp0")), ("temp1", _col("Temp1")),
@@ -659,12 +743,14 @@ from engine import streaming as _streaming  # noqa: E402  (after helpers)
 
 QUERIES = {
     "parse_header": q_parse_header,
+    "parse_header_fallback": q_parse_header_fallback,
     "dead_letter_stats": q_dead_letter_stats,
     "route_counts": q_route_counts,
     "agg_source_msgtype": q_agg_source_msgtype,
     "agg_enriched_site": q_agg_enriched_site,
     "enrich_rows": q_enrich_rows,
     "decode_heartbeat_v1": q_decode_heartbeat_v1,
+    "decode_heartbeat_fallback": q_decode_heartbeat_fallback,
     "decode_thermal": q_decode_thermal,
     "decode_rf_bits": q_decode_rf_bits,
     "decode_b888_records": q_decode_b888_records,
@@ -682,12 +768,14 @@ QUERIES = {
 
 ORACLE_SQL = {
     "parse_header": SQL_PARSE_HEADER,
+    "parse_header_fallback": SQL_PARSE_HEADER_FALLBACK,
     "dead_letter_stats": SQL_DEAD_LETTER,
     "route_counts": SQL_ROUTE_COUNTS,
     "agg_source_msgtype": SQL_AGG,
     "agg_enriched_site": SQL_AGG_SITE,
     "enrich_rows": SQL_ENRICH,
     "decode_heartbeat_v1": SQL_DECODE_HEARTBEAT,
+    "decode_heartbeat_fallback": SQL_DECODE_HEARTBEAT_FALLBACK,
     "decode_thermal": SQL_DECODE_THERMAL,
     "decode_rf_bits": SQL_DECODE_RF,
     "decode_b888_records": SQL_B888_RECORDS,

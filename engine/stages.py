@@ -60,15 +60,17 @@ def _pin_arrow_threads() -> bool:
 
 @functools.lru_cache(maxsize=8)
 def _shared_decoder_cached(metadata_path: Optional[str],
-                           fingerprint) -> Decoder:
+                           fingerprint, version_fallback: bool) -> Decoder:
     _pin_arrow_threads()
     if metadata_path:
         from engine.ref_metadata import load_metadata_json
-        return Decoder(load_metadata_json(metadata_path))
-    return Decoder()
+        return Decoder(load_metadata_json(metadata_path),
+                       version_fallback=version_fallback)
+    return Decoder(version_fallback=version_fallback)
 
 
-def shared_decoder(metadata_path: Optional[str] = None) -> Decoder:
+def shared_decoder(metadata_path: Optional[str] = None,
+                   version_fallback: bool = False) -> Decoder:
     """Per-worker-process compiled catalog (cheap, deterministic).
 
     With ``metadata_path``, the catalog is loaded from a REFERENCE-format
@@ -84,7 +86,7 @@ def shared_decoder(metadata_path: Optional[str] = None) -> Decoder:
             fp = (st.st_mtime_ns, st.st_size)
         except OSError:
             fp = None
-    return _shared_decoder_cached(metadata_path, fp)
+    return _shared_decoder_cached(metadata_path, fp, version_fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -103,13 +105,19 @@ def batch_view(t: pa.Table) -> BatchView:
     return BatchView(t["tokens"], exact_nbytes=exact)
 
 
-def parse_batch(t: pa.Table, metadata_path: Optional[str] = None) -> pa.Table:
+def parse_batch(t: pa.Table, metadata_path: Optional[str] = None,
+                version_fallback: bool = False) -> pa.Table:
     """Header extract + validation as envelope columns (no exceptions —
-    error-status columns per SURVEY 1.4 instead of models/errors.py)."""
+    error-status columns per SURVEY 1.4 instead of models/errors.py).
+
+    With ``version_fallback`` (reference version_resolver.py:46-50
+    semantics), unknown versions of known logcodes classify OK and an
+    extra ``layout_version`` column records the table they decode under;
+    the raw ``version`` column is preserved either way."""
     from engine.oracle import ERR_TOO_SHORT_HEADER
     t = t.combine_chunks()
     view = batch_view(t)
-    cls = shared_decoder(metadata_path).classify(view)
+    cls = shared_decoder(metadata_path, version_fallback).classify(view)
     no_hdr = cls["error_code"] == ERR_TOO_SHORT_HEADER
     for name in ENVELOPE_PARSE_COLS:
         if name == "error_code":
@@ -119,6 +127,10 @@ def parse_batch(t: pa.Table, metadata_path: Optional[str] = None) -> pa.Table:
             t = t.append_column(name, pa.array(
                 cls[name], type=pa.int32(),
                 mask=no_hdr if no_hdr.any() else None))
+    if version_fallback:
+        t = t.append_column("layout_version", pa.array(
+            cls["layout_version"], type=pa.int32(),
+            mask=no_hdr if no_hdr.any() else None))
     return t
 
 
@@ -211,10 +223,11 @@ class DecodeRouter:
     """
 
     def __init__(self, out_dir: str, part_tag: str = "p0000",
-                 metadata_path: Optional[str] = None):
+                 metadata_path: Optional[str] = None,
+                 version_fallback: bool = False):
         self.out_dir = out_dir
         self.part_tag = part_tag
-        self.decoder = shared_decoder(metadata_path)
+        self.decoder = shared_decoder(metadata_path, version_fallback)
 
     def _write_sink(self, rel: str, table: pa.Table) -> str:
         d = os.path.join(self.out_dir, rel)
@@ -255,6 +268,9 @@ class DecodeRouter:
                    zero_copy_only=False).astype(np.int64),
                "version": pc.fill_null(t["version"], -1).to_numpy(
                    zero_copy_only=False).astype(np.int64)}
+        if "layout_version" in t.column_names:  # version-fallback mode
+            cls["layout_version"] = pc.fill_null(t["layout_version"], -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
 
         # one permutation take for the whole batch (dead letters + every
         # group), then zero-copy slices per sink — with ~45 layouts a
@@ -320,23 +336,27 @@ class _FusedState:
 
     _cache: Dict[tuple, "_FusedState"] = {}
 
-    def __init__(self, out_dir: str, part_tag: str, source_meta_ref):
+    def __init__(self, out_dir: str, part_tag: str, source_meta_ref,
+                 version_fallback: bool = False):
         self.enricher = Enricher(source_meta_ref)
-        self.router = DecodeRouter(out_dir, part_tag)
+        self.router = DecodeRouter(out_dir, part_tag,
+                                   version_fallback=version_fallback)
 
     @classmethod
-    def get(cls, out_dir: str, part_tag: str, source_meta_ref) -> "_FusedState":
+    def get(cls, out_dir: str, part_tag: str, source_meta_ref,
+            version_fallback: bool = False) -> "_FusedState":
         # key includes the broadcast side-table's identity: worker processes
         # outlive executions, so a re-run to the same out_dir/tag with a
         # CHANGED source_meta table must rebuild, not reuse stale maps
         ref_key = (source_meta_ref.hex()
                    if isinstance(source_meta_ref, ray.ObjectRef)
                    else id(source_meta_ref))
-        key = (out_dir, part_tag, ref_key)
+        key = (out_dir, part_tag, ref_key, version_fallback)
         st = cls._cache.get(key)
         if st is None:
             cls._cache.clear()  # bounded: one live state per worker
-            st = cls._cache[key] = cls(out_dir, part_tag, source_meta_ref)
+            st = cls._cache[key] = cls(out_dir, part_tag, source_meta_ref,
+                                       version_fallback)
         return st
 
 
@@ -344,7 +364,8 @@ FUSED_BATCH_ROWS = 262_144
 
 
 def fused_stage(ds, out_dir: str, part_tag: str = "p0000", source_meta_ref=None,
-                batch_size: int = FUSED_BATCH_ROWS):
+                batch_size: int = FUSED_BATCH_ROWS,
+                version_fallback: bool = False):
     """parse -> enrich -> decode+route as one map_batches pass.
 
     The batch size is EXPLICIT, never None: when Ray fuses this operator
@@ -353,8 +374,9 @@ def fused_stage(ds, out_dir: str, part_tag: str = "p0000", source_meta_ref=None,
     (one parquet file per live sink per batch) ~40x — measured as an
     8.6s-vs-1.3s per-task difference on 500k-row read tasks."""
     def fused(t: pa.Table) -> pa.Table:
-        st = _FusedState.get(out_dir, part_tag, source_meta_ref)
-        return st.router(st.enricher(parse_batch(t)))
+        st = _FusedState.get(out_dir, part_tag, source_meta_ref, version_fallback)
+        return st.router(st.enricher(parse_batch(
+            t, version_fallback=version_fallback)))
 
     return ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)

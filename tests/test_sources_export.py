@@ -181,3 +181,50 @@ def test_hex_exact_payload_length_semantics(ray_session, tmp_path):
     assert res["fields"]["A"] == 0xAA and res["fields"]["Tail"] is None
     assert len(res["records"]["Recs"]) == 2
     assert [x["V"] for x in res["records"]["Recs"]] == [0xCCBB, 0xEEDD]
+
+
+def test_version_fallback_mode_hex_path(ray_session, tmp_path):
+    """Strict vs fallback (reference version_resolver.py:46-50): an unknown
+    version of a known logcode dead-letters under the strict metadata-path
+    semantics but decodes with the logcode's FIRST table under fallback,
+    keeping the raw version value in the envelope."""
+    from engine.pipeline import run_hex_job
+    md = {
+        "logcode_id": "0x9999", "logcode_name": "FbTest",
+        "version_offset": 0, "version_length": 32,
+        "versions": {
+            "1": {"table_name": "t1", "fields": [
+                {"name": "Status", "type_name": "Uint8", "offset_bytes": 0,
+                 "offset_bits": 0, "length_bits": 8, "count": None,
+                 "enum_mappings": None}]},
+            "2": {"table_name": "t2", "fields": [
+                {"name": "Other", "type_name": "Uint16", "offset_bytes": 0,
+                 "offset_bits": 0, "length_bits": 16, "count": None,
+                 "enum_mappings": None}]},
+        },
+        "all_tables": {},
+    }
+    mdp = str(tmp_path / "fb_metadata.json")
+    with open(mdp, "w") as f:
+        json.dump(md, f)
+    # version word 7 (unknown); one payload word 0x000000AA
+    hexfile = tmp_path / "fb.hex"
+    hexfile.write_text(
+        "Length: 20\n"
+        "Header: 14 00 99 99 01 00 00 00 02 00 00 00\n"
+        "Payload:\n07 00 00 00 AA 00 00 00\n")
+
+    strict_out = str(tmp_path / "strict")
+    run_hex_job([str(hexfile)], mdp, strict_out)
+    with open(os.path.join(strict_out, "sink_counts.json")) as f:
+        assert json.load(f) == {"dead_letter": 1}
+
+    fb_out = str(tmp_path / "fb")
+    run_hex_job([str(hexfile)], mdp, fb_out, version_fallback=True)
+    with open(os.path.join(fb_out, "sink_counts.json")) as f:
+        assert json.load(f) == {"0x9999": 1}
+    files = glob.glob(f"{fb_out}/msg_type=0x9999/version=1/*.parquet")
+    assert len(files) == 1
+    row = pads.dataset(files[0]).to_table().to_pylist()[0]
+    assert row["Status"] == 0xAA      # decoded with the FIRST table (t1)
+    assert row["version"] == 7        # raw version preserved
