@@ -48,7 +48,8 @@ def ensure_fixtures(sf: str = "sf0.01", num_files: int = 0) -> str:
     root = fixture_root(sf)
     marker = os.path.join(root, "_SUCCESS.json")
     # v3: catalog gained 0x7F01 DeviceInfo (String field, M12) + its stratum
-    want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 3}
+    # v4: revision-history snapshots (revisions.parquet, logcodes.parquet)
+    want = {"sf": sf, "rows": ROWS[sf], "seed": SEED, "num_files": num_files, "v": 4}
     if os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -60,6 +61,10 @@ def ensure_fixtures(sf: str = "sf0.01", num_files: int = 0) -> str:
     datagen.generate_source_meta(os.path.join(root, "source_meta.parquet"))
     with open(os.path.join(root, "catalog.json"), "w") as f:
         f.write(catalog_to_json())
+    import pyarrow.parquet as _pq
+    from engine import revisions as _rev
+    _pq.write_table(_rev.build_revisions(), os.path.join(root, "revisions.parquet"))
+    _pq.write_table(_rev.build_logcodes(), os.path.join(root, "logcodes.parquet"))
     with open(marker, "w") as f:
         json.dump(want, f)
     return root

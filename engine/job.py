@@ -89,6 +89,17 @@ def main(argv=None) -> int:
     c.add_argument("arg", nargs="?", help="search term / logcode (0xNNNN)")
     c.add_argument("--version", type=int, default=None)
 
+    rv = sub.add_parser("revision", help="revision-history queries "
+                        "(reference src/app.py:170-260 / query_revisions.py)")
+    rv_sub = rv.add_subparsers(dest="rev_cmd", required=True)
+    r1 = rv_sub.add_parser("code", help="logcode sets of one revision (e.g. FL)")
+    r1.add_argument("code")
+    r2 = rv_sub.add_parser("date", help="revisions in a month/year")
+    r2.add_argument("month")
+    r2.add_argument("year")
+    r3 = rv_sub.add_parser("logcode", help="revision history of one logcode")
+    r3.add_argument("logcode")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -168,6 +179,22 @@ def main(argv=None) -> int:
             rows = [{"table": t} for t in cq.dependency_closure(args.arg)]
         for r in rows:
             print(json.dumps(r))
+        return 0
+
+    if args.cmd == "revision":
+        from engine import revisions as rev
+        if args.rev_cmd == "code":
+            res = rev.revision_by_code(args.code)
+            if res is None:
+                print(json.dumps({"error": f"revision {args.code.upper()} not found"}))
+                return 1
+            print(json.dumps(res))
+        elif args.rev_cmd == "date":
+            for r in rev.revisions_by_date(args.month, args.year):
+                print(json.dumps(r))
+        else:
+            for r in rev.revision_history(args.logcode):
+                print(json.dumps(r))
         return 0
 
     return 1

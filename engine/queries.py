@@ -739,7 +739,28 @@ def q_distinct_source_lang(sf_dir: str):
 
 SQL_DISTINCT_SOURCE_LANG = "SELECT DISTINCT source, lang FROM documents"
 
+
+SQL_REVISION_LOGCODE_JOIN = f"""
+SELECT r.revision, r.date, r.logcode, r.status,
+       l.logcode_name, l.n_versions::BIGINT AS n_versions
+FROM read_parquet('{FIX01}/revisions.parquet') r
+JOIN read_parquet('{FIX01}/logcodes.parquet') l USING (logcode)
+"""
+
+SQL_AGG_ROWS_BY_REVISION = f"""
+SELECT r.revision, r.status, count(*)::BIGINT AS n_rows,
+       sum(s.n_tok)::BIGINT AS sum_n_tok
+FROM {SEQ_SQL} s
+JOIN read_parquet('{FIX01}/revisions.parquet') r
+  ON printf('0x%04X', s.tokens[1]) = r.logcode
+WHERE ({_sql_error_case()}) = 0
+GROUP BY 1, 2
+"""
+
 from engine import streaming as _streaming  # noqa: E402  (after helpers)
+from engine.revisions import (  # noqa: E402
+    q_agg_rows_by_revision, q_revision_logcode_join,
+)
 
 QUERIES = {
     "parse_header": q_parse_header,
@@ -764,6 +785,8 @@ QUERIES = {
     "order_revenue_native_join": q_order_revenue_native_join,
     "order_revenue_bucketed_join": q_order_revenue_bucketed_join,
     "distinct_source_lang": q_distinct_source_lang,
+    "revision_logcode_join": q_revision_logcode_join,
+    "agg_rows_by_revision": q_agg_rows_by_revision,
 }
 
 ORACLE_SQL = {
@@ -789,4 +812,6 @@ ORACLE_SQL = {
     "order_revenue_native_join": SQL_ORDER_REVENUE,
     "order_revenue_bucketed_join": SQL_ORDER_REVENUE,
     "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,
+    "revision_logcode_join": SQL_REVISION_LOGCODE_JOIN,
+    "agg_rows_by_revision": SQL_AGG_ROWS_BY_REVISION,
 }

@@ -28,3 +28,47 @@ def test_dependency_closure_bfs_dedup():
     (query_engine.py:84-102)."""
     assert cq.dependency_closure("0xB888") == ["10-1", "10-3", "10-2"]
     assert cq.dependency_closure("0x2001") == ["2-1", "2-2"]
+
+
+def test_revision_surface():
+    """J6/X3: revision history synthesis + the three reference query
+    shapes (src/query_revisions.py:1-114, src/datastore.py:296-406)."""
+    from engine import revisions as rev
+    t = rev.build_revisions()
+    assert set(t.column_names) == {"revision", "date", "logcode", "status"}
+    assert set(t["status"].to_pylist()) == {"new", "updated"}
+    # every catalog logcode enters exactly once as 'new'
+    from engine.catalog import build_catalog
+    news = [r["logcode"] for r in t.to_pylist() if r["status"] == "new"]
+    assert sorted(news) == sorted(f"0x{mt:04X}" for mt in build_catalog())
+
+    # history of one logcode: chronological, starts with 'new'
+    hist = rev.revision_history("0xB888")
+    assert hist and hist[0]["status"] == "new"
+    assert all(h["revision"] in rev.REV_CODES for h in hist)
+    assert rev.revision_history("0xb888") == hist  # case-insensitive
+
+    # by revision code: disjoint new/updated sets, date attached
+    fl = rev.revision_by_code("FL")
+    assert fl is not None and fl["date"] == rev.REV_DATES["FL"]
+    assert not (set(fl["new_logcodes"]) & set(fl["updated_logcodes"]))
+    assert rev.revision_by_code("zz") is None
+
+    # by date: the month/year resolves to the same revision's sets
+    by_date = rev.revisions_by_date("February", "2025")
+    assert len(by_date) == 1 and by_date[0]["revision"] == "FL"
+    assert by_date[0]["new_logcodes"] == fl["new_logcodes"]
+
+
+def test_revision_cli(capsys):
+    import json as _json
+    from engine.job import main
+    assert main(["revision", "code", "FL"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["revision"] == "FL" and out["new_logcodes"]
+    assert main(["revision", "logcode", "0xB888"]) == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["status"] == "new"
+    assert main(["revision", "date", "February", "2025"]) == 0
+    assert capsys.readouterr().out.strip()
+    assert main(["revision", "code", "ZZ"]) == 1
