@@ -34,8 +34,12 @@ EXTRA_QUERIES = {
 EXTRA_ORACLE_SQL = {
     "text_stats": text.SQL_TEXT_STATS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,
+    "fingerprint_rolling": text.SQL_FINGERPRINT_ROLLING,
+    "lang_id": text.SQL_LANG_ID,
+    "quality_score": text.SQL_QUALITY_SCORE,
     "dedup_exact": dedup.SQL_DEDUP_EXACT,
     "simsearch_topk": simsearch.SQL_SIMSEARCH_TOPK,
+    "multimodal_stats": multimodal.SQL_MULTIMODAL_STATS,
 }
 
 ROWS_ONLY_QUERIES = {k: v for k, v in EXTRA_QUERIES.items()

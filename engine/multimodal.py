@@ -27,8 +27,12 @@ _MAGIC = b"FKIM"
 
 
 def make_binary_payload(doc_id: int, text: str) -> bytes:
-    """Deterministic fake image container derived from a document."""
-    h = hashlib.blake2b(f"{doc_id}".encode(), digest_size=8).digest()
+    """Deterministic fake image container derived from a document.
+
+    Header dims derive from md5(doc_id) digest bytes so the DuckDB
+    oracle for the downstream stats aggregate can recompute them
+    (md5 is the one digest both sides share)."""
+    h = hashlib.md5(f"{doc_id}".encode()).digest()
     w = 16 + h[0] % 64
     ht = 16 + h[1] % 64
     ch = 1 + h[2] % 3
@@ -123,3 +127,21 @@ def q_multimodal_stats(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("channels").aggregate(Sum("sum_px", alias_name="sum_px"),
                                        Sum("n_docs", alias_name="n_docs"))
+
+
+# DuckDB mirror of the fake-container header derivation (md5 digest bytes
+# 0/1/2 -> width/height/channels), then the same per-channel aggregate the
+# Ray stage computes from the DECODED payloads — gating that the binary
+# plumbing round-trips the typed metadata exactly.
+SQL_MULTIMODAL_STATS = """
+WITH d AS (
+  SELECT md5(doc_id::VARCHAR) AS hx FROM documents
+), m AS (
+  SELECT (1 + ('0x' || substr(hx, 5, 2))::INT % 3)::BIGINT AS channels,
+         (16 + ('0x' || substr(hx, 1, 2))::INT % 64)::BIGINT
+         * (16 + ('0x' || substr(hx, 3, 2))::INT % 64)::BIGINT AS px
+  FROM d
+)
+SELECT channels, sum(px)::BIGINT AS sum_px, count(*)::BIGINT AS n_docs
+FROM m GROUP BY channels
+"""

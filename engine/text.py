@@ -66,24 +66,39 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id::BIGINT AS doc_id, md5(text) AS fp FROM documents"
 
 
-def q_fingerprint_rolling(sf_dir: str):
-    """Polynomial rolling hash (Rabin-Karp style) over words — the
-    reference-free fingerprint a dedup pipeline shards on.  Rows-only check
-    (not expressible in ANSI SQL)."""
-    B = np.uint64(1000003)
+_ROLL_B = 1000003
+_ROLL_SEED = 2166136261  # FNV-32 offset
+_ROLL_MOD = 1 << 32
 
+
+def q_fingerprint_rolling(sf_dir: str):
+    """Order-sensitive polynomial rolling fingerprint over words
+    (Rabin-Karp fold, 32-bit): ``h = (h*B + md5_32(word)) mod 2^32`` —
+    the shard key a dedup pipeline ranges on.  Word hashes are the first
+    32 bits of md5 so the DuckDB oracle (md5 + list_reduce fold) computes
+    the identical value."""
     def fn(t: pa.Table) -> pa.Table:
         fps = []
         for s in t["text"].to_pylist():
-            h = np.uint64(1469598103934665603)
+            h = _ROLL_SEED
             for w in s.split():
-                wh = np.uint64(int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-                h = (h * B + wh) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            fps.append(int(h.view(np.int64)))
+                wh = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+                h = (h * _ROLL_B + wh) % _ROLL_MOD
+            fps.append(h)
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "fingerprint": pa.array(fps, type=pa.int64())})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_ROLLING = rf"""
+SELECT doc_id::BIGINT AS doc_id,
+  list_reduce(
+    list_prepend({_ROLL_SEED}::BIGINT,
+      list_transform(regexp_extract_all(text, '\S+'),
+                     w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+    (h, wh) -> (h * {_ROLL_B} + wh) % {_ROLL_MOD})::BIGINT AS fingerprint
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -100,21 +115,55 @@ _LANG_PROFILES = {
 }
 
 
+def _split_tokens(texts):
+    """texts -> (flat token array, per-doc offsets) via Arrow split."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    return w.values, w.offsets.to_numpy().astype(np.int64)
+
+
+def _segment_sums(values: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-doc sums of a flat per-token array (empty docs -> 0)."""
+    n = len(offs) - 1
+    if len(values) == 0:
+        return np.zeros(n, dtype=values.dtype if values.dtype != bool else np.int64)
+    v = values.astype(np.int64) if values.dtype == bool else values
+    starts = np.minimum(offs[:-1], len(v) - 1)
+    out = np.add.reduceat(v, starts)
+    out[offs[1:] <= offs[:-1]] = 0  # empty docs got a garbage singleton
+    return out
+
+
 class LangId:
     """Actor-pool language-ID stage: profiles compiled once per actor
-    (__init__), scored per batch — the ST4 actor shape."""
+    (__init__), scored per batch — the ST4 actor shape.
+
+    Scoring is token-membership: a language's score is how many of its
+    profile words appear as whitespace tokens of the lowercased text
+    (distinct profile words, not occurrence counts); ties break to the
+    alphabetically first language; score 0 -> 'unknown'.  Fully
+    vectorized: one Arrow split + one equality scan per profile word."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = sorted(_LANG_PROFILES)
+        self.profiles = {k: sorted(_LANG_PROFILES[k]) for k in self.langs}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pandas as pd
-        preds = []
-        for s in t["text"].to_pylist():
-            words = set(s.lower().split())
-            scores = {lang: len(words & prof) for lang, prof in self.profiles.items()}
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "unknown")
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
+            else t["text"]
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        n = len(offs) - 1
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for w in self.profiles[lang]:
+                hits = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+                scores[:, li] += _segment_sums(hits, offs) > 0
+        best = np.argmax(scores, axis=1)      # first max = alphabetical tie-break
+        preds = np.array(self.langs, dtype=object)[best]
+        preds[scores.max(axis=1) == 0] = "unknown"
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "pred_lang": pa.array(preds, type=pa.string())})
 
@@ -122,6 +171,31 @@ class LangId:
 def q_lang_id(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(_LANG_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"list_contains(words, '{w}')::INT" for w in sorted(_LANG_PROFILES[lang]))
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_extract_all(lower(text), '\S+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM w
+)
+SELECT doc_id, CASE WHEN {g} = 0 THEN 'unknown' {case} END AS pred_lang
+FROM s
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 # ---------------------------------------------------------------------------
@@ -132,25 +206,67 @@ _STOPWORDS = frozenset("the and of a to in is for on it as at by be this".split(
 
 
 def q_quality_score(sf_dir: str):
-    """Length / punctuation / stopword-ratio quality heuristic."""
+    """Length / punctuation / stopword-ratio quality heuristic,
+    fully vectorized (Arrow split + is_in + segment sums) with
+    integer micro/milli outputs so the DuckDB oracle value-hashes
+    exactly (identical IEEE expression order on both sides)."""
+    stop_arr = pa.array(sorted(_STOPWORDS), type=pa.string())
+
     def fn(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        txt = pd.Series(t["text"].to_pandas())
-        words = txt.str.split()
-        n_words = words.str.len().fillna(0).astype(np.int64)
-        stop_ratio = words.map(
-            lambda ws: sum(w in _STOPWORDS for w in ws) / max(1, len(ws)))
-        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        n_chars = txt.str.len().astype(np.int64)
-        punct = txt.str.count(r"[.,!?;:]") / n_chars.clip(lower=1)
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
+            else t["text"]
+        n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_punct = pc.count_substring_regex(txt, r"[.,!?;:]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offs = _split_tokens(txt)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        stop_hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        sum_wlen = _segment_sums(wlen, offs).astype(np.float64)
+        n_stop = _segment_sums(stop_hits, offs).astype(np.float64)
+
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        stop_ratio = n_stop / denom
+        mean_wlen = np.where(n_words > 0, sum_wlen / denom, 0.0)
+        punct = n_punct / np.maximum(n_chars, 1).astype(np.float64)
         score = (np.clip(n_words / 50.0, 0, 1) * 0.4
                  + np.clip(stop_ratio * 3, 0, 1) * 0.3
                  + np.clip(1 - punct * 10, 0, 1) * 0.3)
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "n_words": pa.array(n_words.to_numpy()),
-            "stop_ratio": pa.array(np.round(stop_ratio.to_numpy(dtype=np.float64), 6)),
-            "mean_word_len": pa.array(np.round(mean_wlen.to_numpy(dtype=np.float64), 6)),
-            "quality_score": pa.array(np.round(score.to_numpy(dtype=np.float64), 6)),
+            "n_words": pa.array(n_words),
+            "stop_ratio_micro": pa.array(
+                np.floor(stop_ratio * 1e6 + 0.5).astype(np.int64)),
+            "mean_wlen_micro": pa.array(
+                np.floor(mean_wlen * 1e6 + 0.5).astype(np.int64)),
+            "quality_milli": pa.array(
+                np.floor(score * 1000 + 0.5).astype(np.int64)),
         })
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+
+SQL_QUALITY_SCORE = rf"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+    len(list_filter(regexp_extract_all(text, '\S+'),
+                    w -> w IN ({_STOP_SQL})))::DOUBLE AS n_stop,
+    coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                                     w -> length(w))), 0)::DOUBLE AS sum_wlen,
+    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS n_punct,
+    length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words,
+  floor(n_stop / greatest(n_words, 1) * 1000000 + 0.5)::BIGINT AS stop_ratio_micro,
+  floor((CASE WHEN n_words > 0 THEN sum_wlen / greatest(n_words, 1) ELSE 0 END)
+        * 1000000 + 0.5)::BIGINT AS mean_wlen_micro,
+  floor((least(greatest(n_words / 50.0, 0), 1) * 0.4
+         + least(greatest(n_stop / greatest(n_words, 1) * 3, 0), 1) * 0.3
+         + least(greatest(1 - n_punct / greatest(n_chars, 1) * 10, 0), 1) * 0.3)
+        * 1000 + 0.5)::BIGINT AS quality_milli
+FROM b
+"""

@@ -93,8 +93,8 @@ def test_lang_id_and_quality_deterministic(ray_session):
     b = _tbl(q_lang_id(SF_DIR)).sort_by("doc_id")
     assert a.equals(b)
     qs = _tbl(q_quality_score(SF_DIR))
-    scores = qs["quality_score"].to_pylist()
-    assert all(0.0 <= s <= 1.0 for s in scores)
+    scores = qs["quality_milli"].to_pylist()
+    assert all(0 <= s <= 1000 for s in scores)
 
 
 def test_dedup_clusters_transitive(ray_session, tmp_path):
