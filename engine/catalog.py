@@ -427,6 +427,23 @@ def compile_catalog(cat: Optional[Dict[int, LogcodeDef]] = None) -> Dict[Tuple[i
     return out
 
 
+def version_sort_key(v) -> tuple:
+    """Mixed-class version ordering (O1, ``src/parser.py:400-415``):
+    decimal integers first (numeric), then hex strings (numeric), then
+    plain strings (lexical) — e.g. ``2 < 10 < 0x3 < 0xA < "Unknown"``."""
+    s = str(v)
+    try:
+        return (0, int(s), s)
+    except ValueError:
+        pass
+    if s.lower().startswith("0x"):
+        try:
+            return (1, int(s, 16), s)
+        except ValueError:
+            pass
+    return (2, 0, s)
+
+
 def catalog_to_json(cat: Optional[Dict[int, LogcodeDef]] = None) -> str:
     """Metadata-JSON-style dump (cf. export/metadata_generator.py:59-72)."""
     cat = cat or build_catalog()
@@ -445,7 +462,8 @@ def catalog_to_json(cat: Optional[Dict[int, LogcodeDef]] = None) -> str:
                     for f in lc.tables[t]]}
                 for v, t in lc.version_map.items()
             },
-            "available_versions": sorted(str(v) for v in lc.version_map),
+            "available_versions": sorted((str(v) for v in lc.version_map),
+                                         key=version_sort_key),
         }
     return json.dumps(doc, indent=2)
 

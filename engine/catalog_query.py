@@ -35,7 +35,9 @@ def versions_of(logcode: str, cat: Optional[Dict[int, LogcodeDef]] = None) -> Li
     cat = cat or build_catalog()
     mt = int(logcode, 16)
     lc = cat[mt]
-    return [{"version": v, "table": t} for v, t in sorted(lc.version_map.items())]
+    from engine.catalog import version_sort_key
+    return [{"version": v, "table": lc.version_map[v]}
+            for v in sorted(lc.version_map, key=version_sort_key)]
 
 
 def table_layout(logcode: str, version: int,

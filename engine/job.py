@@ -89,6 +89,12 @@ def main(argv=None) -> int:
     c.add_argument("arg", nargs="?", help="search term / logcode (0xNNNN)")
     c.add_argument("--version", type=int, default=None)
 
+    md = sub.add_parser("metadata", help="emit REFERENCE-format metadata JSON "
+                        "from the catalog (metadata_cli.py single/multi parity)")
+    md.add_argument("--logcode", default=None, help="0xNNNN for single-logcode "
+                    "form; omit for the multi-logcode document")
+    md.add_argument("--out", required=True)
+
     rv = sub.add_parser("revision", help="revision-history queries "
                         "(reference src/app.py:170-260 / query_revisions.py)")
     rv_sub = rv.add_subparsers(dest="rev_cmd", required=True)
@@ -179,6 +185,16 @@ def main(argv=None) -> int:
             rows = [{"table": t} for t in cq.dependency_closure(args.arg)]
         for r in rows:
             print(json.dumps(r))
+        return 0
+
+    if args.cmd == "metadata":
+        from engine.ref_metadata import generate_metadata_json
+        mt = int(args.logcode, 16) if args.logcode else None
+        doc = generate_metadata_json(mt)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=2)
+        n = 1 if mt is not None else len(doc["logcodes"])
+        print(json.dumps({"out": args.out, "logcodes": n}))
         return 0
 
     if args.cmd == "revision":

@@ -115,6 +115,66 @@ def load_metadata_json(path_or_dict, msg_type: int | None = None
     return out
 
 
+def generate_metadata_json(msg_type: int | None = None, cat=None) -> dict:
+    """Emit a REFERENCE-format metadata document from the catalog — the
+    inverse of :func:`load_metadata_json`, matching
+    ``export/metadata_generator.py:59-162`` field-for-field (single
+    logcode when ``msg_type`` is given, else the multi-logcode
+    ``{"logcodes": {...}}`` form of ``metadata_cli.py`` multi mode).
+
+    Round-trip contract (tested): ``load_metadata_json(
+    generate_metadata_json())`` reproduces ``compile_catalog()`` exactly,
+    except ``has_bler`` — the reference's metadata production path has no
+    post-processor, so BLER derivation is CLI-path-only there too."""
+    from engine.catalog import build_catalog, version_sort_key
+    cat = cat or build_catalog()
+
+    def field_dict(f) -> dict:
+        d = {"name": f.name, "type_name": f.type_name,
+             "offset_bytes": f.offset_bytes, "offset_bits": f.offset_bits,
+             "length_bits": f.length_bits, "description": f.description}
+        if f.count is not None:
+            d["count"] = f.count
+        if f.enum:
+            d["enum_mappings"] = {str(k): v for k, v in f.enum.items()}
+        return d
+
+    def deps_of(fields) -> list:
+        return [f.type_name[len("Table "):] for f in fields
+                if f.type_name.startswith("Table ")]
+
+    def one(mt, lc) -> dict:
+        versions = {}
+        for ver, tname in lc.version_map.items():
+            fields = lc.tables[tname]
+            versions[str(ver)] = {
+                "version_value": ver, "table_name": tname,
+                "direct_dependencies": deps_of(fields),
+                "fields": [field_dict(f) for f in fields],
+                "total_fields": len(fields),
+            }
+        all_tables = {
+            tname: {"fields": [field_dict(f) for f in fields],
+                    "field_count": len(fields),
+                    "dependencies": deps_of(fields)}
+            for tname, fields in lc.tables.items()
+        }
+        return {
+            "logcode_id": f"0x{mt:04X}", "logcode_name": lc.name,
+            "section": "", "description": "",
+            "version_offset": 0, "version_length": 32,
+            "version_map": {str(v): t for v, t in lc.version_map.items()},
+            "available_versions": sorted((str(v) for v in lc.version_map),
+                                         key=version_sort_key),
+            "versions": versions, "all_tables": all_tables,
+        }
+
+    if msg_type is not None:
+        return one(msg_type, cat[msg_type])
+    return {"logcodes": {f"0x{mt:04X}": one(mt, lc)
+                         for mt, lc in sorted(cat.items())}}
+
+
 def payload_hex_to_row(payload_hex: str, msg_type: int) -> Tuple[list, int]:
     """Payload-only hex (reference Step-2 input) -> ``(token row, true body
     byte length)``: version word becomes header token [1], remaining bytes

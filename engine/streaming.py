@@ -30,13 +30,23 @@ import ray
 
 @ray.remote(num_cpus=0.25)
 class WindowStateActor:
-    """Per-bucket incremental tumbling-window store (shared mutable state)."""
+    """Per-bucket incremental tumbling-window store (shared mutable state).
+
+    Updates are EXACTLY-ONCE under task retries: every ``add`` carries a
+    deterministic batch id (content hash of the batch's raw rows — a
+    retried map task reproduces the same batch, hence the same id) and
+    already-applied ids are skipped.  The applied-id set is bounded by
+    (batches x buckets) per run, a few bytes each."""
 
     def __init__(self):
         self.counts: Dict[Tuple[int, int], int] = {}
         self.value_milli: Dict[Tuple[int, int], int] = {}
+        self.applied: set = set()
 
-    def add(self, keys, windows, counts, value_milli) -> int:
+    def add(self, batch_id: bytes, keys, windows, counts, value_milli) -> int:
+        if batch_id in self.applied:
+            return 0  # retried delivery of an applied batch: no-op
+        self.applied.add(batch_id)
         for k, w, c, v in zip(keys, windows, counts, value_milli):
             kk = (int(k), int(w))
             self.counts[kk] = self.counts.get(kk, 0) + int(c)
@@ -44,7 +54,8 @@ class WindowStateActor:
         return len(keys)
 
     def snapshot(self):
-        return {"counts": self.counts, "value_milli": self.value_milli}
+        return {"counts": self.counts, "value_milli": self.value_milli,
+                "n_applied": len(self.applied)}
 
 
 def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
@@ -54,10 +65,10 @@ def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
 
     The map task combines within the batch first (one actor message per
     (bucket) per batch, not per row) and confirms delivery before
-    finishing, so task retries cannot drop updates mid-stream... note:
-    retries could double-apply a delivered batch; at production scale the
-    message would carry a (task, batch) id for idempotent apply — omitted
-    here for brevity and noted as the at-least-once caveat."""
+    finishing, so task retries cannot drop updates mid-stream; each
+    message carries a deterministic content-derived batch id, so a retry
+    that re-sends an applied batch is a no-op (exactly-once apply)."""
+    import hashlib
     actors = [WindowStateActor.remote() for _ in range(num_buckets)]
 
     def push(t: pa.Table) -> pa.Table:
@@ -65,6 +76,11 @@ def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
         win = epoch_us // (window_s * 1_000_000)
         uid = pc.cast(t["user_id"], pa.int64()).to_numpy()
         vmilli = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        # deterministic batch id: content hash of the raw rows in order —
+        # a retried task rebuilds the identical batch, hence the same id
+        bid = hashlib.blake2b(
+            uid.tobytes() + win.tobytes() + vmilli.tobytes(),
+            digest_size=16).digest()
         g = pa.TableGroupBy(pa.table({
             "user_id": pa.array(uid), "window": pa.array(win),
             "v": pa.array(vmilli)}), ["user_id", "window"]).aggregate(
@@ -78,7 +94,7 @@ def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
         for b in np.unique(bucket):
             m = bucket == b
             futs.append(actors[int(b)].add.remote(
-                ku[m].tolist(), kw[m].tolist(), kc[m].tolist(), kv[m].tolist()))
+                bid, ku[m].tolist(), kw[m].tolist(), kc[m].tolist(), kv[m].tolist()))
         ray.get(futs)  # delivery confirmed before the task completes
         return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
 

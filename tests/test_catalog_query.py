@@ -72,3 +72,12 @@ def test_revision_cli(capsys):
     assert main(["revision", "date", "February", "2025"]) == 0
     assert capsys.readouterr().out.strip()
     assert main(["revision", "code", "ZZ"]) == 1
+
+
+def test_mixed_class_version_sort():
+    """O1 (src/parser.py:400-415): decimal < hex < string, numeric within
+    class."""
+    from engine.catalog import version_sort_key
+    vs = ["0xA", "10", "Unknown Version", "2", "0x3", "1", "Beta"]
+    assert sorted(vs, key=version_sort_key) == \
+        ["1", "2", "10", "0x3", "0xA", "Beta", "Unknown Version"]

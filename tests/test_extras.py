@@ -228,3 +228,20 @@ def test_ngram_jaccard_skewed_group_bounded(ray_session, tmp_path):
     pairs = set(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
     assert (6_000_000, 6_000_001) in pairs
     assert wall < 120, f"skewed group took {wall:.1f}s"
+
+
+def test_window_state_actor_idempotent(ray_session):
+    """A retried map task re-sends its partials with the same batch id:
+    the state actor must apply exactly once (VERDICT at-least-once fix)."""
+    import ray
+    from engine.streaming import WindowStateActor
+    a = WindowStateActor.remote()
+    n1 = ray.get(a.add.remote(b"batch1", [1, 2], [0, 0], [3, 4], [10, 20]))
+    n2 = ray.get(a.add.remote(b"batch1", [1, 2], [0, 0], [3, 4], [10, 20]))
+    n3 = ray.get(a.add.remote(b"batch2", [1], [0], [1], [5]))
+    s = ray.get(a.snapshot.remote())
+    assert (n1, n2, n3) == (2, 0, 1)
+    assert s["counts"][(1, 0)] == 3 + 1
+    assert s["value_milli"][(1, 0)] == 10 + 5
+    assert s["value_milli"][(2, 0)] == 20
+    assert s["n_applied"] == 2

@@ -141,3 +141,73 @@ def test_hex_job_end_to_end_with_reference_inputs(ray_session, tmp_path):
                 assert fv == g["fields"][gk]["raw"], gk
     # aggregate counts one OK row
     assert agg.num_rows == 1 and agg["n_rows"][0].as_py() == 1
+
+
+def test_metadata_generation_round_trip():
+    """generate_metadata_json (metadata_generator.py:59-162 format) ->
+    load_metadata_json reproduces compile_catalog exactly (except
+    has_bler: the reference metadata path has no post-processor)."""
+    from dataclasses import replace
+    from engine.catalog import compile_catalog
+    from engine.ref_metadata import generate_metadata_json, load_metadata_json
+
+    want = compile_catalog()
+    got = load_metadata_json(generate_metadata_json())
+    assert set(got) == set(want)
+    for key in want:
+        w = replace(want[key], has_bler=False)
+        g = got[key]
+        assert g.scalars == w.scalars, key
+        assert g.records == w.records, key
+        assert g.count_source == w.count_source, key
+        assert (g.msg_type, g.version, g.table_name) == \
+            (w.msg_type, w.version, w.table_name), key
+
+
+def test_metadata_generation_single_logcode_shape():
+    """Single-logcode form carries every key the reference emits."""
+    from engine.ref_metadata import generate_metadata_json
+    doc = generate_metadata_json(0xB888)
+    assert doc["logcode_id"] == "0xB888"
+    for k in ("logcode_name", "section", "description", "version_offset",
+              "version_length", "version_map", "available_versions",
+              "versions", "all_tables"):
+        assert k in doc, k
+    v1 = doc["versions"]["1"]
+    assert set(v1) == {"version_value", "table_name", "direct_dependencies",
+                       "fields", "total_fields"}
+    assert v1["direct_dependencies"] == ["10-2"]
+    at = doc["all_tables"]["10-2"]
+    assert set(at) == {"fields", "field_count", "dependencies"}
+
+
+def test_generated_metadata_decodes_like_builtin(ray_session, tmp_path):
+    """run-hex with GENERATED metadata decodes a rendered fixture packet
+    identically to the built-in catalog decode (full loop: catalog ->
+    metadata JSON -> load -> vectorized decode)."""
+    import glob
+    import json as _json
+    import pyarrow.dataset as pads
+    from engine.fixtures import ensure_fixtures
+    from engine.pipeline import run_hex_job
+    from engine import sources
+    fix = ensure_fixtures("sf0.001")
+    t = pads.dataset(f"{fix}/sequences").to_table()
+    o = OracleDecoder()
+    toks = next(tk for tk in t["tokens"].to_pylist()
+                if len(tk) >= 4 and tk[0] == 0xB888 and tk[1] == 1)
+    hexfile = tmp_path / "pkt.hex"
+    hexfile.write_text(sources.render_hex_packet(toks))
+    from engine.ref_metadata import generate_metadata_json
+    mdp = tmp_path / "gen_metadata.json"
+    mdp.write_text(_json.dumps(generate_metadata_json(0xB888)))
+    out = str(tmp_path / "genjob")
+    run_hex_job([str(hexfile)], str(mdp), out)
+    files = glob.glob(f"{out}/msg_type=0xB888/version=1/*.parquet")
+    assert len(files) == 1
+    row = pads.dataset(files[0]).to_table().to_pylist()[0]
+    ref = o.decode_row(toks)
+    for k, v in ref["fields"].items():
+        if k.endswith("(Decoded)") or k in ("BLER", "Residual BLER"):
+            continue  # BLER post-processing is CLI-path-only (documented)
+        assert row[k] == v or (row[k] is None and v is None), k
