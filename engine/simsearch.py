@@ -124,62 +124,118 @@ def _planes(dim: int, seed: int = 424242) -> np.ndarray:
     return rng.standard_normal((_N_PLANES, dim))
 
 
-def q_simsearch_lsh(sf_dir: str):
-    """Hyperplane-LSH ANN: bucket rows by sign pattern, probe the query's
-    bucket plus all probes within Hamming radius _PROBE_RADIUS
-    (multi-probe), exact-rank inside the probed set.  On this synthetic
-    UNclustered (uniform-random) embedding table, 8 planes at radius 2 scan
-    ~14% of rows for ~0.4 mean recall of the exact top-5 — real embedding
-    corpora cluster, where the same setting does far better.  Tunable via
-    _N_PLANES / _PROBE_RADIUS;
-    at 100 TB the bucket id becomes the partition key so a query touches a
-    bounded slice of the corpus instead of all of it."""
-    Q = _query_matrix(sf_dir)
-    P = _planes(Q.shape[1])
-    qcodes = ((Q @ P.T) > 0).astype(np.uint32)
-    probe_sets: List[set] = []
+def _probe_set(qcode: np.ndarray) -> set:
+    """Multi-probe ring: the query's bucket plus every code within
+    Hamming radius ``_PROBE_RADIUS``."""
     import itertools
-    for qc in qcodes:
-        base = int((qc << np.arange(_N_PLANES, dtype=np.uint32)).sum())
-        probes = {base}
-        for r in range(1, _PROBE_RADIUS + 1):
-            for bits in itertools.combinations(range(_N_PLANES), r):
-                m = 0
-                for b in bits:
-                    m |= 1 << b
-                probes.add(base ^ m)
-        probe_sets.append(probes)
+    base = int((qcode << np.arange(_N_PLANES, dtype=np.uint32)).sum())
+    probes = {base}
+    for r in range(1, _PROBE_RADIUS + 1):
+        for bits in itertools.combinations(range(_N_PLANES), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probes.add(base ^ m)
+    return probes
 
-    def bucket_filter(t: pa.Table) -> pa.Table:
+
+def ann_index_dir(sf_dir: str) -> str:
+    """Build (once, cached by content fingerprint) the physically
+    bucket-partitioned ANN layout: one pass over the embeddings computes
+    each row's hyperplane sign code and writes Parquet partitioned by
+    ``bucket=NNN`` — afterwards a query READS ONLY its probe ring's
+    partitions (~14% of rows at 8 planes / radius 2) instead of scanning
+    the table.  This is the 100 TB partition-key design: the bucket id IS
+    the physical partition."""
+    import hashlib
+    import ray
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    tag = hashlib.blake2b(
+        f"{emb_path}|{st.st_mtime_ns}|{st.st_size}|{_N_PLANES}".encode(),
+        digest_size=8).hexdigest()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, "graft_ann_index", tag)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    dim = _query_matrix(sf_dir).shape[1]
+    P = _planes(dim)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
         M = _batch_mat(t)
         codes = ((M @ P.T) > 0).astype(np.uint32)
         code = (codes << np.arange(_N_PLANES, dtype=np.uint32)).sum(axis=1)
-        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy()
-        out_q, out_n, out_s = [], [], []
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
-        qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        for qi, qid in enumerate(QUERY_IDS):
-            hit = np.isin(code, list(probe_sets[qi])) & (ids != qid)
-            if not hit.any():
-                continue
-            s = Mn[hit] @ qn[qi]
-            hid = ids[hit]
-            order = np.lexsort((hid, -s))[:TOP_K]
-            out_q += [qid] * len(order)
-            out_n += hid[order].tolist()
-            out_s += s[order].tolist()
-        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                         "neighbor_id": pa.array(out_n, type=pa.int64()),
-                         "sim": pa.array(out_s, type=pa.float64())})
+        return t.append_column("bucket", pa.array(code.astype(np.int64)))
 
-    parts = _emb(sf_dir).map_batches(bucket_filter, batch_format="pyarrow",
-                                     batch_size=None).to_pandas()
+    _emb(sf_dir).map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(d, partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        f.write(tag)
+    return d
+
+
+#: scan accounting of the last q_simsearch_lsh call (per query):
+#: {"rows_total": N, "per_query_rows": {qid: rows_read}}
+LAST_SCAN: dict = {}
+
+
+def q_simsearch_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN over the bucket-PARTITIONED index: each query
+    reads only its probe-ring partitions (multi-probe radius
+    ``_PROBE_RADIUS``) and exact-ranks inside the probed set.  On this
+    synthetic UNclustered (uniform-random) embedding table, 8 planes at
+    radius 2 read ~14% of rows for ~0.4 mean recall of the exact top-5 —
+    real embedding corpora cluster, where the same setting does far
+    better.  Scan fractions of the last call are recorded in
+    ``LAST_SCAN`` (asserted <25% per query in the recall test)."""
+    import glob as _glob
+    import ray
+    Q = _query_matrix(sf_dir)
+    P = _planes(Q.shape[1])
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qcodes = ((Q @ P.T) > 0).astype(np.uint32)
+    idx_dir = ann_index_dir(sf_dir)
+
+    import pyarrow.parquet as pq
+    rows_total = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    LAST_SCAN.clear()
+    LAST_SCAN["rows_total"] = rows_total
+    LAST_SCAN["per_query_rows"] = {}
+
     rows = []
-    for qid in QUERY_IDS:
-        g = parts[parts.query_id == qid] \
-            .sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+    for qi, qid in enumerate(QUERY_IDS):
+        files = []
+        for b in sorted(_probe_set(qcodes[qi])):
+            files += _glob.glob(os.path.join(idx_dir, f"bucket={b}", "*.parquet"))
+        if not files:
+            continue
+        ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+
+        def partial(t: pa.Table, _qi=qi, _qid=qid) -> pa.Table:
+            M = _batch_mat(t)
+            ids = pc.cast(t["vec_id"], pa.int64()).to_numpy()
+            keep = ids != _qid
+            if not keep.any():
+                return pa.table({"neighbor_id": pa.array([], type=pa.int64()),
+                                 "sim": pa.array([], type=pa.float64())})
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            s = (M / norms[:, None]) @ qn[_qi]
+            hid = ids[keep]
+            sk = s[keep]
+            order = np.lexsort((hid, -sk))[:TOP_K]
+            return pa.table({
+                "neighbor_id": pa.array(hid[order], type=pa.int64()),
+                "sim": pa.array(sk[order], type=pa.float64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        LAST_SCAN["per_query_rows"][qid] = sum(
+            pq.read_metadata(f).num_rows for f in files)
+        g = parts.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
         for rank, (_, r) in enumerate(g.iterrows(), start=1):
             rows.append((qid, int(r.neighbor_id), rank, int(round(r.sim * 1e6))))
     return pa.table({"query_id": pa.array([r[0] for r in rows], type=pa.int64()),

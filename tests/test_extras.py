@@ -60,7 +60,10 @@ def test_simhash_flags_identical_docs(ray_session, tmp_path):
 
 
 def test_lsh_ann_recall_vs_bruteforce(ray_session):
-    """LSH ANN must recover most of the exact top-5 (multi-probe recall)."""
+    """LSH ANN over the bucket-PARTITIONED index: decent multi-probe
+    recall while each query physically reads <25% of the table's rows
+    (the partition-key design, measured from the probed files)."""
+    from engine import simsearch
     from engine.simsearch import q_simsearch_lsh, q_simsearch_topk
     exact = _tbl(q_simsearch_topk(SF_DIR))
     approx = q_simsearch_lsh(SF_DIR)
@@ -72,6 +75,12 @@ def test_lsh_ann_recall_vs_bruteforce(ray_session):
         ap.setdefault(q, set()).add(n)
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert np.mean(recalls) >= 0.3, recalls  # radius-2 multi-probe; uniform-random vectors
+    # the scale claim: each query touched only its probe-ring partitions
+    scan = simsearch.LAST_SCAN
+    assert scan["rows_total"] > 0 and scan["per_query_rows"]
+    for qid, rows_read in scan["per_query_rows"].items():
+        frac = rows_read / scan["rows_total"]
+        assert frac < 0.25, (qid, frac)
 
 
 def test_multimodal_decode_plumbing(ray_session):
