@@ -12,6 +12,7 @@ from engine import dedup, multimodal, simsearch, text
 EXTRA_QUERIES = {
     # text analysis
     "text_stats": text.q_text_stats,
+    "token_counts": text.q_token_counts,
     "doc_fingerprint_md5": text.q_doc_fingerprint,
     "fingerprint_rolling": text.q_fingerprint_rolling,
     "lang_id": text.q_lang_id,
@@ -25,6 +26,7 @@ EXTRA_QUERIES = {
     # similarity search
     "simsearch_topk": simsearch.q_simsearch_topk,
     "simsearch_lsh": simsearch.q_simsearch_lsh,
+    "simsearch_ivf": simsearch.q_simsearch_ivf,
     "embedding_near_dup": simsearch.q_embedding_near_dup,
     # multimodal plumbing
     "multimodal_decode": multimodal.q_multimodal_decode,
@@ -33,6 +35,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLE_SQL = {
     "text_stats": text.SQL_TEXT_STATS,
+    "token_counts": text.SQL_TOKEN_COUNTS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,
     "fingerprint_rolling": text.SQL_FINGERPRINT_ROLLING,
     "lang_id": text.SQL_LANG_ID,

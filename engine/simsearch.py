@@ -290,3 +290,128 @@ def q_embedding_near_dup(sf_dir: str):
     return pa.table({"vec_a": pa.array(df["vec_a"].astype(np.int64)),
                      "vec_b": pa.array(df["vec_b"].astype(np.int64)),
                      "cos_micro": pa.array(df["cos_micro"].astype(np.int64))})
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (rows-only): the clustered-partition scale path
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+_IVF_SAMPLE = 2048
+_IVF_ITERS = 10
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic spherical k-means centroids trained on a bounded
+    sample (driver-side numpy: the sample is ``_IVF_SAMPLE`` rows no
+    matter the corpus size — at 100 TB the train set is still KBs)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches = pf.iter_batches(batch_size=_IVF_SAMPLE)
+    t = pa.Table.from_batches([next(batches)])
+    M = _batch_mat(t)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    X = M / norms[:, None]
+    rng = np.random.default_rng(20260817)
+    C = X[rng.choice(len(X), size=min(_IVF_CELLS, len(X)), replace=False)]
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) or 1.0)
+    return C
+
+
+def ivf_index_dir(sf_dir: str) -> str:
+    """Cell-partitioned IVF layout: one pass assigns each row to its
+    nearest centroid and writes Parquet partitioned by ``cell=N`` — a
+    query probes only its top-``_IVF_NPROBE`` cells' partitions."""
+    import hashlib
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    tag = hashlib.blake2b(
+        f"ivf|{emb_path}|{st.st_mtime_ns}|{st.st_size}|{_IVF_CELLS}".encode(),
+        digest_size=8).hexdigest()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, "graft_ann_index", tag)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    C = _ivf_centroids(sf_dir)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        M = _batch_mat(t)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((M / norms[:, None]) @ C.T, axis=1)
+        return t.append_column("cell", pa.array(cell.astype(np.int64)))
+
+    _emb(sf_dir).map_batches(add_cell, batch_format="pyarrow") \
+        .write_parquet(d, partition_cols=["cell"])
+    with open(marker, "w") as f:
+        f.write(tag)
+    return d
+
+
+LAST_SCAN_IVF: dict = {}
+
+
+def q_simsearch_ivf(sf_dir: str):
+    """IVF ANN over the cell-partitioned index: rank centroids per query,
+    read only the top-``_IVF_NPROBE`` cells' partitions, exact-rank the
+    probed rows.  The clustered counterpart of the hyperplane-LSH path —
+    on real (clustered) embedding corpora IVF is usually the better
+    scale structure.  Scan accounting in ``LAST_SCAN_IVF``."""
+    import glob as _glob
+    import ray
+    import pyarrow.parquet as pq
+    Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    C = _ivf_centroids(sf_dir)
+    idx_dir = ivf_index_dir(sf_dir)
+    rows_total = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    LAST_SCAN_IVF.clear()
+    LAST_SCAN_IVF["rows_total"] = rows_total
+    LAST_SCAN_IVF["per_query_rows"] = {}
+
+    rows = []
+    for qi, qid in enumerate(QUERY_IDS):
+        cells = np.argsort(-(qn[qi] @ C.T))[:_IVF_NPROBE]
+        files = []
+        for c in cells:
+            files += _glob.glob(os.path.join(idx_dir, f"cell={c}", "*.parquet"))
+        if not files:
+            continue
+        ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+
+        def partial(t: pa.Table, _qi=qi, _qid=qid) -> pa.Table:
+            M = _batch_mat(t)
+            ids = pc.cast(t["vec_id"], pa.int64()).to_numpy()
+            keep = ids != _qid
+            if not keep.any():
+                return pa.table({"neighbor_id": pa.array([], type=pa.int64()),
+                                 "sim": pa.array([], type=pa.float64())})
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            s = (M / norms[:, None]) @ qn[_qi]
+            hid, sk = ids[keep], s[keep]
+            order = np.lexsort((hid, -sk))[:TOP_K]
+            return pa.table({"neighbor_id": pa.array(hid[order], type=pa.int64()),
+                             "sim": pa.array(sk[order], type=pa.float64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        LAST_SCAN_IVF["per_query_rows"][qid] = sum(
+            pq.read_metadata(f).num_rows for f in files)
+        g = parts.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((qid, int(r.neighbor_id), rank, int(round(r.sim * 1e6))))
+    return pa.table({"query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                     "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+                     "sim_micro": pa.array([r[3] for r in rows], type=pa.int64())})

@@ -50,6 +50,38 @@ FROM documents
 """
 
 
+# BPE-ish pre-tokenization (GPT-2-style word/number/punct split, minus the
+# lookbehinds RE2 lacks): alpha runs, digit runs, non-space symbol runs.
+# Identical RE2 semantics in Arrow and DuckDB, so the count is gate-exact.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting two ways (training-data budget accounting):
+    whitespace tokens and BPE-ish pre-tokens (alpha/digit/symbol runs),
+    plus the alpha/digit split — one vectorized RE2 pass per column."""
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_ws_tokens": pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+            "n_bpe_tokens": pc.cast(pc.count_substring_regex(txt, _BPE_RE), pa.int64()),
+            "n_alpha_tokens": pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]+"), pa.int64()),
+            "n_digit_tokens": pc.cast(pc.count_substring_regex(txt, r"[0-9]+"), pa.int64()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha_tokens,
+       len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_tokens
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # document fingerprint (gated: md5; rolling-hash variant below is rows-only)
 # ---------------------------------------------------------------------------

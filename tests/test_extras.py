@@ -254,3 +254,22 @@ def test_window_state_actor_idempotent(ray_session):
     assert s["value_milli"][(1, 0)] == 10 + 5
     assert s["value_milli"][(2, 0)] == 20
     assert s["n_applied"] == 2
+
+
+def test_ivf_ann_recall_and_scan(ray_session):
+    """IVF ANN (cell-partitioned index, nprobe=4 of 16): useful recall of
+    the exact top-5 while physically reading a bounded fraction of rows."""
+    from engine import simsearch
+    from engine.simsearch import q_simsearch_ivf, q_simsearch_topk
+    exact = _tbl(q_simsearch_topk(SF_DIR))
+    approx = q_simsearch_ivf(SF_DIR)
+    ex, ap = {}, {}
+    for q, n in zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()):
+        ex.setdefault(q, set()).add(n)
+    for q, n in zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()):
+        ap.setdefault(q, set()).add(n)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.3, recalls
+    scan = simsearch.LAST_SCAN_IVF
+    for qid, rows_read in scan["per_query_rows"].items():
+        assert rows_read / scan["rows_total"] < 0.6, (qid, rows_read)
