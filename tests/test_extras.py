@@ -273,3 +273,27 @@ def test_ivf_ann_recall_and_scan(ray_session):
     scan = simsearch.LAST_SCAN_IVF
     for qid, rows_read in scan["per_query_rows"].items():
         assert rows_read / scan["rows_total"] < 0.6, (qid, rows_read)
+
+
+def test_embedding_near_dup_planted_pair(ray_session, tmp_path):
+    """Two nearly-identical embedding vectors (cosine > 0.99) must surface
+    as a near-dup pair through the hyperplane blocking + exact verify."""
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    base = src.slice(7, 1).to_pydict()
+    v = np.asarray(base["embedding"][0], dtype=np.float64)
+    near = dict(base)
+    near["vec_id"] = [7_000_000]
+    near["embedding"] = [(v * 1.0001 + 1e-5).astype(np.float32).tolist()]
+    aug = pa.concat_tables([src, pa.table(near, schema=src.schema)])
+    d = tmp_path / "embnear"
+    d.mkdir()
+    pq.write_table(aug, str(d / "embeddings.parquet"))
+    from engine.simsearch import q_embedding_near_dup
+    t = q_embedding_near_dup(str(d))
+    pairs = {(a, b): c for a, b, c in zip(
+        t["vec_a"].to_pylist(), t["vec_b"].to_pylist(),
+        t["cos_micro"].to_pylist())}
+    orig = src["vec_id"][7].as_py()
+    assert (orig, 7_000_000) in pairs
+    assert pairs[(orig, 7_000_000)] >= 990_000
