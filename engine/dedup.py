@@ -395,12 +395,75 @@ def verify_pairs_exact(sf_dir: str, pairs: pa.Table) -> pa.Table:
     return pa.concat_tables(ray.get(ds.to_arrow_refs()))
 
 
+def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
+                               max_iters: int = 50) -> pa.Table:
+    """Distributed connected components over the verified-pair graph:
+    min-label propagation as iterated ``Dataset.join`` + ``groupby.min``
+    — the scale substitute for driver-side union-find when the pair graph
+    exceeds driver memory.  Labels live in a Dataset throughout; the
+    driver sees only a scalar label-sum per round (monotone decreasing,
+    fixed point = converged).  O(component diameter) rounds.
+
+    Output contract identical to :func:`q_dedup_clusters`:
+    (doc_id, cluster_id = component min, survivor = is-min)."""
+    import ray
+    from ray.data.aggregate import Min
+    if "jaccard_milli" in pairs.column_names:
+        pairs = pairs.filter(
+            pc.greater_equal(pairs["jaccard_milli"], threshold_milli))
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "cluster_id": pa.array([], type=pa.int64()),
+                         "survivor": pa.array([], type=pa.bool_())})
+    a = pc.cast(pairs["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)
+    b = pc.cast(pairs["doc_b"], pa.int64()).to_numpy(zero_copy_only=False)
+    edges = pa.table({
+        "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+        "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+    })
+    nodes = pc.unique(edges["src"])
+    edges_ds = ray.data.from_arrow(edges)
+    labels_ds = ray.data.from_arrow(pa.table({"node": nodes, "label": nodes}))
+    prev_sum = None
+    for _ in range(max_iters):
+        msg = edges_ds.join(labels_ds, join_type="inner", num_partitions=4,
+                            on=("src",), right_on=("node",))
+        msg = msg.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow")
+        labels_ds = msg.union(labels_ds).groupby("node") \
+            .aggregate(Min("label", alias_name="label"))
+        s = labels_ds.sum("label")  # scalar to the driver, nothing else
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["node"], pa.int64()),
+            "cluster_id": pc.cast(t["label"], pa.int64()),
+            "survivor": pc.equal(t["node"], t["label"]),
+        })
+
+    out = pa.concat_tables(
+        ray.get(labels_ds.map_batches(finalize, batch_format="pyarrow")
+                .to_arrow_refs()))
+    return out.sort_by("doc_id")
+
+
+def q_dedup_clusters_lp(sf_dir: str):
+    """Cluster/survivor selection via the DISTRIBUTED label-propagation
+    path (same output contract as q_dedup_clusters, which uses driver
+    union-find; equality of the two is asserted in tests)."""
+    return clusters_label_propagation(q_dedup_minhash_lsh(sf_dir))
+
+
 def q_dedup_clusters(sf_dir: str, threshold_milli: int = 500):
     """Near-dup clusters + survivor selection: union-find over the verified
     MinHash-LSH pairs (the verified-pair graph is small — caps + exact
     collapse bound it — so components resolve on the driver; at a scale
-    where they do not, switch to the iterative min-label-propagation
-    groupby the ray_guide describes — same output contract).
+    where they do not, :func:`clusters_label_propagation` is the
+    distributed path with the identical output contract).
     Survivor = min doc_id per cluster."""
     pairs = q_dedup_minhash_lsh(sf_dir)
     parent: dict = {}

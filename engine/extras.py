@@ -21,6 +21,7 @@ EXTRA_QUERIES = {
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "dedup_clusters": dedup.q_dedup_clusters,
+    "dedup_clusters_lp": dedup.q_dedup_clusters_lp,
     "dedup_simhash": dedup.q_dedup_simhash,
     "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
     # similarity search

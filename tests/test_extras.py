@@ -297,3 +297,28 @@ def test_embedding_near_dup_planted_pair(ray_session, tmp_path):
     orig = src["vec_id"][7].as_py()
     assert (orig, 7_000_000) in pairs
     assert pairs[(orig, 7_000_000)] >= 990_000
+
+
+def test_label_propagation_equals_union_find(ray_session, tmp_path):
+    """The distributed min-label-propagation clustering must produce the
+    identical (doc_id, cluster_id, survivor) table as driver union-find,
+    including a planted transitive chain."""
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.slice(0, 1).to_pydict()
+    chain = []
+    for new_id in (771001, 771002, 771003):
+        d = dict(base)
+        d["doc_id"] = [new_id]
+        chain.append(pa.table(d, schema=src.schema))
+    aug = pa.concat_tables([src] + chain)
+    d = tmp_path / "lp"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_dedup_clusters, q_dedup_clusters_lp
+    uf = q_dedup_clusters(str(d))
+    lp = q_dedup_clusters_lp(str(d))
+    assert uf.sort_by("doc_id").equals(lp.sort_by("doc_id"))
+    rows = {r["doc_id"]: r for r in lp.to_pylist()}
+    orig = src["doc_id"][0].as_py()
+    assert rows[771003]["cluster_id"] == rows[orig]["cluster_id"]
