@@ -28,15 +28,27 @@ from engine.oracle import ERR_OK
 
 
 class JsonBuilder:
-    """Decode + assemble the reference-shaped nested dict per row."""
+    """Decode + assemble the reference-shaped nested dict per row.
 
-    def __init__(self):
-        self.decoder = Decoder()
+    ``metadata_path`` decodes against a REFERENCE-format metadata JSON;
+    ``version_fallback`` enables the CLI-path first-table resolution;
+    ``include_timing`` adds the reference's ``decode_time_ms`` metadata
+    (off by default so distributed JSON output stays deterministic)."""
+
+    def __init__(self, metadata_path: Optional[str] = None,
+                 version_fallback: bool = False,
+                 include_timing: bool = False):
+        from engine.stages import shared_decoder
+        self.decoder = shared_decoder(metadata_path, version_fallback)
         self.compiled = self.decoder.compiled
+        self.include_timing = include_timing
 
     def build_rows(self, t: pa.Table) -> List[Optional[Dict[str, Any]]]:
+        import time as _time
+        t0 = _time.monotonic()
         t = t.combine_chunks()
-        view = BatchView(t["tokens"])
+        from engine.stages import batch_view
+        view = batch_view(t)
         cls = self.decoder.classify(view)
         out: List[Optional[Dict[str, Any]]] = [None] * t.num_rows
         from engine.kernels import group_rows_by_layout
@@ -44,7 +56,6 @@ class JsonBuilder:
             layout = self.compiled[(mt, ver)]
             cols = self.decoder.decode_group(view, rows, layout)
             colpy = {k: v.to_pylist() for k, v in cols.items()}
-            n_toks = t["n_tok"].to_pylist()
             for j, ri in enumerate(rows):
                 fields: Dict[str, Any] = {}
                 for s in layout.scalars:
@@ -69,6 +80,12 @@ class JsonBuilder:
                     if dname in fields and f"{dname} (Decoded)" in colpy:
                         fields[dname]["decoded"] = colpy[f"{dname} (Decoded)"][j]
                 ri = int(ri)
+                meta = {
+                    # true byte length when the source carries it (hex
+                    # ingest payload_nbytes); token-derived otherwise
+                    "payload_size_bytes": int(view.payload_nbytes[ri]),
+                    "fields_parsed": len(fields),
+                }
                 out[ri] = {
                     "logcode_id": f"0x{mt:04X}",
                     "logcode_name": layout.msg_name,
@@ -78,11 +95,13 @@ class JsonBuilder:
                         "table": layout.table_name,
                     },
                     "fields": fields,
-                    "metadata": {
-                        "payload_size_bytes": 4 * max(0, int(n_toks[ri]) - HEADER_TOKENS),
-                        "fields_parsed": len(fields),
-                    },
+                    "metadata": meta,
                 }
+        if self.include_timing:
+            ms = round((_time.monotonic() - t0) * 1e3, 2)
+            for r in out:
+                if r is not None:
+                    r["metadata"]["decode_time_ms"] = ms
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -94,9 +113,14 @@ class JsonBuilder:
         })
 
 
-def json_stage(ds, batch_size: Optional[int] = None):
+def json_stage(ds, batch_size: Optional[int] = None,
+               metadata_path: Optional[str] = None,
+               version_fallback: bool = False):
     """Dataset of decoded-packet JSON strings (feed to ``ds.write_json``)."""
     return ds.map_batches(JsonBuilder, batch_format="pyarrow",
+                          fn_constructor_kwargs={
+                              "metadata_path": metadata_path,
+                              "version_fallback": version_fallback},
                           batch_size=batch_size, concurrency=(1, 8), num_cpus=1)
 
 

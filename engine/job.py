@@ -61,6 +61,16 @@ def main(argv=None) -> int:
                         "logcode's first table (reference CLI-path semantics, "
                         "version_resolver.py:46-50) instead of dead-lettering")
 
+    dc = sub.add_parser("decode", help="one-shot hex decode -> reference-"
+                        "shaped JSON (hex_decoder_module/cli.py parity: "
+                        "pretty file for one packet, JSONL for many)")
+    dc.add_argument("--input", required=True, nargs="+", help="hex text file(s)")
+    dc.add_argument("--metadata", default=None, help="reference metadata JSON "
+                    "(omit to decode against the built-in catalog)")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--compact", action="store_true")
+    dc.add_argument("--version-fallback", action="store_true")
+
     h = sub.add_parser("run-hex", help="decode reference hex files with a "
                        "reference metadata JSON (migration path)")
     h.add_argument("--input", required=True, nargs="+", help="hex text file(s)")
@@ -129,6 +139,35 @@ def main(argv=None) -> int:
                       version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows,
                           "wall_s": round(time.monotonic() - t0, 3)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "decode":
+        ray = _ensure_ray(args.num_cpus)
+        import json as _json
+        from engine import sources
+        from engine.export import JsonBuilder, append_jsonl, write_compact, write_pretty
+        ds = sources.read_hex_packets(args.input)
+        builder = JsonBuilder(metadata_path=args.metadata,
+                              version_fallback=args.version_fallback,
+                              include_timing=True)
+        rows = []
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            docs = builder.build_rows(t)
+            errs = t["ingest_error"].to_pylist()
+            for doc_id, d, ie in zip(t["doc_id"].to_pylist(), docs, errs):
+                if d is None:
+                    d = {"doc_id": doc_id, "error": "undecodable",
+                         "ingest_error": int(ie)}
+                rows.append(d)
+        if len(rows) == 1:
+            (write_compact if args.compact else write_pretty)(rows[0], args.out)
+        else:
+            if os.path.exists(args.out):
+                os.remove(args.out)
+            for d in rows:
+                append_jsonl(d, args.out)
+        print(_json.dumps({"out": args.out, "packets": len(rows)}))
         ray.shutdown()
         return 0
 

@@ -228,3 +228,48 @@ def test_version_fallback_mode_hex_path(ray_session, tmp_path):
     row = pads.dataset(files[0]).to_table().to_pylist()[0]
     assert row["Status"] == 0xAA      # decoded with the FIRST table (t1)
     assert row["version"] == 7        # raw version preserved
+
+
+def test_decode_cli_one_shot_json(ray_session, tmp_path, capsys):
+    """Entry-point-A parity (hex_decoder_module/cli.py): one hex packet ->
+    reference-shaped pretty JSON with decode metadata; many packets ->
+    JSONL; undecodable packets -> error records."""
+    from engine.fixtures import ensure_fixtures
+    from engine.job import main
+    fix = ensure_fixtures("sf0.001")
+    t = pads.dataset(f"{fix}/sequences").to_table()
+    toks = next(tk for tk in t["tokens"].to_pylist()
+                if len(tk) >= 4 and tk[0] == 0x3A11 and tk[1] == 1)
+    one = tmp_path / "one.hex"
+    one.write_text(sources.render_hex_packet(toks))
+    outp = tmp_path / "one.json"
+    assert main(["decode", "--input", str(one), "--out", str(outp)]) == 0
+    capsys.readouterr()
+    doc = json.loads(outp.read_text())
+    assert doc["logcode_id"] == "0x3A11"
+    o = OracleDecoder()
+    ref = o.decode_row(toks)
+    for k, v in ref["fields"].items():
+        if k.endswith("(Decoded)"):
+            assert doc["fields"][k[:-len(" (Decoded)")]]["decoded"] == v
+        else:
+            assert doc["fields"][k]["raw"] == v, k
+    assert doc["metadata"]["fields_parsed"] == len(
+        [k for k in doc["fields"]])
+    assert "decode_time_ms" in doc["metadata"]
+
+    # multi-packet + one malformed -> JSONL with an error record
+    toks2 = next(tk for tk in t["tokens"].to_pylist()
+                 if len(tk) >= 4 and tk[0] == 0x2001 and tk[1] == 1)
+    many = tmp_path / "many.hex"
+    many.write_text(sources.render_hex_packet(toks)
+                    + "\n" + sources.render_hex_packet(toks2)
+                    + "\nLength: 5\nHeader: ZZ\nPayload:\n00\n")
+    outl = tmp_path / "many.jsonl"
+    assert main(["decode", "--input", str(many), "--out", str(outl)]) == 0
+    capsys.readouterr()
+    lines = [json.loads(x) for x in outl.read_text().strip().splitlines()]
+    assert len(lines) == 3
+    assert {d.get("logcode_id") for d in lines if "logcode_id" in d} == \
+        {"0x3A11", "0x2001"}
+    assert any("error" in d for d in lines)
