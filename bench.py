@@ -49,8 +49,15 @@ def run_bench() -> dict:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-                 logging_level="ERROR")
+        try:
+            ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                     logging_level="ERROR")
+        except Exception:
+            # a just-torn-down session can leave ports/raylet state behind
+            # for a few seconds; one retry covers back-to-back invocations
+            time.sleep(10)
+            ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                     logging_level="ERROR")
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

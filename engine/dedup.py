@@ -240,11 +240,14 @@ def minhash_signatures(t: pa.Table) -> tuple:
 
 def _sig_band_key(sig: np.ndarray, band: int) -> int:
     """Recompute one band's bucket key from a (64,) signature (used inside
-    buckets to detect earlier-band collisions without any global dedup)."""
-    k = _FNV_OFF
+    buckets to detect earlier-band collisions without any global dedup).
+    Python-int arithmetic: numpy SCALAR uint64 multiply warns on overflow
+    (array ops wrap silently); the masked fold is value-identical."""
+    k = int(_FNV_OFF)
+    prm = int(_FNV_PRM)
     for j in range(_BAND_ROWS):
-        k = (k ^ sig[band * _BAND_ROWS + j]) * _FNV_PRM
-    return int(k)
+        k = ((k ^ int(sig[band * _BAND_ROWS + j])) * prm) & 0xFFFFFFFFFFFFFFFF
+    return k
 
 
 def q_dedup_minhash_lsh(sf_dir: str):
