@@ -7,7 +7,7 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import dedup, multimodal, simsearch, text
+from engine import curate, dedup, multimodal, simsearch, text
 
 EXTRA_QUERIES = {
     # text analysis
@@ -32,6 +32,9 @@ EXTRA_QUERIES = {
     # multimodal plumbing
     "multimodal_decode": multimodal.q_multimodal_decode,
     "multimodal_stats": multimodal.q_multimodal_stats,
+    # composite curation pipeline
+    "curate_corpus": curate.q_curate_corpus,
+    "curate_corpus_neardup": curate.q_curate_corpus_neardup,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -44,6 +47,7 @@ EXTRA_ORACLE_SQL = {
     "dedup_exact": dedup.SQL_DEDUP_EXACT,
     "simsearch_topk": simsearch.SQL_SIMSEARCH_TOPK,
     "multimodal_stats": multimodal.SQL_MULTIMODAL_STATS,
+    "curate_corpus": curate.SQL_CURATE_CORPUS,
 }
 
 ROWS_ONLY_QUERIES = {k: v for k, v in EXTRA_QUERIES.items()

@@ -99,6 +99,15 @@ def main(argv=None) -> int:
     c.add_argument("arg", nargs="?", help="search term / logcode (0xNNNN)")
     c.add_argument("--version", type=int, default=None)
 
+    cu = sub.add_parser("curate", help="curate a documents corpus: quality + "
+                        "language filter + exact dedup -> hash-sharded parquet")
+    cu.add_argument("--docs", required=True,
+                    help="path to a documents.parquet (schema: doc_id, text, ...)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--quality-min", type=int, default=600,
+                    help="minimum quality_milli (default 600)")
+    cu.add_argument("--shards", type=int, default=16)
+
     md = sub.add_parser("metadata", help="emit REFERENCE-format metadata JSON "
                         "from the catalog (metadata_cli.py single/multi parity)")
     md.add_argument("--logcode", default=None, help="0xNNNN for single-logcode "
@@ -224,6 +233,16 @@ def main(argv=None) -> int:
             rows = [{"table": t} for t in cq.dependency_closure(args.arg)]
         for r in rows:
             print(json.dumps(r))
+        return 0
+
+    if args.cmd == "curate":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.curate import curate_to_parquet
+        stats = curate_to_parquet(args.docs, args.out,
+                                  quality_min=args.quality_min,
+                                  num_shards=args.shards)
+        print(json.dumps(stats))
+        ray.shutdown()
         return 0
 
     if args.cmd == "metadata":

@@ -237,45 +237,50 @@ SQL_LANG_ID = _sql_lang_id()
 _STOPWORDS = frozenset("the and of a to in is for on it as at by be this".split())
 
 
-def q_quality_score(sf_dir: str):
-    """Length / punctuation / stopword-ratio quality heuristic,
-    fully vectorized (Arrow split + is_in + segment sums) with
-    integer micro/milli outputs so the DuckDB oracle value-hashes
-    exactly (identical IEEE expression order on both sides)."""
+def quality_batch(t: pa.Table) -> pa.Table:
+    """Per-doc quality metrics for one batch — the reusable body of
+    :func:`q_quality_score` (also composed into the curation pipeline).
+    Fully vectorized (Arrow split + is_in + segment sums) with integer
+    micro/milli outputs so the DuckDB oracle value-hashes exactly
+    (identical IEEE expression order on both sides)."""
     stop_arr = pa.array(sorted(_STOPWORDS), type=pa.string())
+    txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
+        else t["text"]
+    n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(txt, r"[.,!?;:]").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, offs = _split_tokens(txt)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    stop_hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+    sum_wlen = _segment_sums(wlen, offs).astype(np.float64)
+    n_stop = _segment_sums(stop_hits, offs).astype(np.float64)
 
-    def fn(t: pa.Table) -> pa.Table:
-        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
-            else t["text"]
-        n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_punct = pc.count_substring_regex(txt, r"[.,!?;:]").to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat, offs = _split_tokens(txt)
-        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-        stop_hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
-        sum_wlen = _segment_sums(wlen, offs).astype(np.float64)
-        n_stop = _segment_sums(stop_hits, offs).astype(np.float64)
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    stop_ratio = n_stop / denom
+    mean_wlen = np.where(n_words > 0, sum_wlen / denom, 0.0)
+    punct = n_punct / np.maximum(n_chars, 1).astype(np.float64)
+    score = (np.clip(n_words / 50.0, 0, 1) * 0.4
+             + np.clip(stop_ratio * 3, 0, 1) * 0.3
+             + np.clip(1 - punct * 10, 0, 1) * 0.3)
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "n_words": pa.array(n_words),
+        "stop_ratio_micro": pa.array(
+            np.floor(stop_ratio * 1e6 + 0.5).astype(np.int64)),
+        "mean_wlen_micro": pa.array(
+            np.floor(mean_wlen * 1e6 + 0.5).astype(np.int64)),
+        "quality_milli": pa.array(
+            np.floor(score * 1000 + 0.5).astype(np.int64)),
+    })
 
-        denom = np.maximum(n_words, 1).astype(np.float64)
-        stop_ratio = n_stop / denom
-        mean_wlen = np.where(n_words > 0, sum_wlen / denom, 0.0)
-        punct = n_punct / np.maximum(n_chars, 1).astype(np.float64)
-        score = (np.clip(n_words / 50.0, 0, 1) * 0.4
-                 + np.clip(stop_ratio * 3, 0, 1) * 0.3
-                 + np.clip(1 - punct * 10, 0, 1) * 0.3)
-        return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "n_words": pa.array(n_words),
-            "stop_ratio_micro": pa.array(
-                np.floor(stop_ratio * 1e6 + 0.5).astype(np.int64)),
-            "mean_wlen_micro": pa.array(
-                np.floor(mean_wlen * 1e6 + 0.5).astype(np.int64)),
-            "quality_milli": pa.array(
-                np.floor(score * 1000 + 0.5).astype(np.int64)),
-        })
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+def q_quality_score(sf_dir: str):
+    """Length / punctuation / stopword-ratio quality heuristic (gated);
+    see :func:`quality_batch` for the kernel."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow")
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))

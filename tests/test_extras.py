@@ -322,3 +322,50 @@ def test_label_propagation_equals_union_find(ray_session, tmp_path):
     rows = {r["doc_id"]: r for r in lp.to_pylist()}
     orig = src["doc_id"][0].as_py()
     assert rows[771003]["cluster_id"] == rows[orig]["cluster_id"]
+
+
+def test_curate_corpus_composition(ray_session, tmp_path):
+    """The composite curation pipeline equals the explicit composition of
+    its parts (quality filter ∩ lang filter, then exact-dedup min), and
+    the CLI writes the hash-sharded curated parquet + stats."""
+    from engine.curate import q_curate_corpus, QUALITY_MIN_MILLI
+    from engine.text import q_lang_id, q_quality_score
+    from engine.dedup import q_dedup_exact
+    curated = set(_tbl(q_curate_corpus(SF_DIR))["doc_id"].to_pylist())
+    q = _tbl(q_quality_score(SF_DIR))
+    lang = _tbl(q_lang_id(SF_DIR))
+    good_q = {d for d, m in zip(q["doc_id"].to_pylist(),
+                                q["quality_milli"].to_pylist())
+              if m >= QUALITY_MIN_MILLI}
+    good_l = {d for d, p in zip(lang["doc_id"].to_pylist(),
+                                lang["pred_lang"].to_pylist())
+              if p != "unknown"}
+    passing = good_q & good_l
+    assert curated <= passing           # every curated doc passed filters
+    assert 0 < len(curated) <= len(passing)
+    # survivors of exact dedup restricted to passing docs
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    by_text = {}
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        if d in passing:
+            by_text.setdefault(txt, []).append(d)
+    want = {min(v) for v in by_text.values()}
+    assert curated == want
+
+    # CLI end-to-end
+    import glob as _glob
+    import json as _json
+    import subprocess, sys
+    out = str(tmp_path / "curated")
+    from engine.job import main
+    assert main(["curate", "--docs", f"{SF_DIR}/documents.parquet",
+                 "--out", out]) == 0
+    import pyarrow.dataset as pads
+    written = pads.dataset(out, partitioning="hive").to_table()
+    assert set(pads.dataset(out, partitioning="hive")
+               .to_table(columns=["doc_id"])["doc_id"].to_pylist()) == curated
+    stats = _json.load(open(f"{out}/_curation_stats.json"))
+    assert stats["curated_docs"] == len(curated)
+    assert stats["input_docs"] == 500
