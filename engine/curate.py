@@ -130,6 +130,11 @@ def curate_to_parquet(docs_path: str, out_dir: str,
     once; the documents stream through a second filtered pass."""
     import json
     import ray
+    if os.path.basename(docs_path) != "documents.parquet":
+        raise ValueError(
+            "curate expects the documents table at <dir>/documents.parquet "
+            f"(got {docs_path!r}) — the queries()/oracle contract is keyed "
+            "on that name")
     sf_dir = os.path.dirname(os.path.abspath(docs_path)) or "."
     ids_tbl = pa.concat_tables(ray.get(q_curate_corpus(sf_dir, quality_min)
                                        .to_arrow_refs()))
