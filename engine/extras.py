@@ -32,6 +32,8 @@ EXTRA_QUERIES = {
     # multimodal plumbing
     "multimodal_decode": multimodal.q_multimodal_decode,
     "multimodal_stats": multimodal.q_multimodal_stats,
+    "multimodal_resize": multimodal.q_multimodal_resize,
+    "multimodal_frames": multimodal.q_multimodal_frames,
     # composite curation pipeline
     "curate_corpus": curate.q_curate_corpus,
     "curate_corpus_neardup": curate.q_curate_corpus_neardup,
@@ -47,6 +49,8 @@ EXTRA_ORACLE_SQL = {
     "dedup_exact": dedup.SQL_DEDUP_EXACT,
     "simsearch_topk": simsearch.SQL_SIMSEARCH_TOPK,
     "multimodal_stats": multimodal.SQL_MULTIMODAL_STATS,
+    "multimodal_resize": multimodal.SQL_MULTIMODAL_RESIZE,
+    "multimodal_frames": multimodal.SQL_MULTIMODAL_FRAMES,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
 }
 

@@ -129,6 +129,114 @@ def q_multimodal_stats(sf_dir: str):
                                        Sum("n_docs", alias_name="n_docs"))
 
 
+class FakeImageResizer:
+    """Actor-pool resize stage (the image-transform plumbing shape): parses
+    the container, stride-2 downsamples the (h, w, ch) body, re-emits a
+    valid container + new dims.  ``__init__`` is the once-per-actor codec
+    site; a real deployment swaps in a PIL/opencv body with the same
+    signature."""
+
+    def __init__(self):
+        self.magic = _MAGIC
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, payloads, ws, hs, chs, nbytes = [], [], [], [], [], []
+        for doc, buf in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            w, h, c = struct.unpack("<HHB", buf[4:9])
+            body = np.frombuffer(buf, dtype=np.uint8, offset=9).reshape(h, w, c)
+            small = body[::2, ::2, :]
+            h2, w2 = small.shape[0], small.shape[1]
+            out = self.magic + struct.pack("<HHB", w2, h2, c) + small.tobytes()
+            ids.append(doc); payloads.append(out)
+            ws.append(w2); hs.append(h2); chs.append(c); nbytes.append(len(out))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "channels": pa.array(chs, type=pa.int64()),
+            "n_bytes": pa.array(nbytes, type=pa.int64()),
+        })
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Resize stage output metadata, gated: the oracle re-derives the
+    downsampled dims + byte size from the md5 header derivation, so the
+    gate proves the binary transform produced exactly the advertised
+    container."""
+    ds = attach_binary_column(sf_dir)
+    out = ds.map_batches(FakeImageResizer, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 4), num_cpus=1)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "width", "height", "channels", "n_bytes"]),
+        batch_format="pyarrow")
+
+
+# ceil(x/2) of the original md5-derived dims; out bytes = 9 + w2*h2*ch
+SQL_MULTIMODAL_RESIZE = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(doc_id::VARCHAR) AS hx FROM documents
+), m AS (
+  SELECT doc_id,
+         ((16 + ('0x' || substr(hx, 1, 2))::INT % 64) + 1) // 2 AS w2,
+         ((16 + ('0x' || substr(hx, 3, 2))::INT % 64) + 1) // 2 AS h2,
+         (1 + ('0x' || substr(hx, 5, 2))::INT % 3) AS ch
+  FROM d
+)
+SELECT doc_id, w2::BIGINT AS width, h2::BIGINT AS height, ch::BIGINT AS channels,
+       (9 + w2 * h2 * ch)::BIGINT AS n_bytes
+FROM m
+"""
+
+
+class FakeFrameSampler:
+    """Actor-pool frame-sampling stage (the video plumbing shape): treats
+    the container body as ``height`` frames of ``width*channels`` bytes
+    and keeps every ``stride``-th frame."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, nf, ns, sb = [], [], [], []
+        for doc, buf in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            w, h, c = struct.unpack("<HHB", buf[4:9])
+            frames = np.frombuffer(buf, dtype=np.uint8, offset=9).reshape(h, w * c)
+            kept = frames[::self.stride]
+            ids.append(doc); nf.append(h)
+            ns.append(kept.shape[0]); sb.append(int(kept.size))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(nf, type=pa.int64()),
+            "n_sampled": pa.array(ns, type=pa.int64()),
+            "sampled_bytes": pa.array(sb, type=pa.int64()),
+        })
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling stage metadata, gated against the md5 header
+    derivation (frames = height, every 4th kept)."""
+    ds = attach_binary_column(sf_dir)
+    return ds.map_batches(FakeFrameSampler, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4), num_cpus=1)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(doc_id::VARCHAR) AS hx FROM documents
+), m AS (
+  SELECT doc_id,
+         (16 + ('0x' || substr(hx, 1, 2))::INT % 64) AS w,
+         (16 + ('0x' || substr(hx, 3, 2))::INT % 64) AS h,
+         (1 + ('0x' || substr(hx, 5, 2))::INT % 3) AS ch
+  FROM d
+)
+SELECT doc_id, h::BIGINT AS n_frames, ((h + 3) // 4)::BIGINT AS n_sampled,
+       (((h + 3) // 4) * w * ch)::BIGINT AS sampled_bytes
+FROM m
+"""
+
+
 # DuckDB mirror of the fake-container header derivation (md5 digest bytes
 # 0/1/2 -> width/height/channels), then the same per-channel aggregate the
 # Ray stage computes from the DECODED payloads — gating that the binary

@@ -369,3 +369,29 @@ def test_curate_corpus_composition(ray_session, tmp_path):
     stats = _json.load(open(f"{out}/_curation_stats.json"))
     assert stats["curated_docs"] == len(curated)
     assert stats["input_docs"] == 500
+
+
+def test_multimodal_resize_and_frames_plumbing(ray_session):
+    """Resize halves dims with a valid re-emitted container; frame
+    sampling keeps every 4th frame — both gate-checked vs the md5 header
+    derivation, here spot-checked against the decoded originals."""
+    from engine.multimodal import (
+        FakeImageDecoder, q_multimodal_frames, q_multimodal_resize,
+        attach_binary_column)
+    orig = _tbl(q_multimodal_resize(SF_DIR))
+    dec = _tbl(attach_binary_column(SF_DIR).map_batches(
+        FakeImageDecoder, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1))
+    dims = {d: (w, h, c) for d, w, h, c in zip(
+        dec["doc_id"].to_pylist(), dec["width"].to_pylist(),
+        dec["height"].to_pylist(), dec["channels"].to_pylist())}
+    for r in orig.slice(0, 50).to_pylist():
+        w, h, c = dims[r["doc_id"]]
+        assert r["width"] == (w + 1) // 2 and r["height"] == (h + 1) // 2
+        assert r["n_bytes"] == 9 + r["width"] * r["height"] * c
+    fr = _tbl(q_multimodal_frames(SF_DIR))
+    for r in fr.slice(0, 50).to_pylist():
+        w, h, c = dims[r["doc_id"]]
+        assert r["n_frames"] == h
+        assert r["n_sampled"] == (h + 3) // 4
+        assert r["sampled_bytes"] == r["n_sampled"] * w * c
