@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from engine.dedup import _content_hash, _docs
-from engine.text import LangId, quality_batch, _sql_lang_id, _STOPWORDS
+from engine.text import LangId, quality_batch, _STOPWORDS
 
 QUALITY_MIN_MILLI = 600
 

@@ -24,7 +24,7 @@ seconds, and identical (n_rows, seed) always yields identical content.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 import pyarrow as pa

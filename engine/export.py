@@ -19,12 +19,8 @@ import json
 import os
 from typing import Any, Dict, List, Optional
 
-import numpy as np
 import pyarrow as pa
 
-from engine.catalog import HEADER_TOKENS, compile_catalog
-from engine.kernels import BatchView, Decoder
-from engine.oracle import ERR_OK
 
 
 class JsonBuilder:

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from engine.catalog import (
-    CompiledLayout, HEADER_TOKENS, RecordSpec, ScalarSpec, compile_catalog,
+    CompiledLayout, HEADER_TOKENS, RecordSpec, compile_catalog,
 )
 from engine.oracle import (
     ERR_OK, ERR_TOO_SHORT_HEADER, ERR_UNKNOWN_MSG_TYPE, ERR_UNKNOWN_VERSION,

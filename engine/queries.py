@@ -23,8 +23,6 @@ arithmetic (LE byte windows, shift, mask — utils/byte_ops.py:31-66) from
 from __future__ import annotations
 
 import os
-from typing import Dict
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,7 +30,7 @@ import pyarrow.parquet as pq
 
 from engine import fixtures, stages
 from engine.catalog import compile_catalog
-from engine.kernels import BatchView, Decoder, group_rows_by_layout
+from engine.kernels import BatchView, Decoder
 from engine.oracle import ERR_OK
 
 FIX01 = "/root/repo/fixtures/sf0.01"

@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional
 
-import numpy as np
 import pyarrow as pa
 
 from engine.catalog import LogcodeDef, build_catalog

@@ -13,10 +13,7 @@ All math in float64 so the DuckDB (double) oracle ranks identically.
 
 from __future__ import annotations
 
-import heapq
 import os
-from typing import List
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
