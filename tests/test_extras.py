@@ -395,3 +395,24 @@ def test_multimodal_resize_and_frames_plumbing(ray_session):
         assert r["n_frames"] == h
         assert r["n_sampled"] == (h + 3) // 4
         assert r["sampled_bytes"] == r["n_sampled"] * w * c
+
+
+def test_operators_handle_empty_corpus(ray_session, tmp_path):
+    """Every text/dedup/curation operator returns a clean 0-row result on
+    an empty documents table (offset/reduceat/groupby edge cases)."""
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
+    pq.write_table(emb.slice(0, 0), str(d / "embeddings.parquet"))
+    from engine import curate, dedup, text
+    for fn in (dedup.q_dedup_exact, dedup.q_dedup_minhash_lsh,
+               dedup.q_dedup_simhash, dedup.q_ngram_jaccard_pairs,
+               dedup.q_dedup_clusters, dedup.q_dedup_clusters_lp,
+               text.q_text_stats, text.q_quality_score, text.q_lang_id,
+               text.q_fingerprint_rolling, curate.q_curate_corpus):
+        res = fn(str(d))
+        n = res.num_rows if isinstance(res, pa.Table) else res.count()
+        assert n == 0, fn
