@@ -93,10 +93,12 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
     nb = target_num_blocks or default_num_blocks(files)
     ds = ray.data.read_parquet(list(files), override_num_blocks=nb)
     if use_actor_stages:
-        ds = stages.parse_stage(ds, batch_size=batch_size)
+        ds = stages.parse_stage(ds, batch_size=batch_size,
+                                version_fallback=version_fallback)
         ds = stages.enrich_stage(ds, source_meta_ref, batch_size=batch_size)
         lin = stages.decode_route_stage(ds, out_dir, part_tag=tag,
-                                        batch_size=batch_size, concurrency=concurrency)
+                                        batch_size=batch_size, concurrency=concurrency,
+                                        version_fallback=version_fallback)
     else:
         lin = stages.fused_stage(ds, out_dir, tag, source_meta_ref,
                                  version_fallback=version_fallback)

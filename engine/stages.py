@@ -134,8 +134,11 @@ def parse_batch(t: pa.Table, metadata_path: Optional[str] = None,
     return t
 
 
-def parse_stage(ds, batch_size: int = 65536):
-    return ds.map_batches(parse_batch, batch_format="pyarrow",
+def parse_stage(ds, batch_size: int = 65536, version_fallback: bool = False):
+    import functools
+    fn = functools.partial(parse_batch, version_fallback=version_fallback) \
+        if version_fallback else parse_batch
+    return ds.map_batches(fn, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
 
 
@@ -311,10 +314,12 @@ class DecodeRouter:
 
 
 def decode_route_stage(ds, out_dir: str, part_tag: str = "p0000",
-                       batch_size: int = 65536, concurrency=(1, 32)):
-    return ds.map_batches(DecodeRouter, fn_constructor_args=(out_dir, part_tag),
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                       batch_size: int = 65536, concurrency=(1, 32),
+                       version_fallback: bool = False):
+    return ds.map_batches(
+        DecodeRouter, fn_constructor_args=(out_dir, part_tag, None, version_fallback),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
 
 
 # ---------------------------------------------------------------------------

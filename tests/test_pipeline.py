@@ -221,3 +221,24 @@ def test_task_retry_idempotent_sink_writes(ray_session, sf_small, tmp_path):
                 assert doc not in got, f"duplicate {doc} in {sink} after retry"
                 got[doc] = toks
         assert got == want, sink
+
+
+def test_actor_stage_pipeline_matches_fused(ray_session, sf_small, tmp_path):
+    """The 3-stage actor-pool pipeline (API-parity path) produces the same
+    aggregate as the fused stage, including under version fallback."""
+    from engine.pipeline import run_job
+    outs = {}
+    for name, kw in (("fused", {}), ("actor", {"use_actor_stages": True}),
+                     ("actor_fb", {"use_actor_stages": True,
+                                   "version_fallback": True})):
+        out = str(tmp_path / name)
+        agg = run_job(f"{sf_small}/sequences", out,
+                      f"{sf_small}/source_meta.parquet", **kw)
+        outs[name] = {(s, m): (n, tk) for s, m, n, tk in zip(
+            agg["source"].to_pylist(), agg["msg_type"].to_pylist(),
+            agg["n_rows"].to_pylist(), agg["sum_n_tok"].to_pylist())}
+    assert outs["fused"] == outs["actor"]
+    # fallback recovers the unknown-version 0x2001 stratum
+    extra = sum(n for (s, m), (n, _) in outs["actor_fb"].items() if m == 0x2001) \
+        - sum(n for (s, m), (n, _) in outs["actor"].items() if m == 0x2001)
+    assert extra > 0
