@@ -121,13 +121,29 @@ def q_curate_corpus_neardup(sf_dir: str, quality_min: int = QUALITY_MIN_MILLI):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+#: above this many curated ids the broadcast filter switches to the
+#: distributed semi-join (a billion-id set would be GBs on the driver and
+#: in every map task's heap; the join ships each id to one partition only)
+ID_BROADCAST_MAX = 5_000_000
+
+
 def curate_to_parquet(docs_path: str, out_dir: str,
                       quality_min: int = QUALITY_MIN_MILLI,
-                      num_shards: int = 16) -> dict:
+                      num_shards: int = 16,
+                      method: str = None) -> dict:
     """CLI body: write the curated documents as hash-sharded parquet
     (``shard=NN`` partitions — deterministic, so downstream consumers can
-    resume per shard) plus a stats JSON.  The curated id set is broadcast
-    once; the documents stream through a second filtered pass."""
+    resume per shard) plus a stats JSON.
+
+    Two scale regimes, auto-selected by curated-set size (``method``
+    overrides: 'broadcast' | 'semijoin'):
+
+    * broadcast (id set <= ``ID_BROADCAST_MAX``): the sorted int64 id
+      array is put in the object store once and each batch filters with a
+      vectorized ``pc.is_in`` — no per-row Python, no shuffle;
+    * semijoin (beyond that): hash-partitioned inner ``Dataset.join`` of
+      the documents against the unique curated ids — each side's rows ship
+      to one partition only, nothing driver-resident."""
     import json
     import ray
     if os.path.basename(docs_path) != "documents.parquet":
@@ -139,26 +155,46 @@ def curate_to_parquet(docs_path: str, out_dir: str,
     ids_tbl = pa.concat_tables(ray.get(q_curate_corpus(sf_dir, quality_min)
                                        .to_arrow_refs()))
     total = ray.data.read_parquet(docs_path).count()
-    ids_ref = ray.put(set(ids_tbl["doc_id"].to_pylist()))
+    if method is None:
+        method = "broadcast" if ids_tbl.num_rows <= ID_BROADCAST_MAX \
+            else "semijoin"
 
-    class KeepCurated:
-        def __init__(self, ref):
-            self.keep = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = (pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+                 % num_shards).astype(np.int32)
+        return t.append_column("shard", pa.array(shard))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = pc.cast(t["doc_id"], pa.int64())
-            mask = pa.array([int(x) in self.keep for x in ids.to_pylist()])
-            t = t.filter(mask)
-            shard = (pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-                     % num_shards).astype(np.int32)
-            return t.append_column("shard", pa.array(shard))
+    docs = ray.data.read_parquet(docs_path)
+    if method == "broadcast":
+        keep = np.sort(pc.cast(ids_tbl["doc_id"], pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        ids_ref = ray.put(keep)
 
-    ray.data.read_parquet(docs_path) \
-        .map_batches(KeepCurated, fn_constructor_args=(ids_ref,),
-                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1) \
-        .write_parquet(out_dir, partition_cols=["shard"])
+        class KeepCurated:
+            def __init__(self, ref):
+                arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                self.value_set = pa.array(arr, type=pa.int64())
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                mask = pc.is_in(pc.cast(t["doc_id"], pa.int64()),
+                                value_set=self.value_set)
+                return add_shard(t.filter(mask))
+
+        out_ds = docs.map_batches(KeepCurated, fn_constructor_args=(ids_ref,),
+                                  batch_format="pyarrow", concurrency=(1, 8),
+                                  num_cpus=1)
+    elif method == "semijoin":
+        ids_ds = ray.data.from_arrow(
+            pa.table({"doc_id": pc.cast(ids_tbl["doc_id"], pa.int64())}))
+        out_ds = docs.join(ids_ds, join_type="inner", on=("doc_id",),
+                           num_partitions=max(num_shards, 8)) \
+            .map_batches(add_shard, batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    out_ds.write_parquet(out_dir, partition_cols=["shard"])
     stats = {"input_docs": int(total), "curated_docs": ids_tbl.num_rows,
-             "quality_min_milli": quality_min, "num_shards": num_shards}
+             "quality_min_milli": quality_min, "num_shards": num_shards,
+             "method": method}
     with open(os.path.join(out_dir, "_curation_stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return stats

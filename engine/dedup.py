@@ -33,10 +33,12 @@ Scale levers (each answers a specific 100 TB failure mode):
   and no second pass ever reaches the driver — the only driver-side data
   is the final verified-pair table, which IS the query result.  For an
   exactly-verified variant see :func:`verify_pairs_exact`;
-* a pair colliding in several bands is emitted by its FIRST colliding
-  band only (each bucket member carries the full signature, so earlier
-  band keys are recomputable locally) — global pair dedup without a
-  second shuffle.
+* a pair colliding in several bands is emitted by EVERY colliding band
+  and deduplicated where the (bounded) verified-pair result is collected
+  — at most a BANDS-fold duplication of the final pair table, never of
+  the corpus.  (A local "first colliding band emits" rule is lossy when
+  the earlier band's bucket was capped: non-anchor pairs were never
+  emitted there, so skipping them in later bands dropped real pairs.)
 
 All randomness is seeded/deterministic; no wall-clock.
 """
@@ -124,6 +126,7 @@ def _word_hashes(texts) -> tuple:
     import pandas as pd
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
     w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
     if isinstance(w, pa.ChunkedArray):
         w = w.combine_chunks()
@@ -238,18 +241,6 @@ def minhash_signatures(t: pa.Table) -> tuple:
     return ids, chash, mh
 
 
-def _sig_band_key(sig: np.ndarray, band: int) -> int:
-    """Recompute one band's bucket key from a (64,) signature (used inside
-    buckets to detect earlier-band collisions without any global dedup).
-    Python-int arithmetic: numpy SCALAR uint64 multiply warns on overflow
-    (array ops wrap silently); the masked fold is value-identical."""
-    k = int(_FNV_OFF)
-    prm = int(_FNV_PRM)
-    for j in range(_BAND_ROWS):
-        k = ((k ^ int(sig[band * _BAND_ROWS + j])) * prm) & 0xFFFFFFFFFFFFFFFF
-    return k
-
-
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup pairs, signature-verified (est. Jaccard >= 0.5).
 
@@ -258,12 +249,15 @@ def q_dedup_minhash_lsh(sf_dir: str):
     ~600 B/doc across all 8 bands is the ONLY shuffled data.
     Stage 2 (groupby(band, key).map_groups): inside each bucket,
     exact-collapse by content hash (star pairs, Jaccard 1000, emitted in
-    the first band only), then capped all-pairs across distinct contents
-    verified by signature agreement; a pair colliding in several bands is
-    emitted only by the first.
-    Output: (doc_a, doc_b, jaccard_milli) — jaccard_milli is the 64-perm
-    MinHash estimate (granularity ~16 milli; exactly 1000 for identical
-    texts).  Rows-only driver check (LSH is not SQL-expressible)."""
+    the first band only — identical signatures always share band 0), then
+    capped all-pairs across distinct contents verified by signature
+    agreement.  Cross-content pairs are emitted by EVERY colliding band and
+    deduplicated at collection (capped = OR across bands), so a pair missed
+    by one capped bucket still surfaces from any uncapped one.
+    Output: (doc_a, doc_b, jaccard_milli, capped) — jaccard_milli is the
+    64-perm MinHash estimate (granularity ~16 milli; exactly 1000 for
+    identical texts); capped flags pairs from degraded (star) buckets.
+    Rows-only driver check (LSH is not SQL-expressible)."""
     import ray
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -274,14 +268,17 @@ def q_dedup_minhash_lsh(sf_dir: str):
         mh32 = (mh >> np.uint64(32)).astype(np.uint32)
         keys = _band_keys(mh32.astype(np.uint64))
         n = len(ids)
-        sig_bytes = [mh32[i].tobytes() for i in range(n)]  # 256 B each
+        # one contiguous buffer -> FixedSizeBinary, no per-row Python
+        rep = np.repeat(mh32, _BANDS, axis=0)  # row i*BANDS+b = doc i
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(4 * _N_PERM), n * _BANDS,
+            [None, pa.py_buffer(np.ascontiguousarray(rep).tobytes())])
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, _BANDS), type=pa.int64()),
             "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n)),
             "key": pa.array(keys.ravel(), type=pa.int64()),
             "chash": pa.array(np.repeat(chash, _BANDS), type=pa.int64()),
-            "sig": pa.array([s for s in sig_bytes for _ in range(_BANDS)],
-                            type=pa.binary()),
+            "sig": sig_arr,
         })
 
     def bucket_pairs(group):
@@ -314,10 +311,6 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
         def emit(da, db):
             sa, sb = sigs[da], sigs[db]
-            # first-colliding-band rule: skip if an earlier band also matches
-            for eb in range(band):
-                if _sig_band_key(sa, eb) == _sig_band_key(sb, eb):
-                    return
             est = int(np.count_nonzero(sa == sb))
             if est * 2 >= _N_PERM:  # estimated Jaccard >= 0.5
                 a_out.append(da); b_out.append(db)
@@ -342,13 +335,17 @@ def q_dedup_minhash_lsh(sf_dir: str):
     df = out.to_pandas()  # final verified pairs only — this IS the result
     import pandas as pd
     if df.empty or "doc_a" not in df.columns:
-        df = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_milli": []})
-    df = df.drop_duplicates(subset=["doc_a", "doc_b"]) \
+        df = pd.DataFrame({"doc_a": [], "doc_b": [],
+                           "jaccard_milli": [], "capped": []})
+    df = df.groupby(["doc_a", "doc_b"], as_index=False) \
+           .agg(jaccard_milli=("jaccard_milli", "first"),
+                capped=("capped", "max")) \
            .sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.table({
         "doc_a": pa.array(df["doc_a"].astype(np.int64)),
         "doc_b": pa.array(df["doc_b"].astype(np.int64)),
         "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64)),
+        "capped": pa.array(df["capped"].astype(bool)),
     })
 
 
@@ -428,6 +425,7 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
     edges_ds = ray.data.from_arrow(edges)
     labels_ds = ray.data.from_arrow(pa.table({"node": nodes, "label": nodes}))
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         msg = edges_ds.join(labels_ds, join_type="inner", num_partitions=4,
                             on=("src",), right_on=("node",))
@@ -438,8 +436,17 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
             .aggregate(Min("label", alias_name="label"))
         s = labels_ds.sum("label")  # scalar to the driver, nothing else
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a component with diameter > max_iters would otherwise silently
+        # return split clusters — surface it instead
+        import warnings
+        warnings.warn(
+            f"label propagation did not reach a fixed point in {max_iters} "
+            "iterations; clusters with larger diameter are split — raise "
+            "max_iters", RuntimeWarning)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -448,10 +455,15 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
             "survivor": pc.equal(t["node"], t["label"]),
         })
 
-    out = pa.concat_tables(
-        ray.get(labels_ds.map_batches(finalize, batch_format="pyarrow")
-                .to_arrow_refs()))
-    return out.sort_by("doc_id")
+    blocks = [b for b in
+              ray.get(labels_ds.map_batches(finalize, batch_format="pyarrow")
+                      .to_arrow_refs())
+              if b.num_columns == 3]  # drop empty schema-less blocks
+    if not blocks:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "cluster_id": pa.array([], type=pa.int64()),
+                         "survivor": pa.array([], type=pa.bool_())})
+    return pa.concat_tables(blocks).sort_by("doc_id")
 
 
 def q_dedup_clusters_lp(sf_dir: str):
@@ -512,7 +524,6 @@ def simhash_batch(texts) -> np.ndarray:
         return sigs
     bit_idx = np.arange(64, dtype=np.uint64)
     d0 = 0
-    nonzero = offs[1:] > offs[:-1]
     while d0 < n_docs:
         d1 = int(np.searchsorted(offs, offs[d0] + _SKETCH_CHUNK, "right")) - 1
         d1 = max(d1, d0 + 1)
@@ -521,15 +532,17 @@ def simhash_batch(texts) -> np.ndarray:
         if b > a:
             votes = (((wh[a:b, None] >> bit_idx[None, :]) & np.uint64(1))
                      .astype(np.int32) * 2 - 1)
-            starts = np.maximum(offs[d0:d1] - a, 0).astype(np.int64)
-            # reduceat needs strictly valid starts; empty docs repeat the
-            # next start and get a garbage row — masked below
-            acc = np.add.reduceat(votes, np.minimum(starts, b - a - 1), axis=0)
+            # exact per-doc vote sums via cumulative-sum differences (the
+            # clamped-reduceat form corrupted the PRECEDING doc's sketch
+            # whenever a zero-token doc sat at a segment boundary)
+            cs = np.zeros((b - a + 1, 64), dtype=np.int32)
+            np.cumsum(votes, axis=0, out=cs[1:])
+            e = (offs[d0:d1 + 1] - a).astype(np.int64)
+            acc = cs[e[1:]] - cs[e[:-1]]
             bits = (acc > 0).astype(np.uint64)
             packed = np.zeros(d1 - d0, dtype=np.uint64)
             for j in range(64):
                 packed |= bits[:, j] << np.uint64(j)
-            packed[~nonzero[d0:d1]] = 0
             sigs[d0:d1] = packed
         d0 = d1
     return sigs
@@ -538,7 +551,8 @@ def simhash_batch(texts) -> np.ndarray:
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs: 4x16-bit band blocking then Hamming<=3
     verify — same bounded-bucket find->verify shape as MinHash-LSH
-    (exact-collapse by content hash, capped all-pairs, first-band emit)."""
+    (exact-collapse by content hash, capped all-pairs, every-band emit
+    with dedup at collection; output carries the ``capped`` flag)."""
     _ = np  # noqa
 
     def sketch(t: pa.Table) -> pa.Table:
@@ -567,7 +581,7 @@ def q_dedup_simhash(sf_dir: str):
         ids = ids[order]
         ch = group["chash"].to_numpy()[order]
         sg = group["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
-        a_out, b_out = [], []
+        a_out, b_out, cap_out = [], [], []
 
         by_ch: dict = {}
         sig_of: dict = {}
@@ -580,25 +594,25 @@ def q_dedup_simhash(sf_dir: str):
             if band == 0:
                 for m in members[1:]:
                     a_out.append(members[0]); b_out.append(m)
+                    cap_out.append(False)
         reps.sort()
+        capped = len(reps) > _BUCKET_CAP
 
         def emit(da, db):
             sa, sb = sig_of[da], sig_of[db]
-            for eb in range(band):
-                if (sa >> np.uint64(16 * eb)) & np.uint64(0xFFFF) == \
-                        (sb >> np.uint64(16 * eb)) & np.uint64(0xFFFF):
-                    return
             if bin(int(sa ^ sb)).count("1") <= 3:
                 a_out.append(da); b_out.append(db)
+                cap_out.append(capped)
 
-        if len(reps) > _BUCKET_CAP:
+        if capped:
             for m in reps[1:]:
                 emit(reps[0], m)
         else:
             for i in range(len(reps)):
                 for j in range(i + 1, len(reps)):
                     emit(reps[i], reps[j])
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out,
+                             "capped": cap_out})
 
     out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
         .map_batches(sketch, batch_format="pyarrow", batch_size=None) \
@@ -606,11 +620,14 @@ def q_dedup_simhash(sf_dir: str):
     df = out.to_pandas()
     if df.empty or "doc_a" not in df.columns:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64())})
-    df = df.drop_duplicates(ignore_index=True) \
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "capped": pa.array([], type=pa.bool_())})
+    df = df.groupby(["doc_a", "doc_b"], as_index=False) \
+           .agg(capped=("capped", "max")) \
            .sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.table({"doc_a": pa.array(df["doc_a"].astype(np.int64)),
-                     "doc_b": pa.array(df["doc_b"].astype(np.int64))})
+                     "doc_b": pa.array(df["doc_b"].astype(np.int64)),
+                     "capped": pa.array(df["capped"].astype(bool))})
 
 
 # ---------------------------------------------------------------------------
@@ -622,23 +639,31 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     length-band) blocking groups.
 
     The length band bounds group SIZE in the common case and is
-    semantically safe: Jaccard >= 0.3 forces the shingle-count ratio
-    <= 1/0.3, so each doc is replicated into its own log2 band plus the
-    two above, and a pair is scored only in the band of its larger member
-    — any qualifying pair shares exactly one scoring band.  Degenerate
-    same-length floods are additionally capped at ``_BUCKET_CAP`` members
-    per group (star fallback, flagged via `capped`) so no group is ever
-    O(n^2)-unbounded — the true at-scale path for this semantics is
-    MinHash-LSH above, which approximates exactly this query."""
+    semantically safe: the band is computed from each doc's DISTINCT
+    shingle-SET size (not word-position count — a repetitive doc has a
+    large position count but a small set, and banding on positions could
+    silently place a qualifying pair >2 bands apart).  Jaccard >= 0.3
+    forces the set-size ratio <= 1/0.3 < 4, so floor-log2 bands of a
+    qualifying pair differ by at most 2: each doc is replicated into its
+    own band plus the two above, and a pair is scored only in the band of
+    its larger member — any qualifying pair shares exactly one scoring
+    band.  Degenerate floods are additionally capped at ``_BUCKET_CAP``
+    members per group (star fallback, flagged via the ``capped`` column)
+    so no group is ever O(n^2)-unbounded — the true at-scale path for
+    this semantics is MinHash-LSH above, which approximates this query."""
     def explode(t: pa.Table) -> pa.Table:
-        w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
-            else t["text"]))
-        if isinstance(w, pa.ChunkedArray):
-            w = w.combine_chunks()
-        nw = (w.offsets.to_numpy()[1:] - w.offsets.to_numpy()[:-1]).astype(np.int64)
-        n_shingle = np.maximum(nw - 2, 1)
-        band = np.floor(np.log2(n_shingle)).astype(np.int32)
+        # distinct shingle-hash count per doc (vectorized segment-unique)
+        S, oo = _shingle_hashes_batch(t["text"])
+        counts = oo[1:] - oo[:-1]
+        n = len(counts)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((S, doc_idx))
+        s2, d2 = S[order], doc_idx[order]
+        new = np.ones(len(s2), dtype=bool)
+        if len(s2) > 1:
+            new[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+        distinct = np.bincount(d2[new], minlength=n).astype(np.int64)
+        band = np.floor(np.log2(np.maximum(distinct, 1))).astype(np.int32)
         parts = []
         for d in range(3):
             parts.append(pa.table({
@@ -657,7 +682,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             # bounded degrade (O(k)): exact-collapse identical texts first
             # (star per content group, Jaccard 1000 — k identical boilerplate
             # docs never cost k^2), then a star among distinct-content reps
-            a, b, jm = [], [], []
+            a, b, jm, cap = [], [], [], []
             by_text: dict = {}
             for d, txt, ob in rows:
                 by_text.setdefault(txt, []).append((int(d), int(ob)))
@@ -667,6 +692,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                 for d, ob in members[1:]:
                     if ob == gband:  # identical texts: same band; emit once
                         a.append(members[0][0]); b.append(d); jm.append(1000)
+                        cap.append(False)
             reps.sort()
             anchor = reps[0]
             sh0 = _word_shingles(anchor[1])
@@ -678,10 +704,11 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                 jac = len(sh0 & s) / un if un else 0.0
                 if jac >= 0.3:
                     a.append(anchor[0]); b.append(int(d))
-                    jm.append(int(round(jac * 1000)))
-            return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm})
+                    jm.append(int(round(jac * 1000))); cap.append(True)
+            return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm,
+                                 "capped": cap})
         sh = [(_word_shingles(t), d, int(ob)) for d, t, ob in rows]
-        a, b, jm = [], [], []
+        a, b, jm, cap = [], [], [], []
         for i in range(len(sh)):
             for j in range(i + 1, len(sh)):
                 if max(sh[i][2], sh[j][2]) != gband:
@@ -690,8 +717,9 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                 jac = len(sh[i][0] & sh[j][0]) / un if un else 0.0
                 if jac >= 0.3:
                     a.append(sh[i][1]); b.append(sh[j][1])
-                    jm.append(int(round(jac * 1000)))
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm})
+                    jm.append(int(round(jac * 1000))); cap.append(False)
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm,
+                             "capped": cap})
 
     out = _docs(sf_dir, ["doc_id", "source", "lang", "text"]) \
         .map_batches(explode, batch_format="pyarrow", batch_size=None) \
@@ -701,9 +729,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     if df.empty or "doc_a" not in df.columns:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard_milli": pa.array([], type=pa.int64())})
-    df = df.drop_duplicates(subset=["doc_a", "doc_b"]) \
+                         "jaccard_milli": pa.array([], type=pa.int64()),
+                         "capped": pa.array([], type=pa.bool_())})
+    df = df.groupby(["doc_a", "doc_b"], as_index=False) \
+           .agg(jaccard_milli=("jaccard_milli", "first"),
+                capped=("capped", "max")) \
            .sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.table({"doc_a": pa.array(df["doc_a"].astype(np.int64)),
                      "doc_b": pa.array(df["doc_b"].astype(np.int64)),
-                     "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64))})
+                     "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64)),
+                     "capped": pa.array(df["capped"].astype(bool))})

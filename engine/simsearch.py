@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from engine.dedup import _BUCKET_CAP
+
 QUERY_IDS = [0, 1, 2]
 TOP_K = 5
 
@@ -244,7 +246,14 @@ def q_simsearch_lsh(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cosine >= 0.99): hyperplane-band
     blocking, exact verify inside buckets — the embedding analogue of
-    MinHash-LSH."""
+    MinHash-LSH, with the same bounded-bucket guarantees:
+
+    * identical raw embeddings exact-collapse to a star around the min
+      vec_id (cos exactly 1.0): k copies of one boilerplate vector cost
+      O(k), never O(k^2);
+    * at most ``_BUCKET_CAP`` distinct embeddings per bucket do all-pairs
+      (ONE k x k matmul, no per-pair Python); larger buckets degrade to a
+      star around the min rep, flagged via the ``capped`` column."""
     import pandas as pd
     dim = _query_matrix(sf_dir).shape[1]
     P = _planes(dim, seed=777)
@@ -261,19 +270,46 @@ def q_embedding_near_dup(sf_dir: str):
                          "emb": t["embedding"]})
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group["vec_id"], group["emb"]))
-        a, b, sim = [], [], []
-        for i in range(len(rows)):
-            vi = np.asarray(rows[i][1], dtype=np.float64)
-            ni = np.linalg.norm(vi) or 1.0
-            for j in range(i + 1, len(rows)):
-                vj = np.asarray(rows[j][1], dtype=np.float64)
-                nj = np.linalg.norm(vj) or 1.0
-                c = float(vi @ vj / (ni * nj))
-                if c >= 0.99:
-                    a.append(rows[i][0]); b.append(rows[j][0])
-                    sim.append(int(round(c * 1e6)))
-        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_micro": sim})
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in group["emb"].to_numpy()[order]])
+        a, b, sim, cap = [], [], [], []
+
+        # exact-collapse identical embeddings: star around the min vec_id
+        # of each identical set (cos exactly 1.0)
+        _, first, inv = np.unique(V, axis=0, return_index=True,
+                                  return_inverse=True)
+        if len(first) < len(ids):
+            o2 = np.argsort(inv, kind="stable")
+            bnd = np.flatnonzero(np.diff(inv[o2])) + 1
+            for seg in np.split(o2, bnd):
+                for m in seg[1:]:  # seg[0] = first occurrence = min vec_id
+                    a.append(int(ids[seg[0]])); b.append(int(ids[m]))
+                    sim.append(1_000_000); cap.append(False)
+
+        reps = np.sort(first)          # id-ascending distinct-embedding reps
+        rid = ids[reps]
+        Vr = V[reps]
+        nr = np.linalg.norm(Vr, axis=1)
+        nr[nr == 0] = 1.0
+        Vrn = Vr / nr[:, None]
+        capped = len(reps) > _BUCKET_CAP
+        if capped:
+            # bounded degrade: one matvec against the min rep
+            c = Vrn[1:] @ Vrn[0]
+            for h in np.flatnonzero(c >= 0.99):
+                a.append(int(rid[0])); b.append(int(rid[h + 1]))
+                sim.append(int(round(c[h] * 1e6))); cap.append(True)
+        elif len(reps) > 1:
+            G = Vrn @ Vrn.T            # one small matmul, <= CAP x CAP
+            iu, ju = np.triu_indices(len(reps), 1)
+            for h in np.flatnonzero(G[iu, ju] >= 0.99):
+                a.append(int(rid[iu[h]])); b.append(int(rid[ju[h]]))
+                sim.append(int(round(G[iu[h], ju[h]] * 1e6))); cap.append(False)
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_micro": sim,
+                             "capped": cap})
 
     out = _emb(sf_dir).map_batches(sketch, batch_format="pyarrow", batch_size=None) \
         .groupby("bucket").map_groups(pairs_of, batch_format="pandas")
@@ -281,12 +317,14 @@ def q_embedding_near_dup(sf_dir: str):
     if df.empty or "vec_a" not in df.columns:
         return pa.table({"vec_a": pa.array([], type=pa.int64()),
                          "vec_b": pa.array([], type=pa.int64()),
-                         "cos_micro": pa.array([], type=pa.int64())})
-    df = df.drop_duplicates(ignore_index=True) \
+                         "cos_micro": pa.array([], type=pa.int64()),
+                         "capped": pa.array([], type=pa.bool_())})
+    df = df.drop_duplicates(subset=["vec_a", "vec_b"]) \
            .sort_values(["vec_a", "vec_b"], ignore_index=True)
     return pa.table({"vec_a": pa.array(df["vec_a"].astype(np.int64)),
                      "vec_b": pa.array(df["vec_b"].astype(np.int64)),
-                     "cos_micro": pa.array(df["cos_micro"].astype(np.int64))})
+                     "cos_micro": pa.array(df["cos_micro"].astype(np.int64)),
+                     "capped": pa.array(df["capped"].astype(bool))})
 
 
 # ---------------------------------------------------------------------------

@@ -76,10 +76,14 @@ def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
         win = epoch_us // (window_s * 1_000_000)
         uid = pc.cast(t["user_id"], pa.int64()).to_numpy()
         vmilli = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
-        # deterministic batch id: content hash of the raw rows in order —
-        # a retried task rebuilds the identical batch, hence the same id
+        # deterministic batch id: hash of the rows' UNIQUE event_ids plus
+        # the aggregated content — a retried task rebuilds the identical
+        # batch, hence the same id, while two distinct batches that happen
+        # to carry identical (user, window, value) content still differ
+        # (event_id is unique in the source)
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy()
         bid = hashlib.blake2b(
-            uid.tobytes() + win.tobytes() + vmilli.tobytes(),
+            eid.tobytes() + uid.tobytes() + win.tobytes() + vmilli.tobytes(),
             digest_size=16).digest()
         g = pa.TableGroupBy(pa.table({
             "user_id": pa.array(uid), "window": pa.array(win),
@@ -100,7 +104,7 @@ def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
 
     import ray.data as rd
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id", "ts", "value"])
+                         columns=["event_id", "user_id", "ts", "value"])
     ds.map_batches(push, batch_format="pyarrow", batch_size=None).count()
 
     snaps = ray.get([a.snapshot.remote() for a in actors])

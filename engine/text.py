@@ -148,9 +148,13 @@ _LANG_PROFILES = {
 
 
 def _split_tokens(texts):
-    """texts -> (flat token array, per-doc offsets) via Arrow split."""
+    """texts -> (flat token array, per-doc offsets) via Arrow split.
+
+    Nulls are treated as empty documents (filled to '' before the split) so
+    zero-token segments are representable anywhere in the batch."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
     w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
     if isinstance(w, pa.ChunkedArray):
         w = w.combine_chunks()
@@ -158,15 +162,16 @@ def _split_tokens(texts):
 
 
 def _segment_sums(values: np.ndarray, offs: np.ndarray) -> np.ndarray:
-    """Per-doc sums of a flat per-token array (empty docs -> 0)."""
-    n = len(offs) - 1
-    if len(values) == 0:
-        return np.zeros(n, dtype=values.dtype if values.dtype != bool else np.int64)
+    """Per-doc sums of a flat per-token array (empty docs -> 0).
+
+    Exact cumulative-sum differences — NOT ``np.add.reduceat`` with clamped
+    starts, which silently truncates the PRECEDING doc's last token whenever
+    a zero-token doc sits at a segment boundary (a null/empty text next to a
+    valid one corrupted the neighbour's stats)."""
     v = values.astype(np.int64) if values.dtype == bool else values
-    starts = np.minimum(offs[:-1], len(v) - 1)
-    out = np.add.reduceat(v, starts)
-    out[offs[1:] <= offs[:-1]] = 0  # empty docs got a garbage singleton
-    return out
+    cs = np.zeros(len(v) + 1, dtype=v.dtype)
+    np.cumsum(v, out=cs[1:])
+    return cs[offs[1:]] - cs[offs[:-1]]
 
 
 class LangId:
@@ -246,6 +251,7 @@ def quality_batch(t: pa.Table) -> pa.Table:
     stop_arr = pa.array(sorted(_STOPWORDS), type=pa.string())
     txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) \
         else t["text"]
+    txt = pc.fill_null(txt, "")
     n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
         zero_copy_only=False).astype(np.int64)
     n_punct = pc.count_substring_regex(txt, r"[.,!?;:]").to_numpy(

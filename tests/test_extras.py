@@ -416,3 +416,152 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
         res = fn(str(d))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, fn
+
+
+def test_segment_sums_null_neighbor_exact():
+    """ADVICE r2 (high): a zero-token doc at a segment boundary must not
+    truncate the PRECEDING doc's stats (clamped-reduceat bug)."""
+    from engine.text import quality_batch
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["one two three", None])})
+    out = quality_batch(t)
+    # mean word length of the valid doc: (3+3+5)/3 = 3.666667
+    assert out["mean_wlen_micro"].to_pylist() == [3666667, 0]
+    # and independent of its neighbours
+    alone = quality_batch(t.slice(0, 1))
+    assert out["quality_milli"][0].as_py() == alone["quality_milli"][0].as_py()
+
+
+def test_simhash_sketch_unaffected_by_empty_neighbor():
+    """Same clamped-reduceat pattern in the SimHash vote fold."""
+    from engine.dedup import simhash_batch
+    alone = simhash_batch(pa.array(["hello world foo"]))
+    packed = simhash_batch(pa.array(["hello world foo", None, "x y z"]))
+    tail = simhash_batch(pa.array(["x y z"]))
+    assert packed[0] == alone[0]
+    assert packed[2] == tail[0]
+
+
+def test_ngram_banding_repetitive_doc(ray_session, tmp_path):
+    """ADVICE r2 (medium): banding must use distinct shingle-SET size —
+    a repetitive doc (many word positions, tiny shingle set) must still
+    pair with a short doc at J>=0.3."""
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.slice(0, 1).to_pydict()
+    rep = {c: base[c] * 2 for c in base}
+    rep["doc_id"] = [7_000_000, 7_000_001]
+    # A: "a b c" x50 -> 148 position shingles but only 3 DISTINCT;
+    # B: "a b c" -> 1 shingle; exact set Jaccard = 1/3 >= 0.3
+    rep["text"] = [" ".join(["a", "b", "c"] * 50), "a b c"]
+    aug = pa.concat_tables([src, pa.table(rep, schema=src.schema)])
+    d = tmp_path / "repet"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    from engine.dedup import q_ngram_jaccard_pairs
+    t = q_ngram_jaccard_pairs(str(d))
+    pairs = {(a, b): j for a, b, j in zip(
+        t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+        t["jaccard_milli"].to_pylist())}
+    assert pairs.get((7_000_000, 7_000_001)) == 333
+
+
+def test_pair_tables_carry_capped_column(ray_session):
+    """The degrade flag promised by the docstrings must reach the caller."""
+    from engine.dedup import (q_dedup_minhash_lsh, q_dedup_simhash,
+                              q_ngram_jaccard_pairs)
+    for fn in (q_dedup_minhash_lsh, q_dedup_simhash, q_ngram_jaccard_pairs):
+        t = fn(SF_DIR)
+        assert "capped" in t.column_names, fn
+
+
+def test_label_propagation_warns_on_nonconvergence(ray_session):
+    """ADVICE r2 (low): iteration exhaustion must not silently return
+    split clusters."""
+    import warnings
+    from engine.dedup import clusters_label_propagation
+    chain = pa.table({
+        "doc_a": pa.array(list(range(1, 8)), pa.int64()),
+        "doc_b": pa.array(list(range(2, 9)), pa.int64()),
+        "jaccard_milli": pa.array([1000] * 7, pa.int64())})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        clusters_label_propagation(chain, max_iters=2)
+    assert any("fixed point" in str(x.message) for x in w)
+    # and with enough rounds it converges silently to one cluster
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = clusters_label_propagation(chain, max_iters=20)
+    assert not any("fixed point" in str(x.message) for x in w)
+    assert set(t["cluster_id"].to_pylist()) == {1}
+
+
+def test_window_batch_id_distinguishes_identical_content(ray_session, tmp_path):
+    """ADVICE r2 (low): two DISTINCT batches with identical (user, window,
+    value) content must both be applied — the batch id includes the unique
+    event_ids, not just the aggregated content."""
+    import pyarrow.parquet as pq
+    from engine.streaming import tumbling_window_counts
+    d = tmp_path / "twodup"
+    (d / "events.parquet").mkdir(parents=True)
+    row = {"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+           "user_id": pa.array([42], pa.int64()),
+           "event_type": pa.array(["click"]),
+           "value": pa.array([1.5], pa.float64()),
+           "props": pa.array(["{}"])}
+    # same content, distinct event ids, one file each -> separate blocks
+    for i, eid in enumerate((101, 202)):
+        pq.write_table(pa.table({"event_id": pa.array([eid], pa.int64()), **row}),
+                       str(d / "events.parquet" / f"part-{i}.parquet"))
+    t = tumbling_window_counts(str(d))
+    assert t["n_events"].to_pylist() == [2]
+    assert t["sum_value_milli"].to_pylist() == [3000]
+
+
+def test_embedding_near_dup_hot_bucket_bounded(ray_session, tmp_path):
+    """10k identical embeddings (one hot hyperplane bucket) must finish in
+    bounded time with O(k) star pairs — the exact-collapse + bucket-cap
+    guarantee, mirroring the MinHash hot-bucket test."""
+    import time
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    base = src.slice(7, 1).to_pydict()
+    k = 10_000
+    flood = {c: base[c] * k for c in base}
+    flood["vec_id"] = list(range(8_000_000, 8_000_000 + k))
+    aug = pa.concat_tables([src, pa.table(flood, schema=src.schema)])
+    d = tmp_path / "embhot"
+    d.mkdir()
+    pq.write_table(aug, str(d / "embeddings.parquet"))
+    from engine.simsearch import q_embedding_near_dup
+    t0 = time.monotonic()
+    t = q_embedding_near_dup(str(d))
+    wall = time.monotonic() - t0
+    orig = src["vec_id"][7].as_py()
+    flood_pairs = [(a, b) for a, b in zip(t["vec_a"].to_pylist(),
+                                          t["vec_b"].to_pylist())
+                   if a >= 8_000_000 or b >= 8_000_000]
+    # star: every flood copy pairs with the identical-set min (the original)
+    assert len(flood_pairs) == k
+    assert all(a == orig for a, _ in flood_pairs)
+    cm = dict(zip(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist()),
+                  t["cos_micro"].to_pylist()))
+    assert cm[(orig, 8_000_000)] == 1_000_000
+    assert wall < 120, f"hot bucket took {wall:.1f}s"
+
+
+def test_curate_semijoin_matches_broadcast(ray_session, tmp_path):
+    """The distributed semi-join path must produce exactly the rows and
+    shard assignment of the broadcast pc.is_in path (VERDICT r2 #3)."""
+    import pyarrow.dataset as pads
+    from engine.curate import curate_to_parquet
+    outs = {}
+    for m in ("broadcast", "semijoin"):
+        out = str(tmp_path / m)
+        stats = curate_to_parquet(f"{SF_DIR}/documents.parquet", out, method=m)
+        assert stats["method"] == m
+        t = pads.dataset(out, partitioning="hive").to_table()
+        cols = sorted(t.column_names)
+        outs[m] = t.select(cols).sort_by("doc_id")
+    assert outs["broadcast"].num_rows > 0
+    assert outs["broadcast"].equals(outs["semijoin"])
