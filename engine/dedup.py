@@ -421,6 +421,27 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
         "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
         "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
     })
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "label": pc.cast(t["label"], pa.int64())})
+
+    ncols_of = ray.remote(num_cpus=0)(lambda t: t.num_columns)
+
+    def scrub_empty(ds):
+        """The hash aggregate emits schema-LESS empty blocks, map_batches
+        is skipped on them, and any that reach a later ``Dataset.join``
+        make its per-partition table lose the key column ("no match for
+        FieldRef node").  Rebuild the dataset from the non-empty block
+        refs — the driver sees per-block column counts, never rows."""
+        refs = ds.to_arrow_refs()
+        ncols = ray.get([ncols_of.remote(r) for r in refs])
+        good = [r for r, c in zip(refs, ncols) if c > 0]
+        if not good:
+            return ray.data.from_arrow(label_schema.empty_table())
+        return ray.data.from_arrow_refs(good)
+
     nodes = pc.unique(edges["src"])
     edges_ds = ray.data.from_arrow(edges)
     labels_ds = ray.data.from_arrow(pa.table({"node": nodes, "label": nodes}))
@@ -432,8 +453,14 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
         msg = msg.map_batches(
             lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
             batch_format="pyarrow")
-        labels_ds = msg.union(labels_ds).groupby("node") \
+        # materialize at the iteration boundary: labels are one tiny row per
+        # node, and without it every round's lazy plan re-executes ALL
+        # previous rounds (O(iters^2) recomputation) — the Pregel-style
+        # cache point, not a mid-pipeline materialization of the corpus
+        labels_ds = scrub_empty(
+            msg.union(labels_ds).groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .map_batches(norm, batch_format="pyarrow").materialize())
         s = labels_ds.sum("label")  # scalar to the driver, nothing else
         if s == prev_sum:
             converged = True

@@ -15,6 +15,7 @@ EXTRA_QUERIES = {
     "token_counts": text.q_token_counts,
     "doc_fingerprint_md5": text.q_doc_fingerprint,
     "fingerprint_rolling": text.q_fingerprint_rolling,
+    "fingerprint_rolling_fast": text.q_fingerprint_rolling_fast,
     "lang_id": text.q_lang_id,
     "quality_score": text.q_quality_score,
     # dedup
@@ -44,10 +45,12 @@ EXTRA_ORACLE_SQL = {
     "token_counts": text.SQL_TOKEN_COUNTS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,
     "fingerprint_rolling": text.SQL_FINGERPRINT_ROLLING,
+    "fingerprint_rolling_fast": text.SQL_FINGERPRINT_ROLLING_FAST,
     "lang_id": text.SQL_LANG_ID,
     "quality_score": text.SQL_QUALITY_SCORE,
     "dedup_exact": dedup.SQL_DEDUP_EXACT,
     "simsearch_topk": simsearch.SQL_SIMSEARCH_TOPK,
+    "multimodal_decode": multimodal.SQL_MULTIMODAL_DECODE,
     "multimodal_stats": multimodal.SQL_MULTIMODAL_STATS,
     "multimodal_resize": multimodal.SQL_MULTIMODAL_RESIZE,
     "multimodal_frames": multimodal.SQL_MULTIMODAL_FRAMES,

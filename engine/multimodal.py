@@ -103,11 +103,34 @@ class FakeImageDecoder:
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Binary-column decode/feature stage (rows-only check): actor pool,
-    small batches (large rows), typed metadata out."""
+    """Binary-column decode/feature stage, gated: actor pool, small
+    batches (large rows), typed metadata out.  The 8-bin byte histogram is
+    flattened to ``h0..h7`` int64 columns so the driver can value-hash it;
+    the DuckDB oracle recomputes dims from the md5 header derivation AND
+    the histogram from the repeated-truncated-padded text bytes — proving
+    the binary decode read exactly the advertised container body."""
     ds = attach_binary_column(sf_dir)
-    return ds.map_batches(FakeImageDecoder, batch_format="pyarrow",
-                          batch_size=256, concurrency=(1, 4), num_cpus=1)
+    out = ds.map_batches(FakeImageDecoder, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 4), num_cpus=1)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        assert pc.all(t["decode_ok"]).as_py()  # fake containers always parse
+        hist = t["byte_hist"]
+        if isinstance(hist, pa.ChunkedArray):
+            hist = hist.combine_chunks()
+        H = hist.values.to_numpy(zero_copy_only=False).reshape(t.num_rows, 8)
+        cols = {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "channels": pc.cast(t["channels"], pa.int64()),
+            "decode_ok": t["decode_ok"],
+        }
+        for b in range(8):
+            cols[f"h{b}"] = pa.array(H[:, b].astype(np.int64))
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 def q_multimodal_stats(sf_dir: str):
@@ -234,6 +257,48 @@ WITH d AS (
 SELECT doc_id, h::BIGINT AS n_frames, ((h + 3) // 4)::BIGINT AS n_sampled,
        (((h + 3) // 4) * w * ch)::BIGINT AS sampled_bytes
 FROM m
+"""
+
+
+# DuckDB mirror of the full decode stage: header dims from md5 digest
+# bytes, and the 8-bin byte histogram recomputed from the body definition
+# (utf-8 text repeated 4x, truncated to w*h*ch, zero-padded) — bin of a
+# byte is its high 3 bits = first hex digit // 2 over hex(encode(text)).
+_H_TERMS = "\n".join(
+    (f"  (len(list_filter(binlist, b -> b = 0)) * fullrep\n"
+     f"   + len(list_filter(binlist[1:rem], b -> b = 0)) + (nb - L))::BIGINT AS h0,")
+    if b == 0 else
+    (f"  (len(list_filter(binlist, b -> b = {b})) * fullrep\n"
+     f"   + len(list_filter(binlist[1:rem], b -> b = {b})))::BIGINT AS h{b},")
+    for b in range(8)).rstrip(",")
+
+SQL_MULTIMODAL_DECODE = f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(doc_id::VARCHAR) AS hx,
+         hex(encode(text)) AS hxt, octet_length(encode(text)) AS tl
+  FROM documents
+), m AS (
+  SELECT doc_id, hxt, tl,
+         (16 + ('0x' || substr(hx, 1, 2))::INT % 64) AS w,
+         (16 + ('0x' || substr(hx, 3, 2))::INT % 64) AS h,
+         (1 + ('0x' || substr(hx, 5, 2))::INT % 3) AS ch
+  FROM d
+), n AS (
+  SELECT doc_id, w, h, ch, tl, hxt, w * h * ch AS nb,
+         least(w * h * ch, 4 * tl) AS L
+  FROM m
+), c AS (
+  SELECT doc_id, w, h, ch, nb, L,
+         CASE WHEN tl = 0 THEN 0 ELSE L // tl END AS fullrep,
+         CASE WHEN tl = 0 THEN 0 ELSE L % tl END AS rem,
+         list_transform(range(tl),
+                        j -> ('0x' || substr(hxt, 2*j + 1, 1))::INT // 2) AS binlist
+  FROM n
+)
+SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, ch::BIGINT AS channels,
+       TRUE AS decode_ok,
+{_H_TERMS}
+FROM c
 """
 
 

@@ -103,22 +103,131 @@ _ROLL_SEED = 2166136261  # FNV-32 offset
 _ROLL_MOD = 1 << 32
 
 
+def _roll_fp_scalar(s: str) -> int:
+    """Reference fold (oracle-shaped, per-row): kept as the spec the
+    vectorized kernel is property-tested against."""
+    h = _ROLL_SEED
+    for w in s.split():
+        wh = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+        h = (h * _ROLL_B + wh) % _ROLL_MOD
+    return h
+
+
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _pow_tables(base: int, n: int) -> tuple:
+    """(base^j, base^-j) mod 2^32 for j in [0, n] — one uint64 cumprod
+    each: products mod 2^64 project exactly onto mod 2^32."""
+    inv = pow(base, -1, _ROLL_MOD)
+    pw = np.empty(n + 1, dtype=np.uint64)
+    piw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = piw[0] = 1
+    if n:
+        np.cumprod(np.full(n, base, dtype=np.uint64), out=pw[1:])
+        np.cumprod(np.full(n, inv, dtype=np.uint64), out=piw[1:])
+    return pw, piw
+
+
+def _fold_word_hashes(wh: np.ndarray, flat, offs: np.ndarray) -> np.ndarray:
+    """Per-doc fold ``h <- h*B + wh mod 2^32`` via its closed form
+    ``h = seed*B^n + B^(n-1) * sum_i wh_i * B^(-i)`` — B is odd, hence
+    invertible mod 2^32, so the sequential fold becomes one vectorized
+    multiply + segment sum.  Whitespace-only docs (whose Arrow split
+    yields one zero-length token where Python ``str.split()`` yields
+    none) fold to the bare seed."""
+    counts = (offs[1:] - offs[:-1]).astype(np.int64)
+    n_docs = len(counts)
+    h = np.full(n_docs, _ROLL_SEED, dtype=np.uint64)
+    if len(wh) == 0:
+        return h
+    maxn = int(counts.max())
+    bpow, bipow = _pow_tables(_ROLL_B, maxn)
+    local = np.arange(len(wh), dtype=np.int64) - np.repeat(offs[:-1], counts)
+    c = wh * bipow[local]                 # mod 2^64; projects to mod 2^32
+    cs = np.zeros(len(c) + 1, dtype=np.uint64)
+    np.cumsum(c, out=cs[1:])              # wraps mod 2^64; diffs stay exact
+    S = (cs[offs[1:]] - cs[offs[:-1]]) & _MASK32
+    nz = counts > 0
+    hn = np.uint64(_ROLL_SEED) * bpow[counts[nz]]
+    h[nz] = (hn + bpow[counts[nz] - 1] * S[nz]) & _MASK32
+    wlen0 = pc.utf8_length(flat).to_numpy(zero_copy_only=False) == 0
+    if wlen0.any():
+        empty_doc = np.zeros(n_docs, dtype=bool)
+        empty_doc[nz] = wlen0[offs[:-1][nz]]
+        h[empty_doc] = _ROLL_SEED
+    return h
+
+
+def rolling_fp_batch(texts) -> np.ndarray:
+    """Vectorized rolling fingerprint (value-identical to
+    :func:`_roll_fp_scalar`, hence still DuckDB-gated).
+
+    md5 (the only digest DuckDB shares) is computed once per DISTINCT
+    word via pandas factorize — Zipfian text makes the vocabulary orders
+    smaller than the word stream; the fold is the closed form of
+    :func:`_fold_word_hashes`."""
+    import pandas as pd
+    flat, offs = _split_tokens(texts)
+    if len(flat) == 0:
+        return np.full(len(offs) - 1, _ROLL_SEED, dtype=np.uint64)
+    codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    for i, w in enumerate(uniques):
+        uh[i] = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:4], "big")
+    return _fold_word_hashes(uh[codes], flat, offs)
+
+
+def _word_poly_hashes(flat) -> np.ndarray:
+    """Byte-polynomial word hash ``sum_j byte_j * B^j mod 2^32`` for every
+    word at once: zero-copy over the flat words' UTF-8 buffer with the
+    same invertible-multiplier closed form, one level down.  No digest at
+    all — the 100% C-speed scale path (still DuckDB-expressible: reversed
+    Horner over ``hex(encode(w))`` bytes)."""
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    bo = np.frombuffer(flat.buffers()[1], dtype=off_dtype)[
+        flat.offset:flat.offset + n + 1].astype(np.int64)
+    raw = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    wl = bo[1:] - bo[:-1]
+    starts = bo[:-1]
+    L = int(wl.max())
+    if L <= 64:
+        # Horner over byte positions: L passes across the word array
+        # (measured 3x the byte-stream closed form for natural word
+        # lengths — no cumprod tables, no uint64 byte copy)
+        P = np.uint64(_ROLL_B)
+        h = np.zeros(n, dtype=np.uint64)
+        for p in range(L - 1, -1, -1):
+            m = wl > p
+            h[m] = h[m] * P + raw[starts[m] + p]
+        return h & _MASK32
+    # degenerate very-long tokens: closed form over the byte stream so the
+    # pass count stays O(1) regardless of token length
+    data = raw[bo[0]:bo[-1]].astype(np.uint64)
+    bo = bo - bo[0]
+    total = len(data)
+    pw, piw = _pow_tables(_ROLL_B, total)
+    c = data * pw[:total]                 # byte_g * B^g, mod 2^64
+    cs = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(c, out=cs[1:])
+    S = (cs[bo[1:]] - cs[bo[:-1]]) & _MASK32
+    return (piw[bo[:-1]] * S) & _MASK32
+
+
 def q_fingerprint_rolling(sf_dir: str):
     """Order-sensitive polynomial rolling fingerprint over words
     (Rabin-Karp fold, 32-bit): ``h = (h*B + md5_32(word)) mod 2^32`` —
     the shard key a dedup pipeline ranges on.  Word hashes are the first
     32 bits of md5 so the DuckDB oracle (md5 + list_reduce fold) computes
-    the identical value."""
+    the identical value; see :func:`rolling_fp_batch` for the vectorized
+    closed-form kernel."""
     def fn(t: pa.Table) -> pa.Table:
-        fps = []
-        for s in t["text"].to_pylist():
-            h = _ROLL_SEED
-            for w in s.split():
-                wh = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
-                h = (h * _ROLL_B + wh) % _ROLL_MOD
-            fps.append(h)
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                         "fingerprint": pa.array(fps, type=pa.int64())})
+                         "fingerprint": pa.array(
+                             rolling_fp_batch(t["text"]).astype(np.int64))})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
@@ -128,6 +237,36 @@ SELECT doc_id::BIGINT AS doc_id,
     list_prepend({_ROLL_SEED}::BIGINT,
       list_transform(regexp_extract_all(text, '\S+'),
                      w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+    (h, wh) -> (h * {_ROLL_B} + wh) % {_ROLL_MOD})::BIGINT AS fingerprint
+FROM documents
+"""
+
+
+def q_fingerprint_rolling_fast(sf_dir: str):
+    """Digest-free rolling fingerprint — the scale variant of
+    :func:`q_fingerprint_rolling`: the word hash is a byte-polynomial
+    (``sum_j byte_j * B^j mod 2^32``) computed zero-copy over the flat
+    UTF-8 buffer, so the whole operator is vectorized C with no per-word
+    digest calls.  Gated: DuckDB recomputes the byte polynomial as a
+    reversed Horner fold over ``hex(encode(w))``."""
+    def fn(t: pa.Table) -> pa.Table:
+        flat, offs = _split_tokens(t["text"])
+        h = _fold_word_hashes(_word_poly_hashes(flat), flat, offs)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fingerprint": pa.array(h.astype(np.int64))})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_ROLLING_FAST = rf"""
+SELECT doc_id::BIGINT AS doc_id,
+  list_reduce(
+    list_prepend({_ROLL_SEED}::BIGINT,
+      list_transform(regexp_extract_all(text, '\S+'),
+        w -> list_reduce(
+               list_prepend(0::BIGINT,
+                 list_reverse(list_transform(range(octet_length(encode(w))),
+                   j -> ('0x' || substr(hex(encode(w)), 2*j+1, 2))::BIGINT))),
+               (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_MOD}))),
     (h, wh) -> (h * {_ROLL_B} + wh) % {_ROLL_MOD})::BIGINT AS fingerprint
 FROM documents
 """

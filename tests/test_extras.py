@@ -90,8 +90,11 @@ def test_multimodal_decode_plumbing(ray_session):
     assert all(t["decode_ok"].to_pylist())
     w = t["width"].to_pylist()
     assert all(16 <= x < 80 for x in w)
-    hists = t["byte_hist"].to_pylist()
-    assert all(len(h) == 8 for h in hists)
+    # the 8 histogram bins partition the body bytes exactly
+    rows = t.to_pylist()
+    for r in rows[:50]:
+        assert sum(r[f"h{b}"] for b in range(8)) == \
+            r["width"] * r["height"] * r["channels"]
     with pytest.raises(NotImplementedError):
         RealImageDecoder()
 
@@ -565,3 +568,27 @@ def test_curate_semijoin_matches_broadcast(ray_session, tmp_path):
         outs[m] = t.select(cols).sort_by("doc_id")
     assert outs["broadcast"].num_rows > 0
     assert outs["broadcast"].equals(outs["semijoin"])
+
+
+def test_rolling_fingerprint_kernels_match_scalar():
+    """Both vectorized fingerprint kernels must equal the per-row spec on
+    edge cases (nulls, whitespace-only, unicode, degenerate long tokens)."""
+    from engine.text import (_fold_word_hashes, _roll_fp_scalar,
+                             _split_tokens, _word_poly_hashes,
+                             rolling_fp_batch)
+    cases = ["hello world hello", "", "   ", None, "único wörd ünïcode",
+             "x" * 300, ("w " * 200).strip(), "a\tb\nc", "1 2 3 . , !"]
+    got_md5 = rolling_fp_batch(pa.array(cases))
+    assert got_md5.tolist() == [_roll_fp_scalar(s or "") for s in cases]
+
+    def scalar_fast(s):
+        h = 2166136261
+        for w in s.split():
+            wh = 0
+            for j, byt in enumerate(w.encode("utf-8")):
+                wh = (wh + byt * pow(1000003, j, 1 << 32)) % (1 << 32)
+            h = (h * 1000003 + wh) % (1 << 32)
+        return h
+    flat, offs = _split_tokens(pa.array(cases))
+    got_fast = _fold_word_hashes(_word_poly_hashes(flat), flat, offs)
+    assert got_fast.tolist() == [scalar_fast(s or "") for s in cases]
