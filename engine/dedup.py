@@ -67,10 +67,10 @@ _FNV_PRM = np.uint64(0x100000001B3)
 
 
 def _docs(sf_dir: str, columns=None, num_blocks: int = None):
-    import ray
+    from engine.io import read_parquet_clean
     kw = {"override_num_blocks": num_blocks} if num_blocks else {}
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns, **kw)
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns, **kw)
 
 
 # ---------------------------------------------------------------------------

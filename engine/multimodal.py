@@ -55,8 +55,9 @@ def attach_binary_column(sf_dir: str):
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         })
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"]) \
+    from engine.io import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"]) \
         .map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 

@@ -49,8 +49,8 @@ def _seq_ds(sf_dir: str):
 
 
 def _table(sf_dir: str, name: str):
-    import ray
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from engine.io import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _to_i64(t: pa.Table) -> pa.Table:

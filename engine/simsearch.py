@@ -25,8 +25,8 @@ TOP_K = 5
 
 
 def _emb(sf_dir: str):
-    import ray
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from engine.io import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _batch_mat(t: pa.Table) -> np.ndarray:

@@ -103,8 +103,9 @@ def tumbling_window_counts(sf_dir: str, window_s: int = 3600,
         return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
 
     import ray.data as rd
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "user_id", "ts", "value"])
+    from engine.io import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id", "ts", "value"])
     ds.map_batches(push, batch_format="pyarrow", batch_size=None).count()
 
     snaps = ray.get([a.snapshot.remote() for a in actors])

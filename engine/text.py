@@ -17,9 +17,9 @@ import pyarrow.compute as pc
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns)
+    from engine.io import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
 
 
 # ---------------------------------------------------------------------------
