@@ -29,7 +29,7 @@ BENCH_ROWS = 32_000_000
 # own disks, so storage bandwidth scales with the cluster; this sandbox has
 # ONE shared 80 MB/s disk, which would turn a CPU-scaling measurement into a
 # shared-disk measurement.  tmpfs emulates per-node storage (see BASELINE.md).
-OUT_DIR = "/dev/shm/graft_bench_out"
+OUT_DIR = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/graft_bench_out")
 
 
 def _bench_corpus():
@@ -92,13 +92,14 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
-    # every timing below is BEST-OF-2: the sandbox host shares hardware
+    # every timing below is BEST-OF-3: the sandbox host shares hardware
     # with other tenants and identical runs have measured 9.8s vs 24.6s
     # in the same session — a single-shot bench in a degraded window would
-    # misstate the engine by >2x.  min-of-2 approximates steady state.
-    def best_of_2(fn) -> float:
+    # misstate the engine by >2x.  min-of-3 approximates steady state
+    # (round-2 verdict: pin best-of-3 on the driver-visible bench).
+    def best_of_3(fn) -> float:
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             fn()
             walls.append(time.monotonic() - t0)
@@ -113,21 +114,21 @@ def run_bench() -> dict:
         run_job(seq, OUT_DIR, os.path.join(root, "source_meta.parquet"),
                 num_partitions=1, target_num_blocks=max(64, BENCH_ROWS // 250_000))
 
-    pipeline_sec = best_of_2(headline)
+    pipeline_sec = best_of_3(headline)
     queries["pipeline"] = round(pipeline_sec, 3)
 
     # A6 aggregate over the same corpus, combiner pattern (production path;
     # the native groupby variant is exercised at gate scale in the tests)
-    queries["agg_combiner"] = round(best_of_2(
+    queries["agg_combiner"] = round(best_of_3(
         lambda: stages.pre_aggregated(
             stages.parse_stage(ray.data.read_parquet(seq))).to_pandas()), 3)
 
     # relational paths over the driver testdata at $GRAFT_SF_DIR
     try:
         from engine import queries as q
-        queries["lineitem_agg"] = round(best_of_2(
+        queries["lineitem_agg"] = round(best_of_3(
             lambda: q.q_lineitem_agg(sf_dir).to_pandas()), 3)
-        queries["events_agg"] = round(best_of_2(
+        queries["events_agg"] = round(best_of_3(
             lambda: q.q_events_by_type_hour(sf_dir).to_pandas()), 3)
     except FileNotFoundError:
         pass
@@ -145,7 +146,7 @@ def run_bench() -> dict:
             fn = extras.EXTRA_QUERIES.get(name) or extras.ROWS_ONLY_QUERIES.get(name)
             if fn is None:
                 continue
-            queries[name] = round(best_of_2(lambda fn=fn: run_extra(fn)), 3)
+            queries[name] = round(best_of_3(lambda fn=fn: run_extra(fn)), 3)
     except (ImportError, FileNotFoundError):
         pass
 

@@ -291,10 +291,11 @@ def q_dedup_minhash_lsh(sf_dir: str):
         sigs = {int(ids[i]): np.frombuffer(group["sig"].iloc[order[i]],
                                            dtype=np.uint32).astype(np.uint64)
                 for i in range(len(ids))}
-        a_out, b_out, jm_out, cap_out = [], [], [], []
+        a_out, b_out, jm_out, cap_out, ex_out = [], [], [], [], []
 
         # exact-collapse: identical texts share the signature, hence collide
-        # in EVERY band — emit their star pairs from band 0 only
+        # in EVERY band — emit their star pairs from band 0 only, flagged
+        # ``exact`` (content-hash-identical: true Jaccard is 1 by identity)
         reps: List[int] = []
         by_ch: dict = {}
         for d, c in zip(ids, ch):
@@ -305,6 +306,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
                 for m in members[1:]:
                     a_out.append(members[0]); b_out.append(m)
                     jm_out.append(1000); cap_out.append(False)
+                    ex_out.append(True)
 
         reps.sort()
         capped = len(reps) > _BUCKET_CAP
@@ -315,7 +317,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
             if est * 2 >= _N_PERM:  # estimated Jaccard >= 0.5
                 a_out.append(da); b_out.append(db)
                 jm_out.append(int(round(est / _N_PERM * 1000)))
-                cap_out.append(capped)
+                cap_out.append(capped); ex_out.append(False)
 
         if capped:
             # bounded degrade: star around the min rep keeps O(k) work and
@@ -327,7 +329,8 @@ def q_dedup_minhash_lsh(sf_dir: str):
                 for j in range(i + 1, len(reps)):
                     emit(reps[i], reps[j])
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out,
-                             "jaccard_milli": jm_out, "capped": cap_out})
+                             "jaccard_milli": jm_out, "capped": cap_out,
+                             "exact": ex_out})
 
     out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
         .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
@@ -336,16 +339,17 @@ def q_dedup_minhash_lsh(sf_dir: str):
     import pandas as pd
     if df.empty or "doc_a" not in df.columns:
         df = pd.DataFrame({"doc_a": [], "doc_b": [],
-                           "jaccard_milli": [], "capped": []})
+                           "jaccard_milli": [], "capped": [], "exact": []})
     df = df.groupby(["doc_a", "doc_b"], as_index=False) \
            .agg(jaccard_milli=("jaccard_milli", "first"),
-                capped=("capped", "max")) \
+                capped=("capped", "max"), exact=("exact", "max")) \
            .sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.table({
         "doc_a": pa.array(df["doc_a"].astype(np.int64)),
         "doc_b": pa.array(df["doc_b"].astype(np.int64)),
         "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64)),
         "capped": pa.array(df["capped"].astype(bool)),
+        "exact": pa.array(df["exact"].astype(bool)),
     })
 
 
@@ -357,42 +361,77 @@ def _word_shingles(text: str, k: int = 3) -> set:
     return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
 
 
-def verify_pairs_exact(sf_dir: str, pairs: pa.Table) -> pa.Table:
-    """Optional exact-Jaccard refinement of a (doc_a, doc_b) pair table.
+#: stats of the last verify_pairs_exact call: {"n_pairs", "n_estimated",
+#: "n_text_docs"} — the broadcast-size bound the skew test asserts on
+LAST_VERIFY: dict = {}
 
-    Distributed: the candidate docs' texts are broadcast once via
-    ``ray.put`` (bounded: pairs are already verified-by-signature, so this
-    side is small) and each pair row is re-scored in ``map_batches``."""
+
+def verify_pairs_exact(sf_dir: str, pairs: pa.Table) -> pa.Table:
+    """Exact-Jaccard refinement of a (doc_a, doc_b) pair table.
+
+    Skew-safety: pairs flagged ``exact`` (content-hash-identical texts,
+    the LSH exact-collapse stars) score 1000 BY IDENTITY with no text
+    fetched — a boilerplate flood of k identical docs costs k flagged
+    rows and zero broadcast bytes.  Only docs appearing in ESTIMATED
+    pairs have their texts gathered (column-pruned, id-filtered read)
+    and broadcast once via ``ray.put``; each estimated pair re-scores in
+    ``map_batches``.  The broadcast side is bounded by the bucket caps:
+    at most ``_BUCKET_CAP``-choose-2 estimated pairs per bucket."""
     import ray
     import pyarrow.dataset as pads
-    ids = sorted(set(pairs["doc_a"].to_pylist()) | set(pairs["doc_b"].to_pylist()))
-    if not ids:
+    n = pairs.num_rows
+    if n == 0:
         return pairs.append_column("jaccard_exact_milli",
                                    pa.array([], type=pa.int64()))
-    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
-        .to_table(columns=["doc_id", "text"],
-                  filter=pc.field("doc_id").isin(ids))
-    texts_ref = ray.put(dict(zip(pc.cast(tbl["doc_id"], pa.int64()).to_pylist(),
-                                 tbl["text"].to_pylist())))
+    if "exact" in pairs.column_names:
+        em = pc.fill_null(pairs["exact"], False).to_numpy(zero_copy_only=False)
+    else:
+        em = np.zeros(n, dtype=bool)
+    est = pairs.filter(pa.array(~em)).select(["doc_a", "doc_b"])
+    ids = sorted(set(est["doc_a"].to_pylist()) | set(est["doc_b"].to_pylist()))
+    LAST_VERIFY.clear()
+    LAST_VERIFY.update(n_pairs=n, n_estimated=est.num_rows,
+                       n_text_docs=len(ids))
+    out_jm = np.full(n, 1000, dtype=np.int64)   # exact pairs: identity
+    if ids:
+        tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+            .to_table(columns=["doc_id", "text"],
+                      filter=pc.field("doc_id").isin(ids))
+        texts_ref = ray.put(dict(zip(
+            pc.cast(tbl["doc_id"], pa.int64()).to_pylist(),
+            tbl["text"].to_pylist())))
 
-    class Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        class Verify:
+            def __init__(self, ref):
+                self.texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            jm = []
-            for da, db in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                sa = _word_shingles(self.texts[da])
-                sb = _word_shingles(self.texts[db])
-                un = len(sa | sb)
-                jm.append(int(round(len(sa & sb) / un * 1000)) if un else 0)
-            return t.append_column("jaccard_exact_milli",
-                                   pa.array(jm, type=pa.int64()))
+            def __call__(self, t: pa.Table) -> pa.Table:
+                jm = []
+                for da, db in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                    sa = _word_shingles(self.texts[da])
+                    sb = _word_shingles(self.texts[db])
+                    un = len(sa | sb)
+                    jm.append(int(round(len(sa & sb) / un * 1000)) if un else 0)
+                return t.append_column("jaccard_exact_milli",
+                                       pa.array(jm, type=pa.int64()))
 
-    ds = ray.data.from_arrow(pairs).map_batches(
-        Verify, fn_constructor_args=(texts_ref,), batch_format="pyarrow",
-        concurrency=(1, 8), num_cpus=1)
-    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        est = est.append_column("_vidx", pa.array(
+            np.flatnonzero(~em), type=pa.int64()))
+        ds = ray.data.from_arrow(est).map_batches(
+            Verify, fn_constructor_args=(texts_ref,), batch_format="pyarrow",
+            concurrency=(1, 8), num_cpus=1)
+        vt = pa.concat_tables([b for b in ray.get(ds.to_arrow_refs())
+                               if b.num_columns])
+        out_jm[vt["_vidx"].to_numpy()] = vt["jaccard_exact_milli"].to_numpy()
+    return pairs.append_column("jaccard_exact_milli", pa.array(out_jm))
+
+
+def q_dedup_verified_pairs(sf_dir: str):
+    """End-to-end near-dup pipeline: MinHash-LSH candidate pairs refined
+    with exact word-shingle Jaccard (rows-only: LSH is not
+    SQL-expressible).  The composite the curation near-dup path builds
+    on; see SCALE.md for the broadcast bound."""
+    return verify_pairs_exact(sf_dir, q_dedup_minhash_lsh(sf_dir))
 
 
 def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,

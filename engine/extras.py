@@ -24,6 +24,7 @@ EXTRA_QUERIES = {
     "dedup_clusters": dedup.q_dedup_clusters,
     "dedup_clusters_lp": dedup.q_dedup_clusters_lp,
     "dedup_simhash": dedup.q_dedup_simhash,
+    "dedup_verified_pairs": dedup.q_dedup_verified_pairs,
     "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
     # similarity search
     "simsearch_topk": simsearch.q_simsearch_topk,

@@ -592,3 +592,47 @@ def test_rolling_fingerprint_kernels_match_scalar():
     flat, offs = _split_tokens(pa.array(cases))
     got_fast = _fold_word_hashes(_word_poly_hashes(flat), flat, offs)
     assert got_fast.tolist() == [scalar_fast(s or "") for s in cases]
+
+
+def test_verify_pairs_exact_boilerplate_skew(ray_session, tmp_path):
+    """VERDICT r2 #7: exact verification after LSH on a boilerplate-heavy
+    corpus — 3k identical LARGE docs (text side ~6 MB, beyond one object
+    store block) must verify via the `exact` flag with NO text broadcast
+    for the flood; only estimated pairs' texts ship."""
+    import time
+    import pyarrow.parquet as pq
+    from engine import dedup
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.slice(0, 1).to_pydict()
+    k = 3000
+    big_text = " ".join(f"clause{i} term{i}" for i in range(200))  # ~2.7 KB
+    flood = {c: base[c] * k for c in base}
+    flood["doc_id"] = list(range(9_000_000, 9_000_000 + k))
+    flood["text"] = [big_text] * k
+    # one planted non-identical near-dup of the boilerplate
+    near = dict(base)
+    near["doc_id"] = [9_500_000]
+    near["text"] = [big_text + " amended clause zzz"]
+    aug = pa.concat_tables([src, pa.table(flood, schema=src.schema),
+                            pa.table(near, schema=src.schema)])
+    d = tmp_path / "boiler"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+
+    t0 = time.monotonic()
+    out = dedup.q_dedup_verified_pairs(str(d))
+    wall = time.monotonic() - t0
+    ex = {(a, b): j for a, b, j in zip(out["doc_a"].to_pylist(),
+                                       out["doc_b"].to_pylist(),
+                                       out["jaccard_exact_milli"].to_pylist())}
+    # flood stars: exact 1000 by identity
+    assert ex[(9_000_000, 9_000_001)] == 1000
+    # planted near-dup re-scored from text with high exact Jaccard
+    near_scores = [j for (a, b), j in ex.items() if b == 9_500_000 or a == 9_500_000]
+    assert near_scores and max(near_scores) >= 900
+    # the broadcast side excluded the flood: only estimated pairs' docs ship
+    lv = dedup.LAST_VERIFY
+    assert lv["n_pairs"] >= k
+    assert lv["n_text_docs"] <= 2 * lv["n_estimated"]
+    assert lv["n_text_docs"] < 100, lv
+    assert wall < 120, f"boilerplate skew took {wall:.1f}s"
