@@ -104,6 +104,37 @@ def q_dedup_exact(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text"
 
 
+# Exact oracle for q_ngram_jaccard_pairs: the banding + replication design
+# finds each qualifying pair exactly once, so on corpora where no group
+# exceeds _BUCKET_CAP (both gate scales — asserted offline) the blocked
+# result EQUALS the full pairwise join.  Shingle set in SQL mirrors
+# _word_shingles: word 3-grams, <3 words -> the joined words, empty -> [].
+SQL_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id, source, lang,
+         regexp_extract_all(text, '\\S+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(range(len(words) - 2),
+                   i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+         END AS sh
+  FROM w
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS un
+  FROM s a JOIN s b
+    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, floor(inter / un * 1000 + 0.5)::BIGINT AS jaccard_milli,
+       false AS capped
+FROM p WHERE un > 0 AND inter / un >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # vectorized tokenize + shingle + MinHash (batch-level numpy, no row loops)
 # ---------------------------------------------------------------------------
@@ -770,7 +801,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                 jac = len(sh0 & s) / un if un else 0.0
                 if jac >= 0.3:
                     a.append(anchor[0]); b.append(int(d))
-                    jm.append(int(round(jac * 1000))); cap.append(True)
+                    jm.append(int(jac * 1000 + 0.5)); cap.append(True)
             return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm,
                                  "capped": cap})
         sh = [(_word_shingles(t), d, int(ob)) for d, t, ob in rows]
@@ -783,7 +814,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                 jac = len(sh[i][0] & sh[j][0]) / un if un else 0.0
                 if jac >= 0.3:
                     a.append(sh[i][1]); b.append(sh[j][1])
-                    jm.append(int(round(jac * 1000))); cap.append(False)
+                    jm.append(int(jac * 1000 + 0.5)); cap.append(False)
         return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard_milli": jm,
                              "capped": cap})
 

@@ -7,9 +7,12 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import curate, dedup, multimodal, simsearch, text
+from engine import asof, curate, dedup, multimodal, simsearch, text
 
 EXTRA_QUERIES = {
+    # as-of / range joins (point-in-time attribution)
+    "events_asof_prior_purchase": asof.q_events_asof_prior_purchase,
+    "events_range_join_counts": asof.q_events_range_join_counts,
     # text analysis
     "text_stats": text.q_text_stats,
     "token_counts": text.q_token_counts,
@@ -31,6 +34,7 @@ EXTRA_QUERIES = {
     "simsearch_lsh": simsearch.q_simsearch_lsh,
     "simsearch_ivf": simsearch.q_simsearch_ivf,
     "embedding_near_dup": simsearch.q_embedding_near_dup,
+    "embedding_similar_pairs_exact": simsearch.q_embedding_similar_pairs_exact,
     # multimodal plumbing
     "multimodal_decode": multimodal.q_multimodal_decode,
     "multimodal_stats": multimodal.q_multimodal_stats,
@@ -42,6 +46,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "events_asof_prior_purchase": asof.SQL_EVENTS_ASOF,
+    "events_range_join_counts": asof.SQL_EVENTS_RANGE_JOIN,
     "text_stats": text.SQL_TEXT_STATS,
     "token_counts": text.SQL_TOKEN_COUNTS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,
@@ -50,7 +56,9 @@ EXTRA_ORACLE_SQL = {
     "lang_id": text.SQL_LANG_ID,
     "quality_score": text.SQL_QUALITY_SCORE,
     "dedup_exact": dedup.SQL_DEDUP_EXACT,
+    "ngram_jaccard_pairs": dedup.SQL_NGRAM_JACCARD,
     "simsearch_topk": simsearch.SQL_SIMSEARCH_TOPK,
+    "embedding_similar_pairs_exact": simsearch.SQL_EMBEDDING_SIMILAR_PAIRS,
     "multimodal_decode": multimodal.SQL_MULTIMODAL_DECODE,
     "multimodal_stats": multimodal.SQL_MULTIMODAL_STATS,
     "multimodal_resize": multimodal.SQL_MULTIMODAL_RESIZE,

@@ -450,3 +450,92 @@ def q_simsearch_ivf(sf_dir: str):
                      "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
                      "rank": pa.array([r[2] for r in rows], type=pa.int64()),
                      "sim_micro": pa.array([r[3] for r in rows], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# exact similar-pair mining (gated): the O(n^2) baseline of the blocked path
+# ---------------------------------------------------------------------------
+
+_SIM_PAIR_MIN = 0.4
+_QUANT = 1_000_000.0
+
+
+def q_embedding_similar_pairs_exact(sf_dir: str):
+    """EXACT all-pairs cosine >= 0.4 over the embeddings — the brute-force
+    baseline that the hyperplane-blocked ``q_embedding_near_dup`` and the
+    ANN indexes approximate (same relationship as ``simsearch_topk`` to
+    the LSH/IVF paths).  One quantized matrix broadcast via ``ray.put``,
+    one integer matmul per batch against it; O(n * n/batch) — the
+    exact-baseline regime, not the 100 TB path.  Pairs emit once
+    (id_a < id_b).
+
+    Gate-exactness: embeddings are quantized to micro-integers
+    (``floor(x*1e6 + 0.5)``) so every SUM is integer-exact on both sides
+    — float summation ORDER (numpy pairwise/SIMD vs DuckDB's loop) can
+    flip a micro-rounding boundary otherwise.  The cosine then needs only
+    scalar IEEE ops (int->double exact below 2^53, correctly-rounded
+    sqrt/div/mul) written in the identical order in numpy and SQL."""
+    import ray
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids_all = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    Q = np.floor(_batch_mat(t) * _QUANT + 0.5).astype(np.int64)
+    nq = (Q * Q).sum(axis=1)                      # integer-exact norms^2
+    ref = ray.put((ids_all, Q, nq))
+
+    class PairScan:
+        def __init__(self, r):
+            self.ids_all, self.Q, self.nq = \
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            Qb = np.floor(_batch_mat(b) * _QUANT + 0.5).astype(np.int64)
+            nqb = (Qb * Qb).sum(axis=1)
+            D = Qb @ self.Q.T                     # integer-exact dot products
+            # scalar IEEE ops in the SQL's exact order:
+            # dot / sqrt(na) / sqrt(nb)
+            C = D / np.sqrt(nqb.astype(np.float64))[:, None] \
+                / np.sqrt(self.nq.astype(np.float64))[None, :]
+            ii, jj = np.nonzero((C >= _SIM_PAIR_MIN)
+                                & (ids[:, None] < self.ids_all[None, :]))
+            return pa.table({
+                "vec_a": pa.array(ids[ii], type=pa.int64()),
+                "vec_b": pa.array(self.ids_all[jj], type=pa.int64()),
+                "cos_micro": pa.array(
+                    np.floor(C[ii, jj] * 1e6 + 0.5).astype(np.int64)),
+            })
+
+    out = _emb(sf_dir).map_batches(PairScan, fn_constructor_args=(ref,),
+                                   batch_format="pyarrow", batch_size=None,
+                                   concurrency=(1, 8), num_cpus=1)
+    import ray as _ray
+    tabs = [b for b in _ray.get(out.to_arrow_refs()) if b.num_columns]
+    res = pa.concat_tables(tabs) if tabs else pa.table(
+        {"vec_a": pa.array([], type=pa.int64()),
+         "vec_b": pa.array([], type=pa.int64()),
+         "cos_micro": pa.array([], type=pa.int64())})
+    return res.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+SQL_EMBEDDING_SIMILAR_PAIRS = f"""
+WITH q AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qe
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(qe, x -> x * x))::BIGINT AS nq
+  FROM q
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(len(a.qe)),
+                  i -> a.qe[i+1] * b.qe[i+1]))::BIGINT AS dq,
+         a.nq AS na, b.nq AS nb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       floor(dq / sqrt(na) / sqrt(nb) * 1000000 + 0.5)::BIGINT AS cos_micro
+FROM p
+WHERE na > 0 AND nb > 0 AND dq / sqrt(na) / sqrt(nb) >= {_SIM_PAIR_MIN}
+"""
