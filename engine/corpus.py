@@ -1,0 +1,269 @@
+"""Corpus-preparation operators a training-data pipeline runs after
+curation: deterministic train/val/test split, sequence packing, document-
+frequency vocabulary, hopping-window aggregates.  All single-pass
+``map_batches`` + (at most) one small-key groupby, and all DuckDB-gated
+(md5 is the shared digest; everything else is integer-exact).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.io import read_parquet_clean
+
+
+def _docs(sf_dir: str, columns=None):
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (gated)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 100
+_TRAIN_LT, _VAL_LT = 80, 90   # 80/10/10
+
+
+def q_corpus_split(sf_dir: str):
+    """Hash-based train/val/test assignment: bucket = first 32 md5 bits of
+    the doc id string, mod 100 — stable under corpus growth (a doc's split
+    never changes when other docs are added), reproducible anywhere md5
+    exists, and shuffle-free (pure map)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
+        b = np.array([int.from_bytes(
+            hashlib.md5(str(d).encode()).digest()[:4], "big") % _SPLIT_BUCKETS
+            for d in ids], dtype=np.int64)
+        split = np.where(b < _TRAIN_LT, "train",
+                         np.where(b < _VAL_LT, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "bucket": pa.array(b),
+            "split": pa.array(split.astype(object), type=pa.string()),
+        })
+    return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CORPUS_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           % {_SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+            WHEN bucket < {_VAL_LT} THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (gated)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def q_pack_sequences(sf_dir: str):
+    """Offset-based sequence packing: within each language (the
+    partitioning key — reuse of the corpus's natural key), docs in doc_id
+    order are laid head-to-tail and cut into ``_PACK_BUDGET``-token packs:
+    ``pack_id = tokens_before // budget``.  One groupby(lang) +
+    vectorized cumsum per group; deterministic, so a resumed run
+    reproduces identical pack assignments.  (Offset packing — the
+    streaming-friendly packing used when docs may span pack boundaries;
+    greedy first-fit is deliberately NOT used: it is order-fragile and
+    not oracle-checkable.)"""
+    def per_lang(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ntok = pc.count_substring_regex(
+            pc.fill_null(txt, ""), r"\S+").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ntok = ids[order], ntok[order]
+        before = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(ntok[:-1], out=before[1:])
+        lang = t["lang"].to_pylist()[0] if t.num_rows else ""
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": pa.array([lang] * len(ids), type=pa.string()),
+            "n_tokens": pa.array(ntok),
+            "pack_id": pa.array(before // _PACK_BUDGET),
+            "pack_offset": pa.array(before % _PACK_BUDGET),
+        })
+
+    return _docs(sf_dir, ["doc_id", "lang", "text"]) \
+        .groupby("lang").map_groups(per_lang, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH n AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM n
+)
+SELECT doc_id, lang, n_tokens,
+       (before // {_PACK_BUDGET})::BIGINT AS pack_id,
+       (before % {_PACK_BUDGET})::BIGINT AS pack_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# document-frequency top terms per language (gated)
+# ---------------------------------------------------------------------------
+
+_TOP_TERMS = 5
+
+
+def q_top_terms_by_lang(sf_dir: str):
+    """Per-language top-5 words by DOCUMENT frequency (the vocabulary/
+    stopword-mining shape).  Combiner-first: each batch emits one row per
+    distinct (lang, word) with its batch document count (vectorized
+    segment-unique over the flat token stream — no Python over words),
+    the groupby folds partials, and only the tiny (lang, word, df) table
+    reaches the driver for the top-k."""
+    from engine.text import _split_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        counts = offs[1:] - offs[:-1]
+        n = len(counts)
+        if len(flat) == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # distinct (doc, word): sort words within each doc, keep firsts
+        import pandas as pd
+        codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+        order = np.lexsort((codes, doc_idx))
+        c2, d2 = codes[order], doc_idx[order]
+        new = np.ones(len(c2), dtype=bool)
+        if len(c2) > 1:
+            new[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+        dw_code, dw_doc = c2[new], d2[new]
+        # empty-string token (whitespace-only doc artifact) never counts
+        wlen = np.array([len(w) for w in uniq], dtype=np.int64)
+        keep = wlen[dw_code] > 0
+        dw_code, dw_doc = dw_code[keep], dw_doc[keep]
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        g = pa.TableGroupBy(pa.table({
+            "lang": pa.array(langs[dw_doc], type=pa.string()),
+            "word": pa.array(uniq[dw_code], type=pa.string()),
+        }), ["lang", "word"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "word": g["word"],
+                         "df": pc.cast(g["count_all"], pa.int64())})
+
+    import ray
+    from ray.data.aggregate import Sum
+    folded = _docs(sf_dir, ["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby(["lang", "word"]).aggregate(Sum("df", alias_name="df"))
+    tbl = pa.concat_tables([b for b in ray.get(folded.to_arrow_refs())
+                            if b.num_columns])
+    df = tbl.to_pandas()
+    df = df.sort_values(["lang", "df", "word"],
+                        ascending=[True, False, True], ignore_index=True)
+    df["rank"] = df.groupby("lang").cumcount() + 1
+    df = df[df["rank"] <= _TOP_TERMS]
+    return pa.table({
+        "lang": pa.array(df["lang"], type=pa.string()),
+        "word": pa.array(df["word"], type=pa.string()),
+        "df": pa.array(df["df"].astype(np.int64)),
+        "rank": pa.array(df["rank"].astype(np.int64)),
+    })
+
+
+SQL_TOP_TERMS = rf"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), c AS (
+  SELECT lang, word, count(*)::BIGINT AS df FROM dw GROUP BY 1, 2
+)
+SELECT lang, word, df,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY df DESC, word ASC)::BIGINT AS rank
+FROM c
+QUALIFY rank <= {_TOP_TERMS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# hopping-window aggregate over events (gated)
+# ---------------------------------------------------------------------------
+
+_HOP_US = 1_800_000_000          # 30 min hop
+_WIN_HOPS = 2                    # 1 h window = 2 hops
+
+
+def q_events_hopping_window(sf_dir: str):
+    """Hopping (sliding) window counts: 1-hour windows every 30 minutes —
+    each event lands in exactly ``_WIN_HOPS`` windows.  The replication
+    happens inside ``map_batches`` (np.repeat, no flat_map row path),
+    partials combine per batch, and only (window, partial) rows shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        vmilli = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                          * 1000.0).astype(np.int64)
+        k = ts // _HOP_US
+        wins = np.concatenate([k - d for d in range(_WIN_HOPS)])
+        vals = np.tile(vmilli, _WIN_HOPS)
+        g = pa.TableGroupBy(pa.table({
+            "window_idx": pa.array(wins), "v": pa.array(vals)}),
+            "window_idx").aggregate([("v", "sum"), ("v", "count")])
+        return pa.table({"window_idx": g["window_idx"],
+                         "sum_value_milli": g["v_sum"],
+                         "n_events": pc.cast(g["v_count"], pa.int64())})
+
+    import ray
+    from ray.data.aggregate import Sum
+    out = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("window_idx") \
+        .aggregate(Sum("sum_value_milli", alias_name="sum_value_milli"),
+                   Sum("n_events", alias_name="n_events"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start_us": pc.multiply(
+                pc.cast(t["window_idx"], pa.int64()), _HOP_US),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value_milli": pc.cast(t["sum_value_milli"], pa.int64()),
+        })
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOPPING = f"""
+WITH r AS (
+  SELECT unnest([epoch_us(ts) // {_HOP_US},
+                 epoch_us(ts) // {_HOP_US} - 1]) AS window_idx,
+         CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+  FROM events
+)
+SELECT (window_idx * {_HOP_US})::BIGINT AS window_start_us,
+       count(*)::BIGINT AS n_events,
+       sum(vmilli)::BIGINT AS sum_value_milli
+FROM r GROUP BY window_idx
+"""

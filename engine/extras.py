@@ -7,7 +7,7 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import asof, curate, dedup, multimodal, simsearch, text
+from engine import asof, corpus, curate, dedup, multimodal, simsearch, text
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
@@ -40,6 +40,11 @@ EXTRA_QUERIES = {
     "multimodal_stats": multimodal.q_multimodal_stats,
     "multimodal_resize": multimodal.q_multimodal_resize,
     "multimodal_frames": multimodal.q_multimodal_frames,
+    # corpus preparation
+    "corpus_split": corpus.q_corpus_split,
+    "pack_sequences": corpus.q_pack_sequences,
+    "top_terms_by_lang": corpus.q_top_terms_by_lang,
+    "events_hopping_window": corpus.q_events_hopping_window,
     # composite curation pipeline
     "curate_corpus": curate.q_curate_corpus,
     "curate_corpus_neardup": curate.q_curate_corpus_neardup,
@@ -63,6 +68,10 @@ EXTRA_ORACLE_SQL = {
     "multimodal_stats": multimodal.SQL_MULTIMODAL_STATS,
     "multimodal_resize": multimodal.SQL_MULTIMODAL_RESIZE,
     "multimodal_frames": multimodal.SQL_MULTIMODAL_FRAMES,
+    "corpus_split": corpus.SQL_CORPUS_SPLIT,
+    "pack_sequences": corpus.SQL_PACK_SEQUENCES,
+    "top_terms_by_lang": corpus.SQL_TOP_TERMS,
+    "events_hopping_window": corpus.SQL_EVENTS_HOPPING,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
 }
 
