@@ -38,6 +38,30 @@ import ray
 from engine import stages
 
 
+def collect_tables(ds) -> List[pa.Table]:
+    """Execute ``ds`` EXACTLY ONCE and fetch its blocks as Arrow tables.
+
+    ``Dataset.to_arrow_refs()`` calls ``schema(fetch_if_missing=True)``
+    after execution; when the executed bundles carry no usable schema that
+    launches a SECOND ``limit(1)`` execution of the plan — which re-runs a
+    side-effecting map stage (our sink-writing fused/rerun stages) over a
+    possibly TRUNCATED read and writes a partial batch under a new
+    deterministic file name.  Observed as a duplicated sink row under
+    full-suite load (the round-2 replay flake).  Iterating the internal
+    ref bundles avoids the schema call entirely, so the pipeline executes
+    exactly once no matter what the blocks' schemas look like."""
+    from ray.data._internal.execution.interfaces.ref_bundle import (
+        _ref_bundles_iterator_to_block_refs_list)
+    refs = _ref_bundles_iterator_to_block_refs_list(
+        ds.iter_internal_ref_bundles())
+    out = []
+    for t in ray.get(refs):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t)
+        out.append(t)
+    return out
+
+
 def list_input_files(input_dir: str) -> List[str]:
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
@@ -103,9 +127,10 @@ def run_partition(files: Sequence[str], out_dir: str, tag: str,
         lin = stages.fused_stage(ds, out_dir, tag, source_meta_ref,
                                  version_fallback=version_fallback)
     # lineage is tiny (one row per sink x source x batch): collect it on the
-    # driver and write ONE file — no Ray Write operator on the hot path
-    refs = lin.to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_columns]
+    # driver and write ONE file — no Ray Write operator on the hot path.
+    # collect_tables (not to_arrow_refs): the schema fetch there can
+    # re-execute this side-effecting pipeline (see its docstring)
+    tables = [t for t in collect_tables(lin) if t.num_columns]
     lin_tbl = pa.concat_tables(tables) if tables else stages.LINEAGE_SCHEMA.empty_table()
     d = os.path.join(out_dir, "_lineage", tag)
     os.makedirs(d, exist_ok=True)
@@ -147,7 +172,7 @@ def run_hex_job(hex_paths, metadata_path: str, out_dir: str,
         return router(t)
 
     lin = ds.map_batches(run, batch_format="pyarrow", batch_size=None)
-    tables = [t for t in ray.get(lin.to_arrow_refs()) if t.num_columns]
+    tables = [t for t in collect_tables(lin) if t.num_columns]
     lin_tbl = pa.concat_tables(tables) if tables else stages.LINEAGE_SCHEMA.empty_table()
     d = os.path.join(out_dir, "_lineage", tag)
     os.makedirs(d, exist_ok=True)
@@ -244,7 +269,7 @@ def replay_dead_letters(out_dir: str, replay_tag: Optional[str] = None,
             return router(t)
 
         lin = ds.map_batches(rerun, batch_format="pyarrow", batch_size=None)
-        tables = [t for t in ray.get(lin.to_arrow_refs()) if t.num_columns]
+        tables = [t for t in collect_tables(lin) if t.num_columns]
         lin_tbl = (pa.concat_tables(tables) if tables
                    else stages.LINEAGE_SCHEMA.empty_table())
         for f in dl:  # replayed rows now live in their new sinks

@@ -242,3 +242,26 @@ def test_actor_stage_pipeline_matches_fused(ray_session, sf_small, tmp_path):
     extra = sum(n for (s, m), (n, _) in outs["actor_fb"].items() if m == 0x2001) \
         - sum(n for (s, m), (n, _) in outs["actor"].items() if m == 0x2001)
     assert extra > 0
+
+
+def test_collect_tables_executes_pipeline_exactly_once(ray_session, tmp_path):
+    """Regression for the replay flake: Dataset.to_arrow_refs()'s schema
+    fetch could re-execute a side-effecting pipeline with limit(1),
+    writing a truncated batch's sink file under a new name (duplicate
+    rows).  collect_tables must run the plan exactly once — one UDF call
+    per block, all rows returned."""
+    import uuid
+    import ray
+    from engine.pipeline import collect_tables
+    marker = tmp_path / "calls"
+    marker.mkdir()
+
+    def fn(t):
+        (marker / uuid.uuid4().hex).write_text(str(t.num_rows))
+        return t
+
+    ds = ray.data.range(1000, override_num_blocks=4) \
+        .map_batches(fn, batch_size=None, batch_format="pyarrow")
+    tabs = collect_tables(ds)
+    assert sum(t.num_rows for t in tabs) == 1000
+    assert len(list(marker.iterdir())) == 4  # one call per block, one run
