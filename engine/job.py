@@ -107,6 +107,10 @@ def main(argv=None) -> int:
     cu.add_argument("--quality-min", type=int, default=600,
                     help="minimum quality_milli (default 600)")
     cu.add_argument("--shards", type=int, default=16)
+    cu.add_argument("--method", choices=["broadcast", "semijoin"], default=None,
+                    help="curated-id filter regime (default: auto by id-set "
+                    "size — broadcast pc.is_in below ~5M ids, distributed "
+                    "semi-join beyond)")
 
     md = sub.add_parser("metadata", help="emit REFERENCE-format metadata JSON "
                         "from the catalog (metadata_cli.py single/multi parity)")
@@ -240,7 +244,7 @@ def main(argv=None) -> int:
         from engine.curate import curate_to_parquet
         stats = curate_to_parquet(args.docs, args.out,
                                   quality_min=args.quality_min,
-                                  num_shards=args.shards)
+                                  num_shards=args.shards, method=args.method)
         print(json.dumps(stats))
         ray.shutdown()
         return 0
