@@ -109,7 +109,7 @@ def q_pack_sequences(sf_dir: str):
 SQL_PACK_SEQUENCES = rf"""
 WITH n AS (
   SELECT doc_id::BIGINT AS doc_id, lang,
-         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+         len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tokens,
@@ -178,9 +178,14 @@ def q_top_terms_by_lang(sf_dir: str):
     folded = _docs(sf_dir, ["lang", "text"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby(["lang", "word"]).aggregate(Sum("df", alias_name="df"))
-    tbl = pa.concat_tables([b for b in ray.get(folded.to_arrow_refs())
-                            if b.num_columns])
-    df = tbl.to_pandas()
+    from engine.pipeline import collect_tables
+    tabs = [b for b in collect_tables(folded) if b.num_columns]
+    if not tabs:   # empty corpus: no (lang, word) rows at all
+        return pa.table({"lang": pa.array([], type=pa.string()),
+                         "word": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    df = pa.concat_tables(tabs).to_pandas()
     df = df.sort_values(["lang", "df", "word"],
                         ascending=[True, False, True], ignore_index=True)
     df["rank"] = df.groupby("lang").cumcount() + 1
@@ -196,7 +201,7 @@ def q_top_terms_by_lang(sf_dir: str):
 SQL_TOP_TERMS = rf"""
 WITH dw AS (
   SELECT DISTINCT doc_id, lang,
-         unnest(regexp_extract_all(lower(text), '\S+')) AS word
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS word
   FROM documents
 ), c AS (
   SELECT lang, word, count(*)::BIGINT AS df FROM dw GROUP BY 1, 2

@@ -83,12 +83,12 @@ def _sql_lang_pred_expr() -> str:
 
 def _sql_quality_milli_expr() -> str:
     stop_sql = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
-    return rf"""floor((least(greatest(len(regexp_extract_all(text, '\S+')) / 50.0, 0), 1) * 0.4
-    + least(greatest(len(list_filter(regexp_extract_all(text, '\S+'),
+    return rf"""floor((least(greatest(len(regexp_extract_all(coalesce(text, ''), '\S+')) / 50.0, 0), 1) * 0.4
+    + least(greatest(len(list_filter(regexp_extract_all(coalesce(text, ''), '\S+'),
                                      w -> w IN ({stop_sql})))::DOUBLE
-                     / greatest(len(regexp_extract_all(text, '\S+')), 1) * 3, 0), 1) * 0.3
+                     / greatest(len(regexp_extract_all(coalesce(text, ''), '\S+')), 1) * 3, 0), 1) * 0.3
     + least(greatest(1 - len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                     / greatest(length(text), 1) * 10, 0), 1) * 0.3)
+                     / greatest(length(coalesce(text, '')), 1) * 10, 0), 1) * 0.3)
     * 1000 + 0.5)::BIGINT"""
 
 
@@ -96,7 +96,7 @@ SQL_CURATE_CORPUS = rf"""
 WITH m AS (
   SELECT doc_id::BIGINT AS doc_id, text,
          {_sql_quality_milli_expr()} AS quality_milli,
-         regexp_extract_all(lower(text), '\S+') AS words
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS words
   FROM documents
 ), p AS (
   SELECT doc_id, text FROM m
@@ -112,8 +112,10 @@ def q_curate_corpus_neardup(sf_dir: str, quality_min: int = QUALITY_MIN_MILLI):
     MinHash-LSH cluster non-survivors."""
     import ray
     from engine.dedup import q_dedup_clusters
+    from engine.pipeline import collect_tables
     curated = pa.concat_tables(
-        ray.get(q_curate_corpus(sf_dir, quality_min).to_arrow_refs()))
+        [t for t in collect_tables(q_curate_corpus(sf_dir, quality_min))
+         if t.num_columns])
     clusters = q_dedup_clusters(sf_dir)
     losers = {d for d, s in zip(clusters["doc_id"].to_pylist(),
                                 clusters["survivor"].to_pylist()) if not s}
@@ -152,8 +154,10 @@ def curate_to_parquet(docs_path: str, out_dir: str,
             f"(got {docs_path!r}) — the queries()/oracle contract is keyed "
             "on that name")
     sf_dir = os.path.dirname(os.path.abspath(docs_path)) or "."
-    ids_tbl = pa.concat_tables(ray.get(q_curate_corpus(sf_dir, quality_min)
-                                       .to_arrow_refs()))
+    from engine.pipeline import collect_tables
+    ids_tbl = pa.concat_tables(
+        [t for t in collect_tables(q_curate_corpus(sf_dir, quality_min))
+         if t.num_columns])
     total = ray.data.read_parquet(docs_path).count()
     if method is None:
         method = "broadcast" if ids_tbl.num_rows <= ID_BROADCAST_MAX \

@@ -451,7 +451,8 @@ def verify_pairs_exact(sf_dir: str, pairs: pa.Table) -> pa.Table:
         ds = ray.data.from_arrow(est).map_batches(
             Verify, fn_constructor_args=(texts_ref,), batch_format="pyarrow",
             concurrency=(1, 8), num_cpus=1)
-        vt = pa.concat_tables([b for b in ray.get(ds.to_arrow_refs())
+        from engine.pipeline import collect_tables
+        vt = pa.concat_tables([b for b in collect_tables(ds)
                                if b.num_columns])
         out_jm[vt["_vidx"].to_numpy()] = vt["jaccard_exact_milli"].to_numpy()
     return pairs.append_column("jaccard_exact_milli", pa.array(out_jm))
@@ -552,9 +553,10 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
             "survivor": pc.equal(t["node"], t["label"]),
         })
 
+    from engine.pipeline import collect_tables
     blocks = [b for b in
-              ray.get(labels_ds.map_batches(finalize, batch_format="pyarrow")
-                      .to_arrow_refs())
+              collect_tables(labels_ds.map_batches(finalize,
+                                                   batch_format="pyarrow"))
               if b.num_columns == 3]  # drop empty schema-less blocks
     if not blocks:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),

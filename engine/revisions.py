@@ -191,7 +191,9 @@ def q_agg_rows_by_revision(sf_dir: str):
 
     parsed = stages.parse_stage(_seq_ds(sf_dir))
     partials = parsed.map_batches(partial, batch_format="pyarrow")
-    folded = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    from engine.pipeline import collect_tables
+    folded = pa.concat_tables([t for t in collect_tables(partials)
+                               if t.num_columns])
     g = pa.TableGroupBy(folded, ["revision", "status"]).aggregate(
         [("n_rows", "sum"), ("sum_n_tok", "sum")])
     return pa.table({

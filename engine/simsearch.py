@@ -33,8 +33,25 @@ def _batch_mat(t: pa.Table) -> np.ndarray:
     col = t["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if t.num_rows == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(t.num_rows, -1)
+
+
+def _emb_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+
+
+_EMPTY_TOPK = {"query_id": pa.int64(), "neighbor_id": pa.int64(),
+               "rank": pa.int64()}
+_EMPTY_ANN = {**_EMPTY_TOPK, "sim_micro": pa.int64()}
+
+
+def _empty_table(spec: dict) -> pa.Table:
+    return pa.table({k: pa.array([], type=v) for k, v in spec.items()})
 
 
 def _query_matrix(sf_dir: str) -> np.ndarray:
@@ -51,6 +68,8 @@ def q_simsearch_topk(sf_dir: str):
     Per batch: one float64 matmul against the broadcast query matrix plus a
     partial top-k; the driver merges ~k rows per batch.  Ties break on
     neighbor_id so ranking is deterministic."""
+    if _emb_rows(sf_dir) == 0:
+        return _empty_table(_EMPTY_TOPK)
     import ray
     Q = _query_matrix(sf_dir)
     qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -188,6 +207,8 @@ def q_simsearch_lsh(sf_dir: str):
     real embedding corpora cluster, where the same setting does far
     better.  Scan fractions of the last call are recorded in
     ``LAST_SCAN`` (asserted <25% per query in the recall test)."""
+    if _emb_rows(sf_dir) == 0:
+        return _empty_table(_EMPTY_ANN)
     import glob as _glob
     import ray
     Q = _query_matrix(sf_dir)
@@ -254,6 +275,11 @@ def q_embedding_near_dup(sf_dir: str):
     * at most ``_BUCKET_CAP`` distinct embeddings per bucket do all-pairs
       (ONE k x k matmul, no per-pair Python); larger buckets degrade to a
       star around the min rep, flagged via the ``capped`` column."""
+    if _emb_rows(sf_dir) == 0:
+        return pa.table({'vec_a': pa.array([], type=pa.int64()),
+                         'vec_b': pa.array([], type=pa.int64()),
+                         'cos_micro': pa.array([], type=pa.int64()),
+                         'capped': pa.array([], type=pa.bool_())})
     import pandas as pd
     dim = _query_matrix(sf_dir).shape[1]
     P = _planes(dim, seed=777)
@@ -319,7 +345,11 @@ def q_embedding_near_dup(sf_dir: str):
                          "vec_b": pa.array([], type=pa.int64()),
                          "cos_micro": pa.array([], type=pa.int64()),
                          "capped": pa.array([], type=pa.bool_())})
-    df = df.drop_duplicates(subset=["vec_a", "vec_b"]) \
+    # max on both: a pair can surface from a capped star (matvec) and an
+    # uncapped matmul bucket whose float sums differ in the last micro —
+    # keep-first would make the row depend on block arrival order
+    df = df.groupby(["vec_a", "vec_b"], as_index=False) \
+           .agg(cos_micro=("cos_micro", "max"), capped=("capped", "max")) \
            .sort_values(["vec_a", "vec_b"], ignore_index=True)
     return pa.table({"vec_a": pa.array(df["vec_a"].astype(np.int64)),
                      "vec_b": pa.array(df["vec_b"].astype(np.int64)),
@@ -401,6 +431,8 @@ def q_simsearch_ivf(sf_dir: str):
     probed rows.  The clustered counterpart of the hyperplane-LSH path —
     on real (clustered) embedding corpora IVF is usually the better
     scale structure.  Scan accounting in ``LAST_SCAN_IVF``."""
+    if _emb_rows(sf_dir) == 0:
+        return _empty_table(_EMPTY_ANN)
     import glob as _glob
     import ray
     import pyarrow.parquet as pq
@@ -475,6 +507,10 @@ def q_embedding_similar_pairs_exact(sf_dir: str):
     flip a micro-rounding boundary otherwise.  The cosine then needs only
     scalar IEEE ops (int->double exact below 2^53, correctly-rounded
     sqrt/div/mul) written in the identical order in numpy and SQL."""
+    if _emb_rows(sf_dir) == 0:
+        return pa.table({'vec_a': pa.array([], type=pa.int64()),
+                         'vec_b': pa.array([], type=pa.int64()),
+                         'cos_micro': pa.array([], type=pa.int64())})
     import ray
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
@@ -509,8 +545,8 @@ def q_embedding_similar_pairs_exact(sf_dir: str):
     out = _emb(sf_dir).map_batches(PairScan, fn_constructor_args=(ref,),
                                    batch_format="pyarrow", batch_size=None,
                                    concurrency=(1, 8), num_cpus=1)
-    import ray as _ray
-    tabs = [b for b in _ray.get(out.to_arrow_refs()) if b.num_columns]
+    from engine.pipeline import collect_tables
+    tabs = [b for b in collect_tables(out) if b.num_columns]
     res = pa.concat_tables(tabs) if tabs else pa.table(
         {"vec_a": pa.array([], type=pa.int64()),
          "vec_b": pa.array([], type=pa.int64()),

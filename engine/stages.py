@@ -466,9 +466,11 @@ def pre_aggregated(parsed_ds):
     longer holds, swap the fold for :func:`aggregate_stage`'s native
     groupby over the partials — the partials schema is identical."""
     import pyarrow.compute as pc
+    from engine.pipeline import collect_tables
     partials = parsed_ds.map_batches(_partial_agg_batch, batch_format="pyarrow",
                                      batch_size=None)
-    folded = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    folded = pa.concat_tables([t for t in collect_tables(partials)
+                               if t.num_columns])
     g = pa.TableGroupBy(folded, ["source", "msg_type"]).aggregate(
         [("n_rows", "sum"), ("sum_n_tok", "sum")])
     out = pa.table({"source": g["source"], "msg_type": g["msg_type"],

@@ -88,8 +88,8 @@ FROM documents
 
 def q_doc_fingerprint(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
-               for s in t["text"].to_pylist()]
+        fps = [None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in t["text"].to_pylist()]  # null text -> null (md5(NULL))
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "fp": pa.array(fps, type=pa.string())})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
@@ -235,7 +235,7 @@ SQL_FINGERPRINT_ROLLING = rf"""
 SELECT doc_id::BIGINT AS doc_id,
   list_reduce(
     list_prepend({_ROLL_SEED}::BIGINT,
-      list_transform(regexp_extract_all(text, '\S+'),
+      list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
                      w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
     (h, wh) -> (h * {_ROLL_B} + wh) % {_ROLL_MOD})::BIGINT AS fingerprint
 FROM documents
@@ -261,7 +261,7 @@ SQL_FINGERPRINT_ROLLING_FAST = rf"""
 SELECT doc_id::BIGINT AS doc_id,
   list_reduce(
     list_prepend({_ROLL_SEED}::BIGINT,
-      list_transform(regexp_extract_all(text, '\S+'),
+      list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
         w -> list_reduce(
                list_prepend(0::BIGINT,
                  list_reverse(list_transform(range(octet_length(encode(w))),
@@ -361,7 +361,7 @@ def _sql_lang_id() -> str:
     return rf"""
 WITH w AS (
   SELECT doc_id::BIGINT AS doc_id,
-         regexp_extract_all(lower(text), '\S+') AS words
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS words
   FROM documents
 ), s AS (
   SELECT doc_id, {", ".join(score_exprs)} FROM w
@@ -431,7 +431,9 @@ def q_quality_score(sf_dir: str):
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
 
 SQL_QUALITY_SCORE = rf"""
-WITH b AS (
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), b AS (
   SELECT doc_id::BIGINT AS doc_id,
     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
     len(list_filter(regexp_extract_all(text, '\S+'),
@@ -440,7 +442,7 @@ WITH b AS (
                                      w -> length(w))), 0)::DOUBLE AS sum_wlen,
     len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS n_punct,
     length(text)::BIGINT AS n_chars
-  FROM documents
+  FROM d
 )
 SELECT doc_id, n_words,
   floor(n_stop / greatest(n_words, 1) * 1000000 + 0.5)::BIGINT AS stop_ratio_micro,

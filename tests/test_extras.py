@@ -406,16 +406,27 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
     import pyarrow.parquet as pq
     src = pq.read_table(f"{SF_DIR}/documents.parquet")
     emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet")
     d = tmp_path / "empty"
     d.mkdir()
     pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
     pq.write_table(emb.slice(0, 0), str(d / "embeddings.parquet"))
-    from engine import curate, dedup, text
+    pq.write_table(ev.slice(0, 0), str(d / "events.parquet"))
+    from engine import asof, corpus, curate, dedup, simsearch, text
     for fn in (dedup.q_dedup_exact, dedup.q_dedup_minhash_lsh,
                dedup.q_dedup_simhash, dedup.q_ngram_jaccard_pairs,
                dedup.q_dedup_clusters, dedup.q_dedup_clusters_lp,
+               dedup.q_dedup_verified_pairs,
                text.q_text_stats, text.q_quality_score, text.q_lang_id,
-               text.q_fingerprint_rolling, curate.q_curate_corpus):
+               text.q_fingerprint_rolling, text.q_fingerprint_rolling_fast,
+               curate.q_curate_corpus,
+               corpus.q_corpus_split, corpus.q_pack_sequences,
+               corpus.q_top_terms_by_lang, corpus.q_events_hopping_window,
+               asof.q_events_asof_prior_purchase,
+               asof.q_events_range_join_counts,
+               simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
+               simsearch.q_simsearch_ivf, simsearch.q_embedding_near_dup,
+               simsearch.q_embedding_similar_pairs_exact):
         res = fn(str(d))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, fn
@@ -636,3 +647,39 @@ def test_verify_pairs_exact_boilerplate_skew(ray_session, tmp_path):
     assert lv["n_text_docs"] <= 2 * lv["n_estimated"]
     assert lv["n_text_docs"] < 100, lv
     assert wall < 120, f"boilerplate skew took {wall:.1f}s"
+
+
+def test_gated_doc_queries_with_null_text_row(ray_session, tmp_path):
+    """A null text row must gate identically (engine fills nulls; every
+    affected oracle coalesces) — code-review finding: the oracles were
+    silently diverging on nulls."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from engine import extras
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    row = src.slice(0, 1).to_pydict()
+    row["doc_id"] = [42_000_000]
+    row["text"] = [None]
+    aug = pa.concat_tables([src, pa.table(row, schema=src.schema)])
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{d}/documents.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    for name in ("quality_score", "lang_id", "fingerprint_rolling",
+                 "fingerprint_rolling_fast", "pack_sequences",
+                 "top_terms_by_lang", "doc_fingerprint_md5",
+                 "curate_corpus", "text_stats", "token_counts",
+                 "corpus_split"):
+        res = extras.EXTRA_QUERIES[name](str(d))
+        got = canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
+        want = canon(con.sql(extras.EXTRA_ORACLE_SQL[name]).df())
+        assert len(got) == len(want), name
+        assert got.reset_index(drop=True).astype(object).equals(
+            want.reset_index(drop=True).astype(object)), name
