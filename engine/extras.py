@@ -7,7 +7,8 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import asof, corpus, curate, dedup, multimodal, simsearch, text
+from engine import (asof, corpus, curate, dedup, filters, multimodal,
+                    simsearch, sketch, text)
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
@@ -48,6 +49,15 @@ EXTRA_QUERIES = {
     # composite curation pipeline
     "curate_corpus": curate.q_curate_corpus,
     "curate_corpus_neardup": curate.q_curate_corpus_neardup,
+    # content filters (Gopher/CCNet family)
+    "repetition_filter": filters.q_repetition_filter,
+    "line_dedup": filters.q_line_dedup,
+    "pii_redact": filters.q_pii_redact,
+    "unigram_commonness": filters.q_unigram_commonness,
+    # sketches / corpus profiling
+    "kmv_distinct": sketch.q_kmv_distinct,
+    "token_quantiles": sketch.q_token_quantiles,
+    "stratified_sample": sketch.q_stratified_sample,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -73,6 +83,13 @@ EXTRA_ORACLE_SQL = {
     "top_terms_by_lang": corpus.SQL_TOP_TERMS,
     "events_hopping_window": corpus.SQL_EVENTS_HOPPING,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
+    "repetition_filter": filters.SQL_REPETITION_FILTER,
+    "line_dedup": filters.SQL_LINE_DEDUP,
+    "pii_redact": filters.SQL_PII_REDACT,
+    "unigram_commonness": filters.SQL_UNIGRAM_COMMONNESS,
+    "kmv_distinct": sketch.SQL_KMV_DISTINCT,
+    "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
+    "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,
 }
 
 ROWS_ONLY_QUERIES = {k: v for k, v in EXTRA_QUERIES.items()

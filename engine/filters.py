@@ -1,0 +1,422 @@
+"""Content-filtering operators a training-data pipeline runs before
+training: Gopher-style repetition metrics, corpus-wide line-level dedup
+(CCNet shape), PII/URL redaction, and corpus-frequency commonness scoring.
+
+All DuckDB-gated (md5 is the shared digest, RE2 the shared regex engine,
+everything else integer-exact).  Reference parity: the reference engine has
+no corpus-filtering stage — these extend it with the LLM-data operators the
+task brief lists as first-class; the *shapes* reuse this repo's proven
+patterns (combiner-first partial aggregates, broadcast small sides,
+segment-sum token kernels from engine/text.py).
+
+Scale notes (100 TB):
+* ``q_repetition_filter`` is a pure map — no shuffle at any scale.
+* ``q_line_dedup`` shuffles one row per DISTINCT (batch, line-hash) — the
+  combiner-first shape; the broadcast "common lines" side is only the
+  lines that repeat corpus-wide (boilerplate is heavy-tailed: small).
+  If it ever isn't, switch to the semi-join path like engine/curate.py.
+* ``q_pii_redact`` is a pure map (RE2 passes + one md5/row for the gate
+  fingerprint; drop the fingerprint column in production for zero
+  per-row Python).
+* ``q_unigram_commonness`` does ONE word-count shuffle (partials first)
+  capped to a ``_VOCAB_K`` broadcast vocabulary — the same two-pass
+  build-small-then-broadcast shape as engine/revisions.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.io import read_parquet_clean
+from engine.text import _split_tokens, _segment_sums
+
+_TRIM_CHARS = " \t\r"  # explicit char set: DuckDB trim(s, chars) parity
+
+
+def _docs(sf_dir: str, columns=None):
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
+
+
+def _split_lines(texts):
+    """texts -> (flat trimmed line array, per-doc offsets).  Nulls are empty
+    docs; lines are '\\n'-separated, trimmed with an explicit char set so
+    the DuckDB oracle (trim(line, ' \\t\\r')) matches byte-for-byte."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    w = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    flat = pc.utf8_trim(w.values, characters=_TRIM_CHARS)
+    return flat, w.offsets.to_numpy().astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (gated)
+# ---------------------------------------------------------------------------
+
+_DUP_LINE_MILLI_MAX = 300   # >30% duplicate lines -> flagged
+_TOP_WORD_MILLI_MAX = 200   # top word >20% of tokens -> flagged
+
+
+def q_repetition_filter(sf_dir: str):
+    """Per-document repetition metrics (the Gopher repetition-removal
+    family): duplicate-line fraction and most-frequent-word fraction, both
+    as exact integer millis, plus the pass/flag verdict.  Pure map — the
+    per-doc distinct/max counts are computed from ONE factorize + ONE
+    lexsort over the batch's flat line/token streams (no Python over rows).
+    """
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # --- lines ---------------------------------------------------------
+        lines, loffs = _split_lines(t["text"])
+        nonempty = pc.greater(pc.utf8_length(lines), 0).to_numpy(
+            zero_copy_only=False)
+        n_lines = _segment_sums(nonempty.astype(np.int64), loffs)
+        codes, _ = pd.factorize(lines.to_pandas(), sort=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), loffs[1:] - loffs[:-1])
+        m = nonempty
+        c2, d2 = codes[m], doc_idx[m]
+        order = np.lexsort((c2, d2))
+        c2, d2 = c2[order], d2[order]
+        first = np.ones(len(c2), dtype=bool)
+        if len(c2) > 1:
+            first[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+        n_distinct = np.zeros(n, dtype=np.int64)
+        np.add.at(n_distinct, d2[first], 1)
+        n_dup = n_lines - n_distinct
+        dup_milli = np.where(n_lines > 0, n_dup * 1000 // np.maximum(n_lines, 1), 0)
+        # --- words ---------------------------------------------------------
+        flat, woffs = _split_tokens(pc.utf8_lower(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]))
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        wcodes, _ = pd.factorize(flat.to_pandas(), sort=False)
+        wdoc = np.repeat(np.arange(n, dtype=np.int64), woffs[1:] - woffs[:-1])
+        wm = wlen > 0  # utf8_split_whitespace('') -> [''] artifact token
+        n_words = _segment_sums(wm.astype(np.int64), woffs)
+        wc, wd = wcodes[wm], wdoc[wm]
+        worder = np.lexsort((wc, wd))
+        wc, wd = wc[worder], wd[worder]
+        wfirst = np.ones(len(wc), dtype=bool)
+        if len(wc) > 1:
+            wfirst[1:] = (wc[1:] != wc[:-1]) | (wd[1:] != wd[:-1])
+        # run lengths of each (doc, word) group, then per-doc max run
+        starts = np.flatnonzero(wfirst)
+        run_len = np.diff(np.append(starts, len(wc)))
+        top_word = np.zeros(n, dtype=np.int64)
+        if len(starts):
+            np.maximum.at(top_word, wd[starts], run_len)
+        top_milli = np.where(n_words > 0,
+                             top_word * 1000 // np.maximum(n_words, 1), 0)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_lines": pa.array(n_lines),
+            "n_dup_lines": pa.array(n_dup),
+            "dup_line_milli": pa.array(dup_milli),
+            "n_words": pa.array(n_words),
+            "top_word_milli": pa.array(top_milli),
+            "flagged": pa.array((dup_milli > _DUP_LINE_MILLI_MAX)
+                                | (top_milli > _TOP_WORD_MILLI_MAX)),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+SQL_REPETITION_FILTER = rf"""
+WITH l AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         trim(unnest(string_split(coalesce(text, ''), chr(10))),
+              ' ' || chr(9) || chr(13)) AS line
+  FROM documents
+), lc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         count(DISTINCT line)::BIGINT AS n_distinct
+  FROM l WHERE line <> '' GROUP BY 1
+), w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2
+), wt AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS top_c
+  FROM wc GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(lc.n_lines, 0)::BIGINT AS n_lines,
+       (coalesce(lc.n_lines, 0) - coalesce(lc.n_distinct, 0))::BIGINT
+         AS n_dup_lines,
+       CASE WHEN coalesce(lc.n_lines, 0) = 0 THEN 0
+            ELSE (lc.n_lines - lc.n_distinct) * 1000 // lc.n_lines
+       END::BIGINT AS dup_line_milli,
+       coalesce(wt.n_words, 0)::BIGINT AS n_words,
+       CASE WHEN coalesce(wt.n_words, 0) = 0 THEN 0
+            ELSE wt.top_c * 1000 // wt.n_words END::BIGINT AS top_word_milli,
+       (CASE WHEN coalesce(lc.n_lines, 0) = 0 THEN 0
+             ELSE (lc.n_lines - lc.n_distinct) * 1000 // lc.n_lines END
+          > {_DUP_LINE_MILLI_MAX}
+        OR CASE WHEN coalesce(wt.n_words, 0) = 0 THEN 0
+                ELSE wt.top_c * 1000 // wt.n_words END
+          > {_TOP_WORD_MILLI_MAX}) AS flagged
+FROM documents d
+LEFT JOIN lc ON lc.doc_id = d.doc_id::BIGINT
+LEFT JOIN wt ON wt.doc_id = d.doc_id::BIGINT
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (CCNet shape; gated)
+# ---------------------------------------------------------------------------
+
+_LINE_DUP_K = 2  # a line occurring >= K times corpus-wide is boilerplate
+
+
+def _line_hashes_i64(flat: pa.StringArray) -> np.ndarray:
+    """md5-derived 60-bit line hashes (the only digest shared with the
+    oracle); hashed once per DISTINCT line in the batch, not per line."""
+    codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+    hv = np.array([int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                   for s in uniq], dtype=np.int64)
+    return hv[codes] if len(codes) else np.zeros(0, dtype=np.int64)
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-level line dedup accounting (the CCNet stage that strips
+    boilerplate lines shared across pages): for every doc, how many of its
+    nonempty lines occur >= ``_LINE_DUP_K`` times in the whole corpus, and
+    the kept fraction after removing them.
+
+    Two passes: (1) combiner-first line-hash counting — each batch emits
+    one row per distinct line hash, a single small-key groupby folds them,
+    and only hashes with count >= K (the boilerplate set, heavy-tail
+    small) reach the driver; (2) a broadcast ``np.isin`` per batch.  The
+    doc side never shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _split_lines(t["text"])
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        hv = _line_hashes_i64(flat)[keep]
+        if not len(hv):
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(hv, return_counts=True)
+        return pa.table({"h": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    folded = _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+    tabs = [b for b in collect_tables(folded) if b.num_columns]
+    if tabs:
+        ct = pa.concat_tables(tabs)
+        cnt = ct["cnt"].to_numpy(zero_copy_only=False)
+        common = np.sort(ct["h"].to_numpy(zero_copy_only=False)[cnt >= _LINE_DUP_K])
+    else:
+        common = np.zeros(0, dtype=np.int64)
+    common_ref = ray.put(common)
+
+    def mark(t: pa.Table) -> pa.Table:
+        boiler = ray.get(common_ref)
+        flat, offs = _split_lines(t["text"])
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        hv = _line_hashes_i64(flat)
+        n_lines = _segment_sums(keep.astype(np.int64), offs)
+        is_common = np.isin(hv, boiler) & keep
+        n_common = _segment_sums(is_common.astype(np.int64), offs)
+        m = n_lines > 0
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        nl, nc = n_lines[m], n_common[m]
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "n_lines": pa.array(nl),
+            "n_common": pa.array(nc),
+            "kept_milli": pa.array((nl - nc) * 1000 // nl),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LINE_DEDUP = f"""
+WITH l AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         trim(unnest(string_split(coalesce(text, ''), chr(10))),
+              ' ' || chr(9) || chr(13)) AS line
+  FROM documents
+), ln AS (
+  SELECT doc_id, ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+  FROM l WHERE line <> ''
+), g AS (
+  SELECT h, count(*) AS cnt FROM ln GROUP BY 1
+)
+SELECT ln.doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN g.cnt >= {_LINE_DUP_K} THEN 1 ELSE 0 END)::BIGINT
+         AS n_common,
+       ((count(*) - sum(CASE WHEN g.cnt >= {_LINE_DUP_K} THEN 1 ELSE 0 END))
+         * 1000 // count(*))::BIGINT AS kept_milli
+FROM ln JOIN g USING (h)
+GROUP BY ln.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII / URL redaction (gated)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns, identical in Arrow and DuckDB.  Replacement order
+# matters (a URL may contain digits/@): URL -> EMAIL -> digit runs.
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_NUM_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"   # 7+ digit runs
+
+
+def q_pii_redact(sf_dir: str):
+    """Sequential RE2 redaction of URLs, emails and long digit runs
+    (phone/SSN-shaped), with per-stage match counts and an md5 fingerprint
+    of the redacted text so the gate verifies the REPLACEMENT bytes, not
+    just the counts.  Null text propagates as null everywhere (md5(NULL)
+    is NULL in the oracle too).  Pure map; the md5 column is gate
+    instrumentation — production redaction is the three RE2 passes only."""
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_urls = pc.count_substring_regex(txt, _URL_RE)
+        s1 = pc.replace_substring_regex(txt, _URL_RE, "<URL>")
+        n_emails = pc.count_substring_regex(s1, _EMAIL_RE)
+        s2 = pc.replace_substring_regex(s1, _EMAIL_RE, "<EMAIL>")
+        n_nums = pc.count_substring_regex(s2, _NUM_RE)
+        s3 = pc.replace_substring_regex(s2, _NUM_RE, "<NUM>")
+        fp = [None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()
+              for s in s3.to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_urls": pc.cast(n_urls, pa.int64()),
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_digit_runs": pc.cast(n_nums, pa.int64()),
+            "n_chars_redacted": pc.cast(pc.utf8_length(s3), pa.int64()),
+            "redacted_fp": pa.array(fp, type=pa.string()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+SQL_PII_REDACT = rf"""
+WITH s0 AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_URL_RE}'))::BIGINT AS n_urls,
+         regexp_replace(text, '{_URL_RE}', '<URL>', 'g') AS t FROM s0
+), s2 AS (
+  SELECT doc_id, n_urls,
+         len(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t FROM s1
+), s3 AS (
+  SELECT doc_id, n_urls, n_emails,
+         len(regexp_extract_all(t, '{_NUM_RE}'))::BIGINT AS n_digit_runs,
+         regexp_replace(t, '{_NUM_RE}', '<NUM>', 'g') AS t FROM s2
+)
+SELECT doc_id, n_urls, n_emails, n_digit_runs,
+       length(t)::BIGINT AS n_chars_redacted,
+       md5(t) AS redacted_fp
+FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency commonness score (gated)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 65536   # broadcast vocabulary cap (count desc, word asc)
+
+
+def q_unigram_commonness(sf_dir: str):
+    """Unigram corpus-frequency score (the integer-exact stand-in for LM
+    log-prob quality filtering): pass 1 builds the corpus word-frequency
+    vocabulary (combiner-first partials -> one word-key groupby -> a
+    deterministic top-``_VOCAB_K`` cut), pass 2 broadcasts it and scores
+    each doc as (sum of its tokens' corpus counts; OOV counts 0) * 1000 //
+    n_tokens.  Rare-word-heavy (low-score) docs are the removal candidates.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _split_tokens(pc.utf8_lower(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]))
+        codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+        if not len(uniq):
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        wlen = np.array([len(w) for w in uniq], dtype=np.int64)
+        keep = wlen > 0
+        return pa.table({"word": pa.array(uniq[keep], type=pa.string()),
+                         "cnt": pa.array(counts[keep])})
+
+    folded = _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    tabs = [b for b in collect_tables(folded) if b.num_columns]
+    if tabs:
+        vt = pa.concat_tables(tabs).to_pandas()
+        vt = vt.sort_values(["cnt", "word"], ascending=[False, True],
+                            ignore_index=True).head(_VOCAB_K)
+        vocab_words = pd.Index(vt["word"])
+        vocab_counts = vt["cnt"].to_numpy().astype(np.int64)
+    else:
+        vocab_words, vocab_counts = pd.Index([]), np.zeros(0, dtype=np.int64)
+    vocab_ref = ray.put((vocab_words, vocab_counts))
+
+    def score(t: pa.Table) -> pa.Table:
+        words, counts = ray.get(vocab_ref)
+        flat, offs = _split_tokens(pc.utf8_lower(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]))
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        idx = words.get_indexer(flat.to_pandas()) if len(words) else \
+            np.full(len(flat), -1, dtype=np.int64)
+        tok_cnt = np.where((idx >= 0) & (wlen > 0), counts[np.maximum(idx, 0)], 0)
+        sums = _segment_sums(tok_cnt.astype(np.int64), offs)
+        n_tok = _segment_sums((wlen > 0).astype(np.int64), offs)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = n_tok > 0
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "n_tokens": pa.array(n_tok[m]),
+            "common_sum": pa.array(sums[m]),
+            "commonness_milli": pa.array(sums[m] * 1000 // n_tok[m]),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+SQL_UNIGRAM_COMMONNESS = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS word
+  FROM documents
+), c AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1
+), v AS (
+  SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT {_VOCAB_K}
+)
+SELECT w.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(coalesce(v.cnt, 0))::BIGINT AS common_sum,
+       (sum(coalesce(v.cnt, 0)) * 1000 // count(*))::BIGINT
+         AS commonness_milli
+FROM w LEFT JOIN v USING (word)
+GROUP BY w.doc_id
+"""

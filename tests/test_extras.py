@@ -412,7 +412,8 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
     pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
     pq.write_table(emb.slice(0, 0), str(d / "embeddings.parquet"))
     pq.write_table(ev.slice(0, 0), str(d / "events.parquet"))
-    from engine import asof, corpus, curate, dedup, simsearch, text
+    from engine import asof, corpus, curate, dedup, filters, simsearch, \
+        sketch, text
     for fn in (dedup.q_dedup_exact, dedup.q_dedup_minhash_lsh,
                dedup.q_dedup_simhash, dedup.q_ngram_jaccard_pairs,
                dedup.q_dedup_clusters, dedup.q_dedup_clusters_lp,
@@ -426,7 +427,10 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                asof.q_events_range_join_counts,
                simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
                simsearch.q_simsearch_ivf, simsearch.q_embedding_near_dup,
-               simsearch.q_embedding_similar_pairs_exact):
+               simsearch.q_embedding_similar_pairs_exact,
+               filters.q_repetition_filter, filters.q_line_dedup,
+               filters.q_pii_redact, filters.q_unigram_commonness,
+               sketch.q_token_quantiles, sketch.q_stratified_sample):
         res = fn(str(d))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, fn

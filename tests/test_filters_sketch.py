@@ -1,0 +1,197 @@
+"""Crafted-content tests for engine/filters.py and engine/sketch.py.
+
+The sf corpora are single-line word-soup, so the driver's DuckDB gate never
+exercises multi-line boilerplate, PII patterns, or dominant-word repetition.
+These tests plant exactly those shapes and (a) assert hand-computed results,
+(b) re-run the DuckDB oracle on the crafted corpus so the gate SQL is proven
+equivalent on the interesting paths too.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts, langs=None):
+    d = tmp_path / "crafted"
+    d.mkdir(exist_ok=True)
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+        "lang": pa.array(langs or ["en"] * n, type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _assert_matches_oracle(sf_dir, name):
+    import duckdb
+    from engine import extras
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    res = extras.EXTRA_QUERIES[name](sf_dir)
+    got = _canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
+    want = _canon(con.sql(extras.EXTRA_ORACLE_SQL[name]).df())
+    assert len(got) == len(want), name
+    assert got.reset_index(drop=True).astype(object).equals(
+        want.reset_index(drop=True).astype(object)), name
+
+
+def test_repetition_filter_flags_duplicate_lines(ray_session, tmp_path):
+    """4 lines, 2 identical -> 25% dup (not flagged); 3-of-4 dup -> 50%+
+    flagged; dominant word >20% -> flagged."""
+    sf = _write_docs(tmp_path, [
+        # 4 lines, 1 dup; 20 words so the dup'd words stay at 10% < 20%
+        "a b c d e\nf g h i j\na b c d e\nk l m n o",
+        "same line\nsame line\nsame line\nother one",          # 4 lines, 2 dup
+        "spam spam spam spam other words here now",            # top word 50%
+        "one two three four five six seven eight",             # clean
+    ])
+    from engine.filters import q_repetition_filter
+    t = q_repetition_filter(sf).to_pandas().set_index("doc_id")
+    assert t.loc[1, "n_lines"] == 4 and t.loc[1, "n_dup_lines"] == 1
+    assert t.loc[1, "dup_line_milli"] == 250 and not t.loc[1, "flagged"]
+    assert t.loc[2, "n_dup_lines"] == 2 and t.loc[2, "dup_line_milli"] == 500
+    assert t.loc[2, "flagged"]
+    assert t.loc[3, "top_word_milli"] == 500 and t.loc[3, "flagged"]
+    assert not t.loc[4, "flagged"]
+    _assert_matches_oracle(sf, "repetition_filter")
+
+
+def test_line_dedup_strips_corpus_boilerplate(ray_session, tmp_path):
+    """A footer line shared by two docs is boilerplate (corpus count>=2);
+    unique lines are kept.  Trimming must unify ' footer ' and 'footer'."""
+    sf = _write_docs(tmp_path, [
+        "unique alpha\ncopyright footer",
+        "unique beta\n  copyright footer  \nunique gamma",
+        "all unique here",
+    ])
+    from engine.filters import q_line_dedup
+    t = q_line_dedup(sf).to_pandas().set_index("doc_id")
+    assert t.loc[1, "n_lines"] == 2 and t.loc[1, "n_common"] == 1
+    assert t.loc[1, "kept_milli"] == 500
+    assert t.loc[2, "n_lines"] == 3 and t.loc[2, "n_common"] == 1
+    assert t.loc[2, "kept_milli"] == 666
+    assert t.loc[3, "n_common"] == 0 and t.loc[3, "kept_milli"] == 1000
+    _assert_matches_oracle(sf, "line_dedup")
+
+
+def test_pii_redact_replacement_bytes(ray_session, tmp_path):
+    """Counts AND the exact redacted bytes (via md5 fingerprint)."""
+    sf = _write_docs(tmp_path, [
+        "visit https://ex.com/a?id=12345678 or mail bob@ex.org now",
+        "call 5551234567 or 555 then 9876543210123",
+        "clean text with no pii at all",
+        None,
+    ])
+    from engine.filters import q_pii_redact
+    t = q_pii_redact(sf).to_pandas().set_index("doc_id")
+    assert (t.loc[1, "n_urls"], t.loc[1, "n_emails"], t.loc[1, "n_digit_runs"]) \
+        == (1, 1, 0)  # digits were inside the URL, already redacted
+    want1 = "visit <URL> or mail <EMAIL> now"
+    assert t.loc[1, "redacted_fp"] == hashlib.md5(want1.encode()).hexdigest()
+    assert t.loc[1, "n_chars_redacted"] == len(want1)
+    assert t.loc[2, "n_digit_runs"] == 2  # 10-digit and 13-digit runs
+    want2 = "call <NUM> or 555 then <NUM>"
+    assert t.loc[2, "redacted_fp"] == hashlib.md5(want2.encode()).hexdigest()
+    assert t.loc[3, "n_urls"] == 0 and t.loc[3, "n_emails"] == 0
+    assert t.loc[4].isna().all()  # null text propagates
+    _assert_matches_oracle(sf, "pii_redact")
+
+
+def test_unigram_commonness_ranks_rare_docs_low(ray_session, tmp_path):
+    """Docs made of corpus-common words outscore docs of hapaxes."""
+    common = "the quick fox " * 10          # 'the/quick/fox' x10 each
+    sf = _write_docs(tmp_path, [
+        common.strip(),
+        "the quick fox jumps",               # 3 common + 1 rare-ish
+        "zxqv wbnm plkj trew",               # all hapaxes
+    ])
+    from engine.filters import q_unigram_commonness
+    t = q_unigram_commonness(sf).to_pandas().set_index("doc_id")
+    # corpus counts: the=11, quick=11, fox=11, jumps=1, hapaxes=1
+    assert t.loc[1, "commonness_milli"] == 11_000
+    assert t.loc[2, "common_sum"] == 34 and t.loc[2, "n_tokens"] == 4
+    assert t.loc[2, "commonness_milli"] == 34 * 1000 // 4
+    assert t.loc[3, "commonness_milli"] == 1000  # each word count 1
+    assert t.loc[1, "commonness_milli"] > t.loc[3, "commonness_milli"]
+    _assert_matches_oracle(sf, "unigram_commonness")
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    """KMV on sf0.001 events: estimate within 20% of the true distinct
+    count (k=256 -> ~6% expected relative error)."""
+    from engine.sketch import q_kmv_distinct
+    t = q_kmv_distinct(SF_DIR)
+    est = t["est_distinct"][0].as_py()
+    true = len(np.unique(
+        pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
+        ["user_id"].to_numpy(zero_copy_only=False)))
+    assert abs(est - true) <= max(2, true * 0.20), (est, true)
+
+
+def test_kmv_block_merge_equals_single_pass(ray_session, tmp_path):
+    """The merged per-block k-min sets must reproduce the single-process
+    sketch exactly (the subset-merge argument), including with dup users
+    split across row groups."""
+    from engine.sketch import q_kmv_distinct, _md5_60, _KMV_K
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, 5000, size=20000)
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pa.table({"user_id": pa.array(users, type=pa.int64())}),
+                   str(d / "events.parquet"), row_group_size=1000)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "lang": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string())}),
+        str(d / "documents.parquet"))
+    t = q_kmv_distinct(str(d))
+    hv = np.sort(np.unique(_md5_60(np.unique(users))))[:_KMV_K]
+    want_kth = int(hv[-1])
+    want_est = (_KMV_K - 1) * (1 << 60) // want_kth
+    assert t["kth_hash"][0].as_py() == want_kth
+    assert t["est_distinct"][0].as_py() == want_est
+
+
+def test_token_quantiles_match_numpy(ray_session):
+    """Histogram-fold quantiles == sort-based quantiles per language."""
+    from engine.sketch import q_token_quantiles
+    t = q_token_quantiles(SF_DIR).to_pandas().set_index("lang")
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["lang", "text"]).to_pandas()
+    src["nt"] = src["text"].fillna("").str.split().str.len()
+    for lang, g in src.groupby("lang"):
+        nt = np.sort(g["nt"].to_numpy())
+        n = len(nt)
+        for q, nm in ((50, "p50"), (90, "p90"), (99, "p99")):
+            rank = max(1, -(-q * n // 100))  # ceil, 1-indexed
+            assert t.loc[lang, nm] == nt[rank - 1], (lang, nm)
+        assert t.loc[lang, "n_docs"] == n
+
+
+def test_stratified_sample_deterministic_and_capped(ray_session):
+    from engine.sketch import q_stratified_sample, _SAMPLE_K
+    t1 = q_stratified_sample(SF_DIR).to_pandas()
+    t2 = q_stratified_sample(SF_DIR).to_pandas()
+    assert t1.equals(t2)
+    per = t1.groupby("lang")["rank"].agg(["count", "max", "min"])
+    assert (per["count"] <= _SAMPLE_K).all()
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()  # ranks are 1..count, no gaps
+    # hash-order means the sample is stable under doc removal: dropping a
+    # non-sampled doc cannot change the selected set
+    ids = set(t1["doc_id"])
+    src = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    assert ids <= set(src["doc_id"].to_pylist())
