@@ -7,8 +7,8 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import (asof, corpus, curate, dedup, filters, multimodal,
-                    simsearch, sketch, text)
+from engine import (asof, corpus, curate, decontam, dedup, filters,
+                    multimodal, simsearch, sketch, text)
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
@@ -54,6 +54,9 @@ EXTRA_QUERIES = {
     "line_dedup": filters.q_line_dedup,
     "pii_redact": filters.q_pii_redact,
     "unigram_commonness": filters.q_unigram_commonness,
+    # decontamination / mixture control
+    "decontaminate": decontam.q_decontaminate,
+    "source_mixture_sample": decontam.q_source_mixture_sample,
     # sketches / corpus profiling
     "kmv_distinct": sketch.q_kmv_distinct,
     "token_quantiles": sketch.q_token_quantiles,
@@ -87,6 +90,8 @@ EXTRA_ORACLE_SQL = {
     "line_dedup": filters.SQL_LINE_DEDUP,
     "pii_redact": filters.SQL_PII_REDACT,
     "unigram_commonness": filters.SQL_UNIGRAM_COMMONNESS,
+    "decontaminate": decontam.SQL_DECONTAMINATE,
+    "source_mixture_sample": decontam.SQL_SOURCE_MIXTURE,
     "kmv_distinct": sketch.SQL_KMV_DISTINCT,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
     "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,

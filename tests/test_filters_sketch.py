@@ -195,3 +195,96 @@ def test_stratified_sample_deterministic_and_capped(ray_session):
     ids = set(t1["doc_id"])
     src = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
     assert ids <= set(src["doc_id"].to_pylist())
+
+
+def _test_split_id(start=1):
+    """Find a doc_id whose md5 bucket lands in the test split."""
+    from engine.decontam import _split_bucket, _VAL_LT
+    import itertools
+    for i in itertools.count(start):
+        if _split_bucket([i])[0] >= _VAL_LT:
+            return i
+
+
+def _train_split_id(start=1):
+    from engine.decontam import _split_bucket, _TRAIN_LT
+    import itertools
+    for i in itertools.count(start):
+        if _split_bucket([i])[0] < _TRAIN_LT:
+            return i
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    """A train doc sharing an 8-gram with a test-split doc is flagged;
+    a clean train doc is not.  Mirrored against DuckDB."""
+    test_id = _test_split_id()
+    dirty_id = _train_split_id()
+    clean_id = _train_split_id(dirty_id + 1)
+    secret = "zero one two three four five six seven"  # exactly 8 words
+    d = tmp_path / "crafted"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([test_id, dirty_id, clean_id], type=pa.int64()),
+        "lang": pa.array(["en"] * 3, type=pa.string()),
+        "source": pa.array(["s"] * 3, type=pa.string()),
+        "text": pa.array([
+            f"held out eval doc says {secret} indeed",
+            f"training doc leaked {secret} into the corpus",
+            "completely unrelated training text with many different words "
+            "that never overlap the held out set at all",
+        ], type=pa.string()),
+    }), str(d / "documents.parquet"))
+    from engine.decontam import q_decontaminate
+    t = q_decontaminate(str(d)).to_pandas().set_index("doc_id")
+    assert test_id not in t.index          # test split is not re-emitted
+    assert bool(t.loc[dirty_id, "contaminated"])
+    assert t.loc[dirty_id, "n_hits"] >= 1
+    assert not bool(t.loc[clean_id, "contaminated"])
+    assert t.loc[clean_id, "n_hits"] == 0
+    _assert_matches_oracle(str(d), "decontaminate")
+
+
+def test_decontaminate_short_docs_have_no_ngrams(ray_session, tmp_path):
+    """Docs under 8 words produce zero 8-grams and cannot be flagged."""
+    dirty_id = _train_split_id()
+    d = tmp_path / "short"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([dirty_id], type=pa.int64()),
+        "lang": pa.array(["en"], type=pa.string()),
+        "source": pa.array(["s"], type=pa.string()),
+        "text": pa.array(["only seven words live in this doc"],
+                         type=pa.string()),
+    }), str(d / "documents.parquet"))
+    from engine.decontam import q_decontaminate
+    t = q_decontaminate(str(d)).to_pandas()
+    assert t["n_ngrams"].tolist() == [0]
+    assert not t["contaminated"].any()
+    _assert_matches_oracle(str(d), "decontaminate")
+
+
+def test_source_mixture_downsamples_big_sources(ray_session, tmp_path):
+    """Source with 50 docs gets rate 400; source with 10 docs keeps all.
+    Keep decisions are per-doc deterministic and oracle-mirrored."""
+    n_a, n_b = 50, 10
+    d = tmp_path / "mix"
+    d.mkdir(exist_ok=True)
+    ids = list(range(1, n_a + n_b + 1))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "lang": pa.array(["en"] * len(ids), type=pa.string()),
+        "source": pa.array(["big"] * n_a + ["small"] * n_b,
+                           type=pa.string()),
+        "text": pa.array(["x"] * len(ids), type=pa.string()),
+    }), str(d / "documents.parquet"))
+    from engine.decontam import q_source_mixture_sample
+    t = q_source_mixture_sample(str(d)).to_pandas()
+    assert set(t[t.source == "big"]["rate_milli"]) == {400}
+    assert set(t[t.source == "small"]["rate_milli"]) == {1000}
+    assert t[t.source == "small"]["kept"].all()
+    kept_big = t[t.source == "big"]["kept"].sum()
+    assert 0 < kept_big < n_a  # thresholding actually splits the source
+    t2 = q_source_mixture_sample(str(d)).to_pandas()
+    assert t.sort_values("doc_id", ignore_index=True).equals(
+        t2.sort_values("doc_id", ignore_index=True))
+    _assert_matches_oracle(str(d), "source_mixture_sample")
