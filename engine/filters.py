@@ -387,7 +387,9 @@ def q_unigram_commonness(sf_dir: str):
         wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         idx = words.get_indexer(flat.to_pandas()) if len(words) else \
             np.full(len(flat), -1, dtype=np.int64)
-        tok_cnt = np.where((idx >= 0) & (wlen > 0), counts[np.maximum(idx, 0)], 0)
+        looked_up = counts[np.maximum(idx, 0)] if len(counts) else \
+            np.zeros(len(idx), dtype=np.int64)
+        tok_cnt = np.where((idx >= 0) & (wlen > 0), looked_up, 0)
         sums = _segment_sums(tok_cnt.astype(np.int64), offs)
         n_tok = _segment_sums((wlen > 0).astype(np.int64), offs)
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)

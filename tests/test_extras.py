@@ -412,8 +412,8 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
     pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
     pq.write_table(emb.slice(0, 0), str(d / "embeddings.parquet"))
     pq.write_table(ev.slice(0, 0), str(d / "events.parquet"))
-    from engine import asof, corpus, curate, dedup, filters, simsearch, \
-        sketch, text
+    from engine import asof, corpus, curate, decontam, dedup, filters, \
+        simsearch, sketch, text
     for fn in (dedup.q_dedup_exact, dedup.q_dedup_minhash_lsh,
                dedup.q_dedup_simhash, dedup.q_ngram_jaccard_pairs,
                dedup.q_dedup_clusters, dedup.q_dedup_clusters_lp,
@@ -430,7 +430,8 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                simsearch.q_embedding_similar_pairs_exact,
                filters.q_repetition_filter, filters.q_line_dedup,
                filters.q_pii_redact, filters.q_unigram_commonness,
-               sketch.q_token_quantiles, sketch.q_stratified_sample):
+               sketch.q_token_quantiles, sketch.q_stratified_sample,
+               decontam.q_decontaminate, decontam.q_source_mixture_sample):
         res = fn(str(d))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, fn

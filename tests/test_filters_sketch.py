@@ -44,6 +44,8 @@ def _assert_matches_oracle(sf_dir, name):
     got = _canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
     want = _canon(con.sql(extras.EXTRA_ORACLE_SQL[name]).df())
     assert len(got) == len(want), name
+    if len(want) == 0:
+        return  # both empty: Ray's to_pandas drops columns on empty datasets
     assert got.reset_index(drop=True).astype(object).equals(
         want.reset_index(drop=True).astype(object)), name
 
@@ -288,3 +290,52 @@ def test_source_mixture_downsamples_big_sources(ray_session, tmp_path):
     assert t.sort_values("doc_id", ignore_index=True).equals(
         t2.sort_values("doc_id", ignore_index=True))
     _assert_matches_oracle(str(d), "source_mixture_sample")
+
+
+# ---------------------------------------------------------------------------
+# property: random structured corpora vs the DuckDB oracles
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "the", "of", "spam", "x1",
+          "café", "bob@ex.org", "https://ex.com/p?q=12345678",
+          "5551234567", "<tag>", "a"]
+_SEPS = [" ", "  ", "\t", " \r"]
+
+
+@st.composite
+def _doc(draw):
+    if draw(st.integers(0, 12)) == 0:
+        return None
+    n_lines = draw(st.integers(0, 5))
+    lines = []
+    for _ in range(n_lines):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0,
+                              max_size=10))
+        sep = draw(st.sampled_from(_SEPS))
+        pad = draw(st.sampled_from(["", " ", "\t"]))
+        lines.append(pad + sep.join(words) + pad)
+    return "\n".join(lines)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_doc(), min_size=1, max_size=12),
+       dup=st.booleans())
+def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
+                                          texts, dup):
+    """Engine == DuckDB on randomly structured corpora: ragged lines,
+    tabs/CRs, empty lines, nulls, PII-shaped tokens, duplicated docs."""
+    if dup:  # force corpus-wide line collisions + split-crossing dups
+        texts = texts + texts[:2]
+    d = tmp_path_factory.mktemp("prop")
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+        "lang": pa.array(["en", "fr"] * (n // 2 + 1))[:n],
+        "source": pa.array(["s0", "s1"] * (n // 2 + 1))[:n],
+        "text": pa.array(texts, type=pa.string()),
+    }), str(d / "documents.parquet"))
+    for name in ("repetition_filter", "line_dedup", "pii_redact",
+                 "unigram_commonness", "decontaminate"):
+        _assert_matches_oracle(str(d), name)
