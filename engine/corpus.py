@@ -272,3 +272,59 @@ SELECT (window_idx * {_HOP_US})::BIGINT AS window_start_us,
        sum(vmilli)::BIGINT AS sum_value_milli
 FROM r GROUP BY window_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle -> training shards (gated)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_SHUFFLE_SEED = "s42"
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global training shuffle: every doc gets a 60-bit md5
+    order key from ``seed:doc_id``; ``shard = okey % N`` spreads the corpus
+    uniformly, and ``pos`` is the doc's rank inside its shard (okey order,
+    doc_id tiebreak).  Re-running with the same seed reproduces the exact
+    shard layout anywhere md5 exists — the property a resumable 100 TB
+    shuffle needs.  Scale shape: the keying is a pure map, the only
+    all-to-all moves 16 bytes/row ((doc_id, okey) hash-partitioned on
+    shard), and the in-shard rank is one argsort per group — no global
+    sort and no text movement.  Epoch reshuffles = change the seed."""
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
+        ok = np.array([int(hashlib.md5(
+            f"{_SHUFFLE_SEED}:{d}".encode()).hexdigest()[:15], 16)
+            for d in ids], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shard": pa.array(ok % _N_SHARDS),
+            "okey": pa.array(ok),
+        })
+
+    def rank(t: pa.Table) -> pa.Table:
+        ok = t["okey"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ok))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return t.append_column("pos", pa.array(pos))
+
+    return _docs(sf_dir, ["doc_id"]) \
+        .map_batches(keyed, batch_format="pyarrow") \
+        .groupby("shard").map_groups(rank, batch_format="pyarrow")
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH k AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ('0x' || substr(md5('{_SHUFFLE_SEED}:' || doc_id::VARCHAR),
+                         1, 15))::BIGINT AS okey
+  FROM documents
+)
+SELECT doc_id, (okey % {_N_SHARDS})::BIGINT AS shard, okey,
+       (row_number() OVER (PARTITION BY okey % {_N_SHARDS}
+                           ORDER BY okey, doc_id) - 1)::BIGINT AS pos
+FROM k
+"""

@@ -46,6 +46,7 @@ EXTRA_QUERIES = {
     "pack_sequences": corpus.q_pack_sequences,
     "top_terms_by_lang": corpus.q_top_terms_by_lang,
     "events_hopping_window": corpus.q_events_hopping_window,
+    "shuffle_shards": corpus.q_shuffle_shards,
     # composite curation pipeline
     "curate_corpus": curate.q_curate_corpus,
     "curate_corpus_neardup": curate.q_curate_corpus_neardup,
@@ -85,6 +86,7 @@ EXTRA_ORACLE_SQL = {
     "pack_sequences": corpus.SQL_PACK_SEQUENCES,
     "top_terms_by_lang": corpus.SQL_TOP_TERMS,
     "events_hopping_window": corpus.SQL_EVENTS_HOPPING,
+    "shuffle_shards": corpus.SQL_SHUFFLE_SHARDS,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
     "repetition_filter": filters.SQL_REPETITION_FILTER,
     "line_dedup": filters.SQL_LINE_DEDUP,

@@ -423,6 +423,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                curate.q_curate_corpus,
                corpus.q_corpus_split, corpus.q_pack_sequences,
                corpus.q_top_terms_by_lang, corpus.q_events_hopping_window,
+               corpus.q_shuffle_shards,
                asof.q_events_asof_prior_purchase,
                asof.q_events_range_join_counts,
                simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
@@ -688,3 +689,39 @@ def test_gated_doc_queries_with_null_text_row(ray_session, tmp_path):
         assert len(got) == len(want), name
         assert got.reset_index(drop=True).astype(object).equals(
             want.reset_index(drop=True).astype(object)), name
+
+
+def test_shuffle_shards_semantics(ray_session, tmp_path):
+    """Deterministic shuffle: same seed => identical layout; pos is a
+    0..k-1 permutation inside each shard; adding docs never moves an
+    existing doc to a different shard or changes its order key."""
+    import pyarrow.parquet as pq
+    from engine import corpus
+
+    t1 = corpus.q_shuffle_shards(SF_DIR).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    t2 = corpus.q_shuffle_shards(SF_DIR).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert t1.equals(t2)
+    assert set(t1["shard"].unique()) <= set(range(corpus._N_SHARDS))
+    # near-uniform spread: no shard holds more than 3x its fair share
+    assert t1["shard"].value_counts().max() <= 3 * len(t1) / corpus._N_SHARDS
+    for _, g in t1.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+        # pos order == okey order within the shard
+        assert g.sort_values("pos")["okey"].is_monotonic_increasing
+
+    # growth stability: append new docs, old docs keep (shard, okey)
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    extra = src.slice(0, 3).to_pydict()
+    extra["doc_id"] = [90_000_001, 90_000_002, 90_000_003]
+    d = tmp_path / "grown"
+    d.mkdir()
+    pq.write_table(pa.concat_tables(
+        [src, pa.table(extra, schema=src.schema)]),
+        str(d / "documents.parquet"))
+    t3 = corpus.q_shuffle_shards(str(d)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    old = t3[t3["doc_id"] < 90_000_000].reset_index(drop=True)
+    assert old[["doc_id", "shard", "okey"]].equals(
+        t1[["doc_id", "shard", "okey"]])
