@@ -7,7 +7,7 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import (asof, corpus, curate, decontam, dedup, filters,
+from engine import (asof, bpe, corpus, curate, decontam, dedup, filters,
                     multimodal, simsearch, sketch, text)
 
 EXTRA_QUERIES = {
@@ -47,6 +47,10 @@ EXTRA_QUERIES = {
     "top_terms_by_lang": corpus.q_top_terms_by_lang,
     "events_hopping_window": corpus.q_events_hopping_window,
     "shuffle_shards": corpus.q_shuffle_shards,
+    # tokenizer training (iterative; rows-only, pinned to a reference
+    # implementation in tests/test_bpe.py)
+    "bpe_merges": bpe.q_bpe_merges,
+    "bpe_tokenize": bpe.q_bpe_tokenize,
     # composite curation pipeline
     "curate_corpus": curate.q_curate_corpus,
     "curate_corpus_neardup": curate.q_curate_corpus_neardup,
