@@ -36,6 +36,7 @@ EXTRA_QUERIES = {
     "simsearch_ivf": simsearch.q_simsearch_ivf,
     "embedding_near_dup": simsearch.q_embedding_near_dup,
     "embedding_similar_pairs_exact": simsearch.q_embedding_similar_pairs_exact,
+    "semantic_dedup": simsearch.q_semantic_dedup,
     # multimodal plumbing
     "multimodal_decode": multimodal.q_multimodal_decode,
     "multimodal_stats": multimodal.q_multimodal_stats,

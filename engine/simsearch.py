@@ -575,3 +575,108 @@ SELECT vec_a, vec_b,
 FROM p
 WHERE na > 0 AND nb > 0 AND dq / sqrt(na) / sqrt(nb) >= {_SIM_PAIR_MIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means-cluster-scoped semantic dedup (rows-only)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU_MICRO = 950_000   # cos >= 0.95 inside a cluster = semantic dup
+
+
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the
+    embeddings with k-means, then search for near-duplicates only WITHIN
+    each cluster — the restriction that turns corpus-global O(n^2) cosine
+    search into independent per-cluster work.  Centroids reuse the
+    bounded-sample spherical k-means of the IVF index (driver cost
+    independent of corpus size); assignment is a pure map over broadcast
+    centroids; the per-cluster verify reuses the exact-collapse +
+    ``_BUCKET_CAP`` star recipe so a degenerate cluster degrades to O(k)
+    with ``capped=True`` instead of O(k^2).  Keep rule: the MINIMUM
+    vec_id of each semantic-dup set survives (deterministic; the paper
+    keeps low-centroid-similarity members — swap the order key to
+    cos-to-centroid for that variant).  Output per vec: cluster, keep
+    verdict, best cosine (micro, floored at 0) to any smaller-id cluster
+    member, capped flag."""
+    import ray
+    import pandas as pd
+
+    if _emb_rows(sf_dir) == 0:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "cluster": pa.array([], type=pa.int64()),
+                         "keep": pa.array([], type=pa.bool_()),
+                         "best_sim_micro": pa.array([], type=pa.int64()),
+                         "capped": pa.array([], type=pa.bool_())})
+    c_ref = ray.put(_ivf_centroids(sf_dir))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "emb": pa.array([], type=t.schema.field(
+                                 "embedding").type)})
+        M = _batch_mat(t)
+        C = ray.get(c_ref)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        cl = np.argmax((M / norms[:, None]) @ C.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "cluster": pa.array(cl),
+                         "emb": t["embedding"]})
+
+    def dedup_in(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in group["emb"].to_numpy()[order]])
+        n = len(ids)
+        best = np.zeros(n, dtype=np.int64)
+        cap = np.zeros(n, dtype=bool)
+        # exact-collapse: duplicates of an earlier (smaller-id) row are
+        # dups at exactly cos 1.0 without touching the matmul
+        _, first = np.unique(V, axis=0, return_index=True)
+        is_rep = np.zeros(n, dtype=bool)
+        is_rep[first] = True
+        best[~is_rep] = 1_000_000
+        reps = np.sort(first)
+        Vr = V[reps]
+        nr = np.linalg.norm(Vr, axis=1)
+        nr[nr == 0] = 1.0
+        Vrn = Vr / nr[:, None]
+        if len(reps) > _BUCKET_CAP:
+            # bounded degrade: compare every rep against the min-id rep only
+            cm = np.round((Vrn[1:] @ Vrn[0]) * 1e6).astype(np.int64)
+            best[reps[1:]] = np.maximum(best[reps[1:]], np.maximum(cm, 0))
+            cap[:] = True
+        elif len(reps) > 1:
+            Gm = np.round((Vrn @ Vrn.T) * 1e6).astype(np.int64)
+            for j in range(1, len(reps)):   # reps are id-ascending
+                best[reps[j]] = max(best[reps[j]], int(Gm[j, :j].max()), 0)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(n, int(group["cluster"].iloc[0]),
+                               dtype=np.int64),
+            "keep": best < _SEM_TAU_MICRO,
+            "best_sim_micro": best,
+            "capped": cap,
+        })
+
+    out = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                   batch_size=None) \
+        .groupby("cluster").map_groups(dedup_in, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty or "vec_id" not in df.columns:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "cluster": pa.array([], type=pa.int64()),
+                         "keep": pa.array([], type=pa.bool_()),
+                         "best_sim_micro": pa.array([], type=pa.int64()),
+                         "capped": pa.array([], type=pa.bool_())})
+    df = df.sort_values("vec_id", ignore_index=True)
+    return pa.table({"vec_id": pa.array(df["vec_id"].astype(np.int64)),
+                     "cluster": pa.array(df["cluster"].astype(np.int64)),
+                     "keep": pa.array(df["keep"].astype(bool)),
+                     "best_sim_micro": pa.array(
+                         df["best_sim_micro"].astype(np.int64)),
+                     "capped": pa.array(df["capped"].astype(bool))})

@@ -429,6 +429,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
                simsearch.q_simsearch_ivf, simsearch.q_embedding_near_dup,
                simsearch.q_embedding_similar_pairs_exact,
+               simsearch.q_semantic_dedup,
                filters.q_repetition_filter, filters.q_line_dedup,
                filters.q_pii_redact, filters.q_unigram_commonness,
                sketch.q_token_quantiles, sketch.q_stratified_sample,
@@ -725,3 +726,69 @@ def test_shuffle_shards_semantics(ray_session, tmp_path):
     old = t3[t3["doc_id"] < 90_000_000].reset_index(drop=True)
     assert old[["doc_id", "shard", "okey"]].equals(
         t1[["doc_id", "shard", "okey"]])
+
+
+def test_semantic_dedup_planted_duplicates(ray_session, tmp_path):
+    """SemDeDup: an exact copy and a tiny perturbation of an existing
+    embedding both land in the original's k-means cluster and are
+    dropped; the min-id original survives; disjoint vectors all keep."""
+    import pyarrow.parquet as pq
+    from engine.simsearch import q_semantic_dedup, _SEM_TAU_MICRO
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    base = src.slice(0, 1).to_pydict()
+    exact = dict(base)
+    exact["vec_id"] = [7_000_001]
+    near = dict(base)
+    near["vec_id"] = [7_000_002]
+    v = list(base["embedding"][0])
+    v[0] += 1e-3 * (abs(v[0]) + 1.0)  # cos(orig, near) ~ 0.9999
+    near["embedding"] = [v]
+    aug = pa.concat_tables([src,
+                            pa.table(exact, schema=src.schema),
+                            pa.table(near, schema=src.schema)])
+    d = tmp_path / "sem"
+    d.mkdir()
+    pq.write_table(aug, str(d / "embeddings.parquet"))
+
+    t = q_semantic_dedup(str(d))
+    assert t.num_rows == aug.num_rows
+    rows = {r["vec_id"]: r for r in t.to_pylist()}
+    orig = src["vec_id"][0].as_py()
+    assert rows[orig]["keep"] is True
+    assert rows[7_000_001]["keep"] is False
+    assert rows[7_000_001]["best_sim_micro"] == 1_000_000
+    assert rows[7_000_002]["keep"] is False
+    assert rows[7_000_002]["best_sim_micro"] >= _SEM_TAU_MICRO
+    assert rows[7_000_002]["cluster"] == rows[orig]["cluster"]
+    # uniform-random vectors are nowhere near tau: everything else kept
+    dropped = [v for v, r in rows.items() if not r["keep"]]
+    assert sorted(dropped) == [7_000_001, 7_000_002]
+    # determinism
+    t2 = q_semantic_dedup(str(d))
+    assert t.equals(t2)
+
+
+def test_semantic_dedup_hot_cluster_bounded(ray_session, tmp_path):
+    """5k identical embeddings (one degenerate cluster) finish in bounded
+    time via exact-collapse + the capped star — never a 5k x 5k matmul."""
+    import time
+    import pyarrow.parquet as pq
+    from engine.simsearch import q_semantic_dedup
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    row = src.slice(0, 1).to_pydict()
+    k = 5_000
+    flood = {c: row[c] * k for c in row}
+    flood["vec_id"] = list(range(6_000_000, 6_000_000 + k))
+    aug = pa.concat_tables([src, pa.table(flood, schema=src.schema)])
+    d = tmp_path / "hotsem"
+    d.mkdir()
+    pq.write_table(aug, str(d / "embeddings.parquet"))
+    t0 = time.monotonic()
+    t = q_semantic_dedup(str(d))
+    wall = time.monotonic() - t0
+    rows = {r["vec_id"]: r for r in t.to_pylist()}
+    orig = src["vec_id"][0].as_py()
+    assert rows[orig]["keep"] is True
+    flood_keep = [v for v in flood["vec_id"] if rows[v]["keep"]]
+    assert flood_keep == []          # every clone dropped
+    assert wall < 90, f"hot cluster took {wall:.1f}s"
