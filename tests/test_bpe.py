@@ -128,3 +128,29 @@ def test_bpe_empty_and_null_corpus(ray_session, tmp_path):
     assert bpe.q_bpe_merges(str(d2)).num_rows == 0
     t = bpe.q_bpe_tokenize(str(d2)).to_pandas()
     assert len(t) == 1 and t["n_bpe_tokens"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# property: incremental trainer == brute-force reference on random dicts
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_ALPHA = "abcz"   # tiny alphabet forces heavy pair collisions and reuse
+
+
+@settings(max_examples=60, deadline=None)
+@given(words=st.lists(
+    st.text(alphabet=_ALPHA, min_size=1, max_size=7),
+    min_size=1, max_size=12, unique=True),
+    counts=st.lists(st.integers(1, 9), min_size=12, max_size=12),
+    k=st.integers(1, 30))
+def test_trainer_property_matches_reference(words, counts, k):
+    """The incremental-update trainer must equal the full-re-count
+    reference for every random word dict, merge count, and tie pattern
+    (repetitive words like 'aaaa' exercise overlap + stale-index paths)."""
+    wc = {w: c for w, c in zip(words, counts)}
+    want, _ = _ref_train(wc, k)
+    ws = sorted(wc)
+    got = bpe.train_merges(ws, [wc[w] for w in ws], k)
+    assert got == want

@@ -337,5 +337,7 @@ def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
         "text": pa.array(texts, type=pa.string()),
     }), str(d / "documents.parquet"))
     for name in ("repetition_filter", "line_dedup", "pii_redact",
-                 "unigram_commonness", "decontaminate"):
+                 "unigram_commonness", "decontaminate",
+                 "corpus_split", "pack_sequences", "top_terms_by_lang",
+                 "shuffle_shards"):
         _assert_matches_oracle(str(d), name)
