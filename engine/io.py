@@ -47,3 +47,45 @@ def read_parquet_clean(path, columns=None, **kw):
         except Exception:
             pass  # fall back to Ray's own schema inference
     return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def export_jsonl_corpus(sf_dir: str, dst_dir: str,
+                        table: str = "documents") -> str:
+    """Streaming Parquet -> JSONL export of a corpus table: one pass of
+    ``Dataset.write_json`` (one shard file per block, no driver
+    materialization).  The interchange format of web-scale corpora
+    (Common Crawl / Dolma dumps ship as JSONL)."""
+    ds = read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"))
+    ds.write_json(dst_dir)
+    return dst_dir
+
+
+def import_jsonl_corpus(src_dir: str, dst_dir: str,
+                        table: str = "documents") -> str:
+    """Streaming JSONL -> Parquet ingestion: ``ray.data.read_json`` over
+    the shard files, batches re-cast to the canonical column order, then
+    ``write_parquet``.  Scale shape: reader parallelism = shard count,
+    no shuffle, no materialization; the result directory is readable by
+    every ``queries()`` operator as its ``{table}.parquet``.  JSONL
+    escapes embedded newlines/tabs, so text columns round-trip exactly;
+    int64 ids survive because Arrow's JSON reader infers int64 (never
+    float) for integral columns."""
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.read_json(src_dir)
+    names = ds.schema().names
+    if table == "documents":
+        order = [c for c in ("doc_id", "text", "lang", "source", "n_chars")
+                 if c in names] + [c for c in names if c not in
+                                   ("doc_id", "text", "lang", "source",
+                                    "n_chars")]
+
+        def reorder(t: pa.Table) -> pa.Table:
+            return t.select(order)
+
+        ds = ds.map_batches(reorder, batch_format="pyarrow",
+                            batch_size=None)
+    out = os.path.join(dst_dir, f"{table}.parquet")
+    ds.write_parquet(out)
+    return dst_dir

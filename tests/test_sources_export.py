@@ -273,3 +273,30 @@ def test_decode_cli_one_shot_json(ray_session, tmp_path, capsys):
     assert {d.get("logcode_id") for d in lines if "logcode_id" in d} == \
         {"0x3A11", "0x2001"}
     assert any("error" in d for d in lines)
+
+
+def test_jsonl_corpus_round_trip(ray_session, tmp_path):
+    """documents.parquet -> JSONL shards -> parquet dir: gated queries
+    produce identical tables on the round-tripped corpus (embedded
+    newlines/tabs in text survive the interchange)."""
+    from engine.io import export_jsonl_corpus, import_jsonl_corpus
+    from engine import extras
+
+    sf = "/root/testdata/sf0.001"
+    jl = tmp_path / "jl"
+    back = tmp_path / "back"
+    back.mkdir()
+    export_jsonl_corpus(sf, str(jl))
+    assert list(jl.glob("*.json")), "no JSONL shards written"
+    import_jsonl_corpus(str(jl), str(back))
+
+    for name in ("text_stats", "corpus_split", "line_dedup"):
+        a = extras.EXTRA_QUERIES[name](sf)
+        b = extras.EXTRA_QUERIES[name](str(back))
+        da = (a.to_pandas() if hasattr(a, "to_pandas") else a)
+        db = (b.to_pandas() if hasattr(b, "to_pandas") else b)
+        da = da[sorted(da.columns)].sort_values(
+            list(sorted(da.columns)), ignore_index=True)
+        db = db[sorted(db.columns)].sort_values(
+            list(sorted(db.columns)), ignore_index=True)
+        assert da.astype(object).equals(db.astype(object)), name
