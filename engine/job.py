@@ -112,6 +112,20 @@ def main(argv=None) -> int:
                     "size — broadcast pc.is_in below ~5M ids, distributed "
                     "semi-join beyond)")
 
+    cj = sub.add_parser("corpus", help="corpus interchange: streaming "
+                        "JSONL export / import of a parquet table")
+    cj_sub = cj.add_subparsers(dest="corpus_cmd", required=True)
+    ce = cj_sub.add_parser("export-jsonl", help="parquet table -> JSONL shards")
+    ce.add_argument("--sf-dir", required=True,
+                    help="directory holding {table}.parquet")
+    ce.add_argument("--out", required=True, help="JSONL shard directory")
+    ce.add_argument("--table", default="documents")
+    ci = cj_sub.add_parser("import-jsonl", help="JSONL shards -> parquet table")
+    ci.add_argument("--src", required=True, help="JSONL shard directory")
+    ci.add_argument("--out", required=True,
+                    help="destination dir; writes {table}.parquet under it")
+    ci.add_argument("--table", default="documents")
+
     md = sub.add_parser("metadata", help="emit REFERENCE-format metadata JSON "
                         "from the catalog (metadata_cli.py single/multi parity)")
     md.add_argument("--logcode", default=None, help="0xNNNN for single-logcode "
@@ -246,6 +260,17 @@ def main(argv=None) -> int:
                                   quality_min=args.quality_min,
                                   num_shards=args.shards, method=args.method)
         print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "corpus":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.io import export_jsonl_corpus, import_jsonl_corpus
+        if args.corpus_cmd == "export-jsonl":
+            out = export_jsonl_corpus(args.sf_dir, args.out, table=args.table)
+        else:
+            out = import_jsonl_corpus(args.src, args.out, table=args.table)
+        print(json.dumps({"out": out, "table": args.table}))
         ray.shutdown()
         return 0
 

@@ -300,3 +300,22 @@ def test_jsonl_corpus_round_trip(ray_session, tmp_path):
         db = db[sorted(db.columns)].sort_values(
             list(sorted(db.columns)), ignore_index=True)
         assert da.astype(object).equals(db.astype(object)), name
+
+
+def test_corpus_cli_round_trip(ray_session, tmp_path):
+    """`engine.job corpus export-jsonl` then `import-jsonl` reproduce the
+    documents table exactly (the CLI surface over engine.io)."""
+    import duckdb
+    from engine.job import main
+
+    jl = tmp_path / "jl"
+    back = tmp_path / "back"
+    back.mkdir()
+    assert main(["corpus", "export-jsonl", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", str(jl)]) == 0
+    assert main(["corpus", "import-jsonl", "--src", str(jl),
+                 "--out", str(back)]) == 0
+    n, lo, hi = duckdb.sql(
+        f"select count(*), min(doc_id), max(doc_id) "
+        f"from '{back}/documents.parquet/*.parquet'").fetchall()[0]
+    assert (n, lo, hi) == (500, 0, 499)
