@@ -328,3 +328,70 @@ SELECT doc_id, (okey % {_N_SHARDS})::BIGINT AS shard, okey,
                            ORDER BY okey, doc_id) - 1)::BIGINT AS pos
 FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source document cap (gated)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 15
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source document cap: keep the ``_SOURCE_CAP`` longest docs of
+    every source (the Common-Crawl-style per-domain cap that stops one
+    crawler-friendly site from dominating a training mix), ranked by
+    (n_chars DESC, doc_id ASC).
+
+    Scale shape: top-K per key distributes as a partial top-K combiner —
+    each batch emits at most K rows per source it saw, so the groupby
+    exchange carries O(K x sources x blocks) id-sized rows, never the
+    corpus; the text column never moves at all.  The final per-source
+    rank is one argsort over <= K x blocks rows per group.
+    """
+    k = _SOURCE_CAP
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        nch = pc.cast(t["n_chars"], pa.int64()).to_numpy()
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        _, codes = np.unique(src, return_inverse=True)
+        order = np.lexsort((ids, -nch, codes))
+        c_sorted = codes[order]
+        # rank within each source run: position minus run start
+        starts = np.concatenate([[0], np.flatnonzero(
+            np.diff(c_sorted)) + 1])
+        run_id = np.searchsorted(starts, np.arange(len(order)),
+                                 side="right") - 1
+        rank = np.arange(len(order)) - starts[run_id]
+        keep = order[rank < k]
+        return pa.table({
+            "source": pa.array(src[keep]),
+            "doc_id": pa.array(ids[keep]),
+            "n_chars": pa.array(nch[keep]),
+        })
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch))[:k]
+        return pa.table({
+            "source": t["source"].take(pa.array(order)),
+            "doc_id": t["doc_id"].take(pa.array(order)),
+            "n_chars": t["n_chars"].take(pa.array(order)),
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]) \
+        .map_batches(partial_topk, batch_format="pyarrow") \
+        .groupby("source").map_groups(final_topk, batch_format="pyarrow")
+
+
+SQL_SOURCE_CAP = f"""
+SELECT source, doc_id, n_chars, (rn - 1)::BIGINT AS rank FROM (
+  SELECT source, doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_SOURCE_CAP}
+"""

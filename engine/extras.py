@@ -48,6 +48,7 @@ EXTRA_QUERIES = {
     "top_terms_by_lang": corpus.q_top_terms_by_lang,
     "events_hopping_window": corpus.q_events_hopping_window,
     "shuffle_shards": corpus.q_shuffle_shards,
+    "source_cap": corpus.q_source_cap,
     # tokenizer training (iterative; rows-only, pinned to a reference
     # implementation in tests/test_bpe.py)
     "bpe_merges": bpe.q_bpe_merges,
@@ -92,6 +93,7 @@ EXTRA_ORACLE_SQL = {
     "top_terms_by_lang": corpus.SQL_TOP_TERMS,
     "events_hopping_window": corpus.SQL_EVENTS_HOPPING,
     "shuffle_shards": corpus.SQL_SHUFFLE_SHARDS,
+    "source_cap": corpus.SQL_SOURCE_CAP,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
     "repetition_filter": filters.SQL_REPETITION_FILTER,
     "line_dedup": filters.SQL_LINE_DEDUP,

@@ -423,7 +423,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                curate.q_curate_corpus,
                corpus.q_corpus_split, corpus.q_pack_sequences,
                corpus.q_top_terms_by_lang, corpus.q_events_hopping_window,
-               corpus.q_shuffle_shards,
+               corpus.q_shuffle_shards, corpus.q_source_cap,
                asof.q_events_asof_prior_purchase,
                asof.q_events_range_join_counts,
                simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
@@ -792,3 +792,44 @@ def test_semantic_dedup_hot_cluster_bounded(ray_session, tmp_path):
     flood_keep = [v for v in flood["vec_id"] if rows[v]["keep"]]
     assert flood_keep == []          # every clone dropped
     assert wall < 90, f"hot cluster took {wall:.1f}s"
+
+
+def test_source_cap_semantics_and_oracle(ray_session, tmp_path):
+    """Per-source cap keeps exactly the K longest docs per source with
+    (n_chars DESC, doc_id ASC) ranking, surviving a skewed source that
+    spans many blocks; result is value-exact vs the DuckDB oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from engine import corpus
+
+    k = corpus._SOURCE_CAP
+    n = 400  # one dominant source, two small ones
+    rows = {
+        "doc_id": list(range(n)),
+        "text": ["x" for _ in range(n)],
+        "lang": ["en"] * n,
+        "source": ["big"] * (n - 10) + ["s1"] * 6 + ["s2"] * 4,
+        # ties on n_chars force the doc_id ASC tiebreak
+        "n_chars": [(i % 7) * 100 for i in range(n)],
+    }
+    d = tmp_path / "cap"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    t = corpus.q_source_cap(str(d)).to_pandas()
+    per = t.groupby("source").size()
+    assert per["big"] == k and per["s1"] == 6 and per["s2"] == 4
+    for _, g in t.groupby("source"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(len(g)))
+        key = list(zip(-g["n_chars"], g["doc_id"]))
+        assert key == sorted(key)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{d}/documents.parquet')")
+    want = con.sql(corpus.SQL_SOURCE_CAP).df()
+    got = t[sorted(t.columns)].sort_values(sorted(t.columns),
+                                           ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(sorted(want.columns),
+                                                  ignore_index=True)
+    assert got.astype(object).equals(want.astype(object))
