@@ -59,6 +59,7 @@ EXTRA_QUERIES = {
     # content filters (Gopher/CCNet family)
     "repetition_filter": filters.q_repetition_filter,
     "line_dedup": filters.q_line_dedup,
+    "dup_ngram_stats": filters.q_dup_ngram_stats,
     "pii_redact": filters.q_pii_redact,
     "unigram_commonness": filters.q_unigram_commonness,
     # decontamination / mixture control
@@ -97,6 +98,7 @@ EXTRA_ORACLE_SQL = {
     "curate_corpus": curate.SQL_CURATE_CORPUS,
     "repetition_filter": filters.SQL_REPETITION_FILTER,
     "line_dedup": filters.SQL_LINE_DEDUP,
+    "dup_ngram_stats": filters.SQL_DUP_NGRAM,
     "pii_redact": filters.SQL_PII_REDACT,
     "unigram_commonness": filters.SQL_UNIGRAM_COMMONNESS,
     "decontaminate": decontam.SQL_DECONTAMINATE,

@@ -422,3 +422,155 @@ SELECT w.doc_id,
 FROM w LEFT JOIN v USING (word)
 GROUP BY w.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicated n-gram detection (exact substring-level dedup,
+# the word-n-gram variant of Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better") — gated
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 5          # word n-gram width
+_DUP_NGRAM_MILLI = 200  # >20% duplicated positions -> flagged
+
+
+def _ngram_positions(texts):
+    """texts -> (ngram string per valid start position, doc index per
+    position, per-doc position counts).  Fully vectorized: one Arrow
+    whitespace split, N shifted slices of the flat token array joined
+    element-wise, and an offset mask that stops n-grams crossing doc
+    boundaries."""
+    flat, offs = _split_tokens(texts)
+    counts = offs[1:] - offs[:-1]
+    n_docs = len(counts)
+    total = len(flat)
+    n_pos_doc = np.maximum(counts - _NGRAM_N + 1, 0)
+    if total < _NGRAM_N:
+        return (pa.array([], type=pa.string()),
+                np.zeros(0, dtype=np.int64), n_pos_doc)
+    m = total - _NGRAM_N + 1
+    parts = [flat.slice(k, m) for k in range(_NGRAM_N)]
+    ng_all = pc.binary_join_element_wise(*parts, " ")
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)[:m]
+    pos_in_doc = np.arange(m, dtype=np.int64) - offs[doc_idx]
+    valid = pos_in_doc < n_pos_doc[doc_idx]
+    return ng_all.filter(pa.array(valid)), doc_idx[valid], n_pos_doc
+
+
+def q_dup_ngram_stats(sf_dir: str):
+    """Corpus-wide duplicated word-``_NGRAM_N``-gram accounting: for every
+    doc with at least one n-gram, how many of its n-gram positions (and
+    how many of its distinct n-grams) also occur in >= 2 distinct docs,
+    plus a flag when the duplicated fraction exceeds
+    ``_DUP_NGRAM_MILLI``/1000.
+
+    Two passes (the proven q_line_dedup shape): (1) combiner-first — a
+    whole doc always sits in one batch, so per-batch DISTINCT (n-gram,
+    doc) partials sum to exact corpus-wide distinct-doc counts with ONE
+    string-keyed groupby; only n-grams seen in >= 2 docs reach the
+    driver; (2) broadcast the duplicated set once (`ray.put`), mark per
+    batch with a C-speed `pd.Index.isin` over the batch's distinct
+    n-grams.  The doc side never shuffles.
+
+    Scale note (100 TB): the exchange in pass 1 carries one row per
+    distinct (batch, n-gram) — order of the token count.  That is the
+    honest cost of exact substring dedup (a suffix array is likewise a
+    global structure); at full scale key the exchange by a 128-bit
+    n-gram hash (~24 B/row instead of the string) and replace the
+    broadcast dup set with the semi-join path used by engine/curate.py
+    when it outgrows one object-store block."""
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        ng, doc_idx, _ = _ngram_positions(t["text"])
+        if len(ng) == 0:
+            return pa.table({"ng": pa.array([], type=pa.string()),
+                             "nd": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(ng.to_pandas(), sort=False)
+        order = np.lexsort((codes, doc_idx))
+        c2, d2 = codes[order], doc_idx[order]
+        new = np.ones(len(c2), dtype=bool)
+        if len(c2) > 1:
+            new[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+        u, c = np.unique(c2[new], return_counts=True)
+        return pa.table({"ng": pa.array(uniq[u], type=pa.string()),
+                         "nd": pa.array(c.astype(np.int64))})
+
+    folded = _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("ng").aggregate(Sum("nd", alias_name="nd"))
+    tabs = [b for b in collect_tables(folded) if b.num_columns]
+    if tabs:
+        ct = pa.concat_tables(tabs)
+        nd = ct["nd"].to_numpy(zero_copy_only=False)
+        dup = ct["ng"].to_pandas()[nd >= 2].to_numpy()
+    else:
+        dup = np.zeros(0, dtype=object)
+    dup_ref = ray.put(pd.Index(dup))
+
+    def mark(t: pa.Table) -> pa.Table:
+        dup_idx = ray.get(dup_ref)
+        ng, doc_idx, n_pos_doc = _ngram_positions(t["text"])
+        n_docs = len(n_pos_doc)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ng):
+            codes, uniq = pd.factorize(ng.to_pandas(), sort=False)
+            is_dup_uniq = pd.Index(uniq).isin(dup_idx)
+            is_dup = is_dup_uniq[codes]
+            n_dup_pos = np.bincount(doc_idx, weights=is_dup,
+                                    minlength=n_docs).astype(np.int64)
+            # distinct duplicated n-grams per doc
+            order = np.lexsort((codes, doc_idx))
+            c2, d2 = codes[order], doc_idx[order]
+            new = np.ones(len(c2), dtype=bool)
+            if len(c2) > 1:
+                new[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+            nd_mask = new & is_dup_uniq[c2]
+            n_dup_ng = np.bincount(d2[nd_mask], minlength=n_docs) \
+                .astype(np.int64)
+        else:
+            n_dup_pos = np.zeros(n_docs, dtype=np.int64)
+            n_dup_ng = np.zeros(n_docs, dtype=np.int64)
+        m = n_pos_doc > 0
+        np_, dp, dn = n_pos_doc[m], n_dup_pos[m], n_dup_ng[m]
+        dup_milli = dp * 1000 // np_
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "n_ngrams": pa.array(np_),
+            "n_dup_pos": pa.array(dp),
+            "n_dup_ngrams": pa.array(dn),
+            "dup_milli": pa.array(dup_milli),
+            "flagged": pa.array(dup_milli >= _DUP_NGRAM_MILLI),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DUP_NGRAM = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i.i:i.i+{_NGRAM_N - 1}], ' ') AS ng
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_NGRAM_N} + 2)) AS i)
+       AS i(i)
+  WHERE len(ws) >= {_NGRAM_N}
+), s AS (
+  SELECT ng, count(DISTINCT doc_id) AS nd FROM g GROUP BY ng
+)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_ngrams,
+       sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_pos,
+       count(DISTINCT CASE WHEN s.nd >= 2 THEN g.ng END)::BIGINT
+         AS n_dup_ngrams,
+       (sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1000
+         // count(*))::BIGINT AS dup_milli,
+       ((sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1000 // count(*))
+         >= {_DUP_NGRAM_MILLI}) AS flagged
+FROM g JOIN s USING (ng)
+GROUP BY g.doc_id
+"""

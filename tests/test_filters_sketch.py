@@ -337,7 +337,45 @@ def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
         "text": pa.array(texts, type=pa.string()),
     }), str(d / "documents.parquet"))
     for name in ("repetition_filter", "line_dedup", "pii_redact",
+                 "dup_ngram_stats",
                  "unigram_commonness", "decontaminate",
                  "corpus_split", "pack_sequences", "top_terms_by_lang",
                  "shuffle_shards"):
         _assert_matches_oracle(str(d), name)
+
+
+def test_dup_ngram_stats_plants_and_gates(ray_session, tmp_path):
+    """A 5-gram shared verbatim by two docs is counted at every position
+    in both; a unique doc reports zero; a doc shorter than N emits no
+    row; the whole table gates value-exact vs DuckDB."""
+    sf = _write_docs(tmp_path, [
+        "the quick brown fox jumps over the lazy dog today",   # shares 5-gram
+        "intro words the quick brown fox jumps and more text", # with doc 1
+        "completely unique words nothing shared anywhere here ok",
+        "too short",                                           # < N words: no row
+    ])
+    from engine.filters import q_dup_ngram_stats, _NGRAM_N
+    t = q_dup_ngram_stats(sf).to_pandas().set_index("doc_id")
+    assert 4 not in t.index           # 2 words < N
+    assert t.loc[3, "n_dup_pos"] == 0 and not t.loc[3, "flagged"]
+    # doc1: 10 words -> 6 positions; 'the quick brown fox jumps' and
+    # 'quick brown fox jumps over'? only the first 5-gram is shared
+    assert t.loc[1, "n_ngrams"] == 10 - _NGRAM_N + 1
+    assert t.loc[1, "n_dup_pos"] == 1 and t.loc[1, "n_dup_ngrams"] == 1
+    assert t.loc[2, "n_dup_pos"] == 1
+    _assert_matches_oracle(sf, "dup_ngram_stats")
+
+
+def test_dup_ngram_repeated_within_one_doc_not_duplicated(ray_session,
+                                                          tmp_path):
+    """An n-gram repeated many times inside ONE doc is not corpus-
+    duplicated (distinct-doc count is 1) — the distinct-(ngram, doc)
+    combiner must not double-count within a document."""
+    sf = _write_docs(tmp_path, [
+        "spam ham eggs toast jam spam ham eggs toast jam",  # self-repeat only
+        "other words entirely distinct from that one yes",
+    ])
+    from engine.filters import q_dup_ngram_stats
+    t = q_dup_ngram_stats(sf).to_pandas().set_index("doc_id")
+    assert t.loc[1, "n_dup_pos"] == 0 and t.loc[1, "n_dup_ngrams"] == 0
+    _assert_matches_oracle(sf, "dup_ngram_stats")
