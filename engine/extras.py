@@ -60,6 +60,7 @@ EXTRA_QUERIES = {
     "repetition_filter": filters.q_repetition_filter,
     "line_dedup": filters.q_line_dedup,
     "dup_ngram_stats": filters.q_dup_ngram_stats,
+    "dup_span_removal": filters.q_dup_span_removal,
     "pii_redact": filters.q_pii_redact,
     "unigram_commonness": filters.q_unigram_commonness,
     # decontamination / mixture control
@@ -99,6 +100,7 @@ EXTRA_ORACLE_SQL = {
     "repetition_filter": filters.SQL_REPETITION_FILTER,
     "line_dedup": filters.SQL_LINE_DEDUP,
     "dup_ngram_stats": filters.SQL_DUP_NGRAM,
+    "dup_span_removal": filters.SQL_DUP_SPAN_REMOVAL,
     "pii_redact": filters.SQL_PII_REDACT,
     "unigram_commonness": filters.SQL_UNIGRAM_COMMONNESS,
     "decontaminate": decontam.SQL_DECONTAMINATE,

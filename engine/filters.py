@@ -457,28 +457,14 @@ def _ngram_positions(texts):
     return ng_all.filter(pa.array(valid)), doc_idx[valid], n_pos_doc
 
 
-def q_dup_ngram_stats(sf_dir: str):
-    """Corpus-wide duplicated word-``_NGRAM_N``-gram accounting: for every
-    doc with at least one n-gram, how many of its n-gram positions (and
-    how many of its distinct n-grams) also occur in >= 2 distinct docs,
-    plus a flag when the duplicated fraction exceeds
-    ``_DUP_NGRAM_MILLI``/1000.
+def _dup_ngram_broadcast(sf_dir: str):
+    """Build the corpus-wide duplicated-n-gram set (n-grams occurring in
+    >= 2 distinct docs) and broadcast it once via ``ray.put``.
 
-    Two passes (the proven q_line_dedup shape): (1) combiner-first — a
-    whole doc always sits in one batch, so per-batch DISTINCT (n-gram,
-    doc) partials sum to exact corpus-wide distinct-doc counts with ONE
-    string-keyed groupby; only n-grams seen in >= 2 docs reach the
-    driver; (2) broadcast the duplicated set once (`ray.put`), mark per
-    batch with a C-speed `pd.Index.isin` over the batch's distinct
-    n-grams.  The doc side never shuffles.
-
-    Scale note (100 TB): the exchange in pass 1 carries one row per
-    distinct (batch, n-gram) — order of the token count.  That is the
-    honest cost of exact substring dedup (a suffix array is likewise a
-    global structure); at full scale key the exchange by a 128-bit
-    n-gram hash (~24 B/row instead of the string) and replace the
-    broadcast dup set with the semi-join path used by engine/curate.py
-    when it outgrows one object-store block."""
+    Combiner-first: a whole doc always sits in one batch, so per-batch
+    DISTINCT (n-gram, doc) partials sum to exact corpus-wide
+    distinct-doc counts with ONE string-keyed groupby; only n-grams seen
+    in >= 2 docs reach the driver."""
     import ray
     from ray.data.aggregate import Sum
     from engine.pipeline import collect_tables
@@ -508,7 +494,34 @@ def q_dup_ngram_stats(sf_dir: str):
         dup = ct["ng"].to_pandas()[nd >= 2].to_numpy()
     else:
         dup = np.zeros(0, dtype=object)
-    dup_ref = ray.put(pd.Index(dup))
+    return ray.put(pd.Index(dup))
+
+
+def q_dup_ngram_stats(sf_dir: str):
+    """Corpus-wide duplicated word-``_NGRAM_N``-gram accounting: for every
+    doc with at least one n-gram, how many of its n-gram positions (and
+    how many of its distinct n-grams) also occur in >= 2 distinct docs,
+    plus a flag when the duplicated fraction exceeds
+    ``_DUP_NGRAM_MILLI``/1000.
+
+    Two passes (the proven q_line_dedup shape): (1) combiner-first — a
+    whole doc always sits in one batch, so per-batch DISTINCT (n-gram,
+    doc) partials sum to exact corpus-wide distinct-doc counts with ONE
+    string-keyed groupby; only n-grams seen in >= 2 docs reach the
+    driver; (2) broadcast the duplicated set once (`ray.put`), mark per
+    batch with a C-speed `pd.Index.isin` over the batch's distinct
+    n-grams.  The doc side never shuffles.
+
+    Scale note (100 TB): the exchange in pass 1 carries one row per
+    distinct (batch, n-gram) — order of the token count.  That is the
+    honest cost of exact substring dedup (a suffix array is likewise a
+    global structure); at full scale key the exchange by a 128-bit
+    n-gram hash (~24 B/row instead of the string) and replace the
+    broadcast dup set with the semi-join path used by engine/curate.py
+    when it outgrows one object-store block."""
+    import ray
+
+    dup_ref = _dup_ngram_broadcast(sf_dir)
 
     def mark(t: pa.Table) -> pa.Table:
         dup_idx = ray.get(dup_ref)
@@ -573,4 +586,103 @@ SELECT g.doc_id,
          >= {_DUP_NGRAM_MILLI}) AS flagged
 FROM g JOIN s USING (ng)
 GROUP BY g.doc_id
+"""
+
+
+def q_dup_span_removal(sf_dir: str):
+    """The REMOVAL half of exact substring dedup (Lee et al. 2022): drop
+    every token covered by any corpus-duplicated ``_NGRAM_N``-gram and
+    emit the rewritten document (kept tokens joined by a single space —
+    whitespace-normalized on both sides of the gate).
+
+    Same two-pass shape as ``q_dup_ngram_stats``; the rewrite pass is a
+    pure map: coverage is a vectorized difference array over token
+    indices (+1 at each duplicated start, -1 N past it, prefix-sum > 0
+    = covered — valid positions never cross a doc boundary, so spans
+    cannot bleed between docs), and the kept text is rebuilt zero-copy
+    with one Arrow list re-offset + ``binary_join``.  Docs with no
+    tokens emit no row (oracle parity)."""
+    import ray
+
+    dup_ref = _dup_ngram_broadcast(sf_dir)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dup_idx = ray.get(dup_ref)
+        flat, offs = _split_tokens(t["text"])
+        counts = offs[1:] - offs[:-1]
+        n_docs = len(counts)
+        total = len(flat)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        # utf8_split_whitespace('') -> [''] artifact token: an empty or
+        # whitespace-only doc must count 0 tokens (oracle: '\S+' finds none)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        covered = np.zeros(total, dtype=bool)
+        if total >= _NGRAM_N:
+            ng, doc_idx, n_pos_doc = _ngram_positions(t["text"])
+            if len(ng):
+                m = total - _NGRAM_N + 1
+                all_doc = np.repeat(np.arange(n_docs, dtype=np.int64),
+                                    counts)[:m]
+                pos_in_doc = np.arange(m, dtype=np.int64) - offs[all_doc]
+                starts = np.flatnonzero(pos_in_doc < n_pos_doc[all_doc])
+                codes, uniq = pd.factorize(ng.to_pandas(), sort=False)
+                is_dup = pd.Index(uniq).isin(dup_idx)[codes]
+                s = starts[is_dup]
+                width = total + _NGRAM_N
+                diff = np.bincount(s, minlength=width).astype(np.int64) \
+                    - np.bincount(s + _NGRAM_N, minlength=width)
+                covered = np.cumsum(diff)[:total] > 0
+        kept = ~covered & nonempty
+        n_tokens = _segment_sums(nonempty.astype(np.int64), offs)
+        n_kept = _segment_sums(kept.astype(np.int64), offs)
+        kept_flat = flat.filter(pa.array(kept))
+        new_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=new_offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept_flat)
+        kept_text = pc.binary_join(lst, " ")
+        m2 = n_tokens > 0
+        return pa.table({
+            "doc_id": pa.array(ids[m2]),
+            "n_tokens": pa.array(n_tokens[m2]),
+            "n_kept": pa.array(n_kept[m2]),
+            "kept_milli": pa.array(n_kept[m2] * 1000 // n_tokens[m2]),
+            "kept_text": kept_text.filter(pa.array(m2)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DUP_SPAN_REMOVAL = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, i.i AS i,
+         array_to_string(ws[i.i:i.i+{_NGRAM_N - 1}], ' ') AS ng
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_NGRAM_N} + 2)) AS i)
+       AS i(i)
+  WHERE len(ws) >= {_NGRAM_N}
+), s AS (
+  SELECT ng, count(DISTINCT doc_id) AS nd FROM g GROUP BY ng
+), cov AS (
+  SELECT DISTINCT g.doc_id AS doc_id,
+         unnest(range(g.i, g.i + {_NGRAM_N})) AS j
+  FROM g JOIN s USING (ng) WHERE s.nd >= 2
+), tok AS (
+  SELECT w.doc_id AS doc_id, j.j AS j, ws[j.j] AS token
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) AS j(j)
+)
+SELECT tok.doc_id AS doc_id,
+       count(*)::BIGINT AS n_tokens,
+       count(*) FILTER (WHERE cov.j IS NULL)::BIGINT AS n_kept,
+       (count(*) FILTER (WHERE cov.j IS NULL) * 1000
+         // count(*))::BIGINT AS kept_milli,
+       coalesce(string_agg(token, ' ' ORDER BY tok.j)
+                FILTER (WHERE cov.j IS NULL), '') AS kept_text
+FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+GROUP BY tok.doc_id
 """

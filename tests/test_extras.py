@@ -431,7 +431,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                simsearch.q_embedding_similar_pairs_exact,
                simsearch.q_semantic_dedup,
                filters.q_repetition_filter, filters.q_line_dedup,
-               filters.q_dup_ngram_stats,
+               filters.q_dup_ngram_stats, filters.q_dup_span_removal,
                filters.q_pii_redact, filters.q_unigram_commonness,
                sketch.q_token_quantiles, sketch.q_stratified_sample,
                decontam.q_decontaminate, decontam.q_source_mixture_sample):

@@ -337,7 +337,7 @@ def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
         "text": pa.array(texts, type=pa.string()),
     }), str(d / "documents.parquet"))
     for name in ("repetition_filter", "line_dedup", "pii_redact",
-                 "dup_ngram_stats",
+                 "dup_ngram_stats", "dup_span_removal",
                  "unigram_commonness", "decontaminate",
                  "corpus_split", "pack_sequences", "top_terms_by_lang",
                  "shuffle_shards"):
@@ -379,3 +379,39 @@ def test_dup_ngram_repeated_within_one_doc_not_duplicated(ray_session,
     t = q_dup_ngram_stats(sf).to_pandas().set_index("doc_id")
     assert t.loc[1, "n_dup_pos"] == 0 and t.loc[1, "n_dup_ngrams"] == 0
     _assert_matches_oracle(sf, "dup_ngram_stats")
+
+
+def test_dup_span_removal_rewrites_shared_spans(ray_session, tmp_path):
+    """Tokens covered by a corpus-duplicated 5-gram are removed from BOTH
+    docs; untouched docs round-trip whitespace-normalized; sub-N docs
+    keep everything; the rewrite gates value-exact (incl. kept_text)."""
+    sf = _write_docs(tmp_path, [
+        "aa bb cc dd ee keep1 keep2",     # shares 'aa bb cc dd ee'
+        "pre1 aa bb cc dd ee post1",      # with doc 1
+        "totally  separate\twords here now",  # ws-normalized round-trip
+        "tiny doc",
+    ])
+    from engine.filters import q_dup_span_removal
+    t = q_dup_span_removal(sf).to_pandas().set_index("doc_id")
+    assert t.loc[1, "kept_text"] == "keep1 keep2"
+    assert t.loc[2, "kept_text"] == "pre1 post1"
+    assert t.loc[1, "n_kept"] == 2 and t.loc[2, "n_kept"] == 2
+    assert t.loc[3, "kept_text"] == "totally separate words here now"
+    assert t.loc[4, "kept_text"] == "tiny doc"
+    assert t.loc[4, "kept_milli"] == 1000
+    _assert_matches_oracle(sf, "dup_span_removal")
+
+
+def test_dup_span_removal_overlapping_spans_union(ray_session, tmp_path):
+    """Overlapping duplicated n-grams remove the UNION of their covered
+    tokens (prefix-sum coverage), not double-count or truncate."""
+    sf = _write_docs(tmp_path, [
+        "a b c d e f g h tailone",   # 'a..e' and 'd..h'? only runs both
+        "a b c d e f g h tailtwo",   # docs share tokens 1..8 entirely
+    ])
+    from engine.filters import q_dup_span_removal
+    t = q_dup_span_removal(sf).to_pandas().set_index("doc_id")
+    # every 5-gram within 'a..h' is shared, so tokens 1..8 are covered
+    assert t.loc[1, "kept_text"] == "tailone"
+    assert t.loc[2, "kept_text"] == "tailtwo"
+    _assert_matches_oracle(sf, "dup_span_removal")
