@@ -680,3 +680,116 @@ def q_semantic_dedup(sf_dir: str) -> pa.Table:
                      "best_sim_micro": pa.array(
                          df["best_sim_micro"].astype(np.int64)),
                      "capped": pa.array(df["capped"].astype(bool))})
+
+
+# ---------------------------------------------------------------------------
+# k-NN self-join over the embeddings (gated)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def q_knn_join(sf_dir: str):
+    """All-vectors k-NN join: every vector's top-``_KNN_K`` neighbors by
+    cosine (the retrieval / embedding-clustering primitive behind
+    SemDeDup cluster assignment and hard-negative mining), ranked
+    (cosine DESC, neighbor_id ASC).
+
+    Exact-baseline regime like ``q_embedding_similar_pairs_exact``: the
+    quantized corpus matrix is broadcast ONCE via ``ray.put`` (id-sorted,
+    so a stable argsort on the batch's score rows breaks ties by
+    ascending neighbor id with no per-row Python), and each actor does
+    one integer matmul per batch.  Gate-exactness: micro-quantized
+    integer dot products + scalar IEEE cosine in the oracle's exact
+    operation order, so the DESC sort sees bit-identical doubles on both
+    sides.  Scale path: cluster-scope the join like ``q_semantic_dedup``
+    (IVF cells), or LSH-probe like ``q_simsearch_lsh`` — this query is
+    the exactness anchor those approximate."""
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "neighbor_id": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "cos_micro": pa.array([], type=pa.int64())})
+    if _emb_rows(sf_dir) == 0:
+        return empty
+    import ray
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids_all = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    Q = np.floor(_batch_mat(t) * _QUANT + 0.5).astype(np.int64)
+    order = np.argsort(ids_all, kind="stable")   # id-ASC tie-break for free
+    ids_all, Q = ids_all[order], Q[order]
+    nq = (Q * Q).sum(axis=1)
+    ref = ray.put((ids_all, Q, nq))
+
+    class KnnScan:
+        def __init__(self, r):
+            self.ids_all, self.Q, self.nq = \
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["vec_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            Qb = np.floor(_batch_mat(b) * _QUANT + 0.5).astype(np.int64)
+            nqb = (Qb * Qb).sum(axis=1)
+            D = Qb @ self.Q.T
+            C = D / np.sqrt(nqb.astype(np.float64))[:, None] \
+                / np.sqrt(self.nq.astype(np.float64))[None, :]
+            # exclude self and zero-norm neighbors from every row
+            self_col = np.searchsorted(self.ids_all, ids)
+            rows = np.arange(len(ids))
+            hit = (self_col < len(self.ids_all)) \
+                & (self.ids_all[np.minimum(self_col, len(self.ids_all) - 1)]
+                   == ids)
+            C[rows[hit], self_col[hit]] = -np.inf
+            C[:, self.nq == 0] = -np.inf
+            C[nqb == 0, :] = -np.inf            # zero-norm queries emit none
+            k = min(_KNN_K, C.shape[1])
+            nbr = np.argsort(-C, axis=1, kind="stable")[:, :k]
+            cos = np.take_along_axis(C, nbr, axis=1)
+            keep = np.isfinite(cos)
+            ri = np.repeat(ids, k)[keep.ravel()]
+            rk = np.tile(np.arange(1, k + 1, dtype=np.int64),
+                         len(ids))[keep.ravel()]
+            return pa.table({
+                "vec_id": pa.array(ri, type=pa.int64()),
+                "neighbor_id": pa.array(self.ids_all[nbr.ravel()[keep.ravel()]],
+                                        type=pa.int64()),
+                "rank": pa.array(rk),
+                "cos_micro": pa.array(np.floor(
+                    cos.ravel()[keep.ravel()] * 1e6 + 0.5).astype(np.int64)),
+            })
+
+    out = _emb(sf_dir).map_batches(KnnScan, fn_constructor_args=(ref,),
+                                   batch_format="pyarrow", batch_size=None,
+                                   concurrency=(1, 8), num_cpus=1)
+    from engine.pipeline import collect_tables
+    tabs = [b for b in collect_tables(out) if b.num_columns]
+    res = pa.concat_tables(tabs) if tabs else empty
+    return res.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
+
+
+SQL_KNN_JOIN = f"""
+WITH q AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qe
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(qe, x -> x * x))::BIGINT AS nq
+  FROM q
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(len(a.qe)),
+                  i -> a.qe[i+1] * b.qe[i+1]))::BIGINT AS dq,
+         a.nq AS na, b.nq AS nb
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.nq > 0 AND b.nq > 0
+)
+SELECT vec_id, neighbor_id,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dq / sqrt(na) / sqrt(nb) DESC,
+                                   neighbor_id ASC)::BIGINT AS rank,
+       floor(dq / sqrt(na) / sqrt(nb) * 1000000 + 0.5)::BIGINT AS cos_micro
+FROM p
+QUALIFY rank <= {_KNN_K}
+"""

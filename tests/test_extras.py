@@ -429,7 +429,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
                simsearch.q_simsearch_ivf, simsearch.q_embedding_near_dup,
                simsearch.q_embedding_similar_pairs_exact,
-               simsearch.q_semantic_dedup,
+               simsearch.q_semantic_dedup, simsearch.q_knn_join,
                filters.q_repetition_filter, filters.q_line_dedup,
                filters.q_dup_ngram_stats, filters.q_dup_span_removal,
                filters.q_pii_redact, filters.q_unigram_commonness,
@@ -831,6 +831,48 @@ def test_source_cap_semantics_and_oracle(ray_session, tmp_path):
     want = con.sql(corpus.SQL_SOURCE_CAP).df()
     got = t[sorted(t.columns)].sort_values(sorted(t.columns),
                                            ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(sorted(want.columns),
+                                                  ignore_index=True)
+    assert got.astype(object).equals(want.astype(object))
+
+
+def test_knn_join_planted_geometry_and_oracle(ray_session, tmp_path):
+    """Hand-built geometry: v2 is v1's nearest neighbor and vice versa;
+    the orthogonal vector ranks last; a zero vector emits no row and
+    never appears as a neighbor; result gates value-exact vs DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from engine.simsearch import q_knn_join, SQL_KNN_JOIN
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.9, 0.1, 0.0, 0.0],       # closest to 1
+        3: [0.0, 1.0, 0.0, 0.0],       # orthogonal-ish to 1
+        4: [0.5, 0.5, 0.0, 0.0],
+        5: [0.0, 0.0, 0.0, 0.0],       # zero norm: excluded both ways
+    }
+    d = tmp_path / "knn"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(vecs), type=pa.int64()),
+        "embedding": pa.array([np.asarray(v, dtype=np.float32)
+                               for v in vecs.values()],
+                              type=pa.list_(pa.float32())),
+    }), str(d / "embeddings.parquet"))
+    t = q_knn_join(str(d))
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    first = df[df["rank"] == 1].set_index("vec_id")["neighbor_id"]
+    assert first[1] == 2 and first[2] == 1
+    assert 5 not in df["vec_id"].values
+    assert 5 not in df["neighbor_id"].values
+    # every non-zero vector got exactly 3 ranked neighbors (4 vecs - self)
+    assert df.groupby("vec_id").size().eq(3).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * "
+                f"FROM read_parquet('{d}/embeddings.parquet')")
+    want = con.sql(SQL_KNN_JOIN).df()
+    got = df[sorted(df.columns)].sort_values(sorted(df.columns),
+                                             ignore_index=True)
     want = want[sorted(want.columns)].sort_values(sorted(want.columns),
                                                   ignore_index=True)
     assert got.astype(object).equals(want.astype(object))
