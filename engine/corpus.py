@@ -395,3 +395,88 @@ SELECT source, doc_id, n_chars, (rn - 1)::BIGINT AS rank FROM (
   FROM documents
 ) WHERE rn <= {_SOURCE_CAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# conjunctive keyword search (gated)
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("dup", "vector", "merge")
+_SEARCH_K = 20
+
+
+def q_keyword_search(sf_dir: str):
+    """Conjunctive keyword search: docs containing ALL ``_SEARCH_TERMS``
+    (lowercased token equality), ranked by total term frequency
+    (tf DESC, doc_id ASC), top ``_SEARCH_K`` — the grep/retrieval
+    primitive over a corpus.
+
+    Pure scan, no index: one Arrow split + one ``pc.equal`` per term +
+    segment sums; matching docs pass through the same partial-top-K
+    combiner as ``q_source_cap``, so each batch forwards at most K
+    id-sized rows and the text never leaves the map stage.  Scale path:
+    for repeated queries build the bucket-partitioned inverted index
+    once (the ``q_simsearch_lsh`` layout pattern) and scan only the
+    rarest term's postings."""
+    from engine.text import _split_tokens, _segment_sums
+    k = _SEARCH_K
+    terms = _SEARCH_TERMS
+
+    def scan(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        tf = np.zeros(t.num_rows, dtype=np.int64)
+        nterms = np.zeros(t.num_rows, dtype=np.int64)
+        for term in terms:
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            per = _segment_sums(hit.astype(np.int64), offs)
+            tf += per
+            nterms += per > 0
+        m = nterms == len(terms)
+        ids, tf = ids[m], tf[m]
+        order = np.lexsort((ids, -tf))[:k]      # partial top-K per batch
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "tf_total": pa.array(tf[order])})
+
+    cand = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(scan, batch_format="pyarrow", batch_size=None)
+    from engine.pipeline import collect_tables
+    tabs = [b for b in collect_tables(cand) if b.num_columns]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "tf_total": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    ct = pa.concat_tables(tabs)
+    ids = ct["doc_id"].to_numpy(zero_copy_only=False)
+    tf = ct["tf_total"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -tf))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "tf_total": pa.array(tf[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+SQL_KEYWORD_SEARCH = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id,
+         sum(CASE WHEN word IN ({_TERMS_SQL}) THEN 1 ELSE 0 END)::BIGINT
+           AS tf_total,
+         count(DISTINCT CASE WHEN word IN ({_TERMS_SQL}) THEN word END)
+           AS nterms
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, tf_total,
+       row_number() OVER (ORDER BY tf_total DESC, doc_id ASC)::BIGINT AS rank
+FROM tf WHERE nterms = {len(_SEARCH_TERMS)}
+QUALIFY rank <= {_SEARCH_K}
+"""

@@ -49,6 +49,7 @@ EXTRA_QUERIES = {
     "events_hopping_window": corpus.q_events_hopping_window,
     "shuffle_shards": corpus.q_shuffle_shards,
     "source_cap": corpus.q_source_cap,
+    "keyword_search": corpus.q_keyword_search,
     "knn_join": simsearch.q_knn_join,
     # tokenizer training (iterative; rows-only, pinned to a reference
     # implementation in tests/test_bpe.py)
@@ -97,6 +98,7 @@ EXTRA_ORACLE_SQL = {
     "events_hopping_window": corpus.SQL_EVENTS_HOPPING,
     "shuffle_shards": corpus.SQL_SHUFFLE_SHARDS,
     "source_cap": corpus.SQL_SOURCE_CAP,
+    "keyword_search": corpus.SQL_KEYWORD_SEARCH,
     "knn_join": simsearch.SQL_KNN_JOIN,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
     "repetition_filter": filters.SQL_REPETITION_FILTER,

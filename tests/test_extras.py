@@ -424,6 +424,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                corpus.q_corpus_split, corpus.q_pack_sequences,
                corpus.q_top_terms_by_lang, corpus.q_events_hopping_window,
                corpus.q_shuffle_shards, corpus.q_source_cap,
+               corpus.q_keyword_search,
                asof.q_events_asof_prior_purchase,
                asof.q_events_range_join_counts,
                simsearch.q_simsearch_topk, simsearch.q_simsearch_lsh,
@@ -876,3 +877,37 @@ def test_knn_join_planted_geometry_and_oracle(ray_session, tmp_path):
     want = want[sorted(want.columns)].sort_values(sorted(want.columns),
                                                   ignore_index=True)
     assert got.astype(object).equals(want.astype(object))
+
+
+def test_keyword_search_conjunction_and_ranking(ray_session, tmp_path):
+    """Only docs containing ALL terms match; ranking is (tf DESC, doc_id
+    ASC); case-insensitive; gates value-exact vs DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from engine import corpus
+    texts = [
+        "dup vector merge dup dup",            # tf=5, all terms
+        "DUP Vector MERGE",                    # tf=3, case-folded
+        "dup vector only two terms here",      # missing 'merge'
+        "vector merge vector merge",           # missing 'dup'
+        "dup vector merge",                    # tf=3, ties with doc 2
+    ]
+    d = tmp_path / "search"
+    d.mkdir()
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+    t = corpus.q_keyword_search(str(d))
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    assert list(df["doc_id"]) == [1, 2, 5]
+    assert list(df["tf_total"]) == [5, 3, 3]
+    assert list(df["rank"]) == [1, 2, 3]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{d}/documents.parquet')")
+    want = con.sql(corpus.SQL_KEYWORD_SEARCH).df()
+    assert df.astype(object).equals(want[df.columns].astype(object))

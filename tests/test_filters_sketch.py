@@ -340,7 +340,7 @@ def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
                  "dup_ngram_stats", "dup_span_removal",
                  "unigram_commonness", "decontaminate",
                  "corpus_split", "pack_sequences", "top_terms_by_lang",
-                 "shuffle_shards"):
+                 "shuffle_shards", "keyword_search"):
         _assert_matches_oracle(str(d), name)
 
 
