@@ -7,8 +7,8 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import (asof, bpe, corpus, curate, decontam, dedup, filters,
-                    multimodal, simsearch, sketch, text)
+from engine import (asof, bpe, classify, corpus, curate, decontam, dedup,
+                    filters, multimodal, simsearch, sketch, text)
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
@@ -54,6 +54,7 @@ EXTRA_QUERIES = {
     # tokenizer training (iterative; rows-only, pinned to a reference
     # implementation in tests/test_bpe.py)
     "bpe_merges": bpe.q_bpe_merges,
+    "train_quality_classifier": classify.q_train_quality_classifier,
     "bpe_tokenize": bpe.q_bpe_tokenize,
     # composite curation pipeline
     "curate_corpus": curate.q_curate_corpus,

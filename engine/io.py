@@ -17,6 +17,18 @@ import glob
 import os
 from typing import Optional, Sequence, Union
 
+# Eagerly finish the fsspec import chain at module-import time: Ray Data's
+# write path lazy-imports fsspec from several IO threads at once inside a
+# fresh worker, and the concurrent partial import intermittently raises
+# "partially initialized module 'fsspec' has no attribute 'utils'"
+# (observed once in a fused ReadArrowJSON->Write task).  Workers import
+# this module single-threaded while deserializing the UDF, which closes
+# the race window for every downstream stage in the same process.
+try:  # pragma: no cover - import-order workaround
+    import fsspec.utils  # noqa: F401
+except Exception:  # fsspec genuinely absent: Ray's local-path IO still works
+    pass
+
 
 def _first_file(path: Union[str, Sequence[str]]) -> Optional[str]:
     if isinstance(path, (list, tuple)):

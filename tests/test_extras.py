@@ -412,8 +412,8 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
     pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
     pq.write_table(emb.slice(0, 0), str(d / "embeddings.parquet"))
     pq.write_table(ev.slice(0, 0), str(d / "events.parquet"))
-    from engine import asof, corpus, curate, decontam, dedup, filters, \
-        simsearch, sketch, text
+    from engine import asof, classify, corpus, curate, decontam, dedup, \
+        filters, simsearch, sketch, text
     for fn in (dedup.q_dedup_exact, dedup.q_dedup_minhash_lsh,
                dedup.q_dedup_simhash, dedup.q_ngram_jaccard_pairs,
                dedup.q_dedup_clusters, dedup.q_dedup_clusters_lp,
@@ -435,7 +435,8 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                filters.q_dup_ngram_stats, filters.q_dup_span_removal,
                filters.q_pii_redact, filters.q_unigram_commonness,
                sketch.q_token_quantiles, sketch.q_stratified_sample,
-               decontam.q_decontaminate, decontam.q_source_mixture_sample):
+               decontam.q_decontaminate, decontam.q_source_mixture_sample,
+               classify.q_train_quality_classifier):
         res = fn(str(d))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, fn
@@ -911,3 +912,35 @@ def test_keyword_search_conjunction_and_ranking(ray_session, tmp_path):
                 f"FROM read_parquet('{d}/documents.parquet')")
     want = con.sql(corpus.SQL_KEYWORD_SEARCH).df()
     assert df.astype(object).equals(want[df.columns].astype(object))
+
+
+def test_distributed_classifier_matches_reference_and_learns(ray_session,
+                                                             tmp_path):
+    """The distributed GD trainer reproduces the single-process numpy
+    reference (rtol 1e-5 — chunked float fold order is the only
+    difference) and actually LEARNS: on a separable planted corpus
+    (repetitive spam vs diverse prose) it classifies every doc."""
+    import json
+    import pyarrow.parquet as pq
+    from engine import classify
+
+    spam = " ".join(["spam"] * 30)
+    diverse = " ".join(f"w{i}" for i in range(30))
+    texts = [spam if i % 2 == 0 else f"{diverse} d{i}" for i in range(40)]
+    d = tmp_path / "clf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+
+    res = classify.q_train_quality_classifier(str(d))
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res.to_pandas()
+    assert len(df) == 40
+    w = np.array(json.loads(df["w_json"].iloc[0]))
+    wref = classify.train_reference(
+        classify._feature_batch(pq.read_table(str(d / "documents.parquet"))))
+    assert np.allclose(w, wref, rtol=1e-5, atol=1e-9)
+    # planted corpus is linearly separable on the distinct-ratio feature
+    assert (df["pred"] == df["label"]).all()
+    assert df["label"].sum() == 20
