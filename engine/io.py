@@ -74,30 +74,46 @@ def export_jsonl_corpus(sf_dir: str, dst_dir: str,
 
 def import_jsonl_corpus(src_dir: str, dst_dir: str,
                         table: str = "documents") -> str:
-    """Streaming JSONL -> Parquet ingestion: ``ray.data.read_json`` over
-    the shard files, batches re-cast to the canonical column order, then
-    ``write_parquet``.  Scale shape: reader parallelism = shard count,
-    no shuffle, no materialization; the result directory is readable by
-    every ``queries()`` operator as its ``{table}.parquet``.  JSONL
-    escapes embedded newlines/tabs, so text columns round-trip exactly;
-    int64 ids survive because Arrow's JSON reader infers int64 (never
-    float) for integral columns."""
+    """Streaming JSONL -> Parquet ingestion: the shard list fans out as a
+    Dataset of paths and each task parses its shard with
+    ``pyarrow.json.read_json`` (the C++ reader) inside ``map_batches``,
+    then ``write_parquet``.  Scale shape: reader parallelism = shard
+    count, no shuffle, no materialization; the result directory is
+    readable by every ``queries()`` operator as its ``{table}.parquet``.
+    JSONL escapes embedded newlines/tabs, so text columns round-trip
+    exactly; int64 ids survive because Arrow's JSON reader infers int64
+    (never float) for integral columns.
+
+    Deliberately NOT ``ray.data.read_json``: Ray's ArrowJSONDatasource
+    path lazy-imports fsspec inside worker task threads, which
+    intermittently dies with "partially initialized module 'fsspec'"
+    (a concurrent-import race observed twice in full-suite runs); the
+    direct pyarrow reader has no fsspec surface at all."""
     import pyarrow as pa
+    import pyarrow.json as pj
     import ray
 
-    ds = ray.data.read_json(src_dir)
-    names = ds.schema().names
+    files = sorted(
+        f for f in glob.glob(os.path.join(src_dir, "*"))
+        if f.endswith((".json", ".jsonl")))
+    if not files:
+        raise FileNotFoundError(f"no JSONL shards under {src_dir}")
+    names = pj.read_json(files[0]).schema.names  # canonical column order
     if table == "documents":
-        order = [c for c in ("doc_id", "text", "lang", "source", "n_chars")
-                 if c in names] + [c for c in names if c not in
-                                   ("doc_id", "text", "lang", "source",
-                                    "n_chars")]
+        pref = [c for c in ("doc_id", "text", "lang", "source", "n_chars")
+                if c in names]
+        order = pref + [c for c in names if c not in pref]
+    else:
+        order = list(names)
 
-        def reorder(t: pa.Table) -> pa.Table:
-            return t.select(order)
+    def read_shard(t: pa.Table) -> pa.Table:
+        tabs = [pj.read_json(p) for p in t["path"].to_pylist()]
+        merged = pa.concat_tables(tabs, promote_options="default")
+        return merged.select(order)
 
-        ds = ds.map_batches(reorder, batch_format="pyarrow",
-                            batch_size=None)
+    ds = ray.data.from_arrow(pa.table({"path": pa.array(files)})) \
+        .repartition(len(files)) \
+        .map_batches(read_shard, batch_format="pyarrow", batch_size=None)
     out = os.path.join(dst_dir, f"{table}.parquet")
     ds.write_parquet(out)
     return dst_dir
