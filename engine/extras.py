@@ -51,6 +51,7 @@ EXTRA_QUERIES = {
     "source_cap": corpus.q_source_cap,
     "keyword_search": corpus.q_keyword_search,
     "knn_join": simsearch.q_knn_join,
+    "knn_join_ivf": simsearch.q_knn_join_ivf,
     # tokenizer training (iterative; rows-only, pinned to a reference
     # implementation in tests/test_bpe.py)
     "bpe_merges": bpe.q_bpe_merges,

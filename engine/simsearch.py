@@ -793,3 +793,105 @@ SELECT vec_id, neighbor_id,
 FROM p
 QUALIFY rank <= {_KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-scoped approximate k-NN self-join (rows-only): the 100 TB path
+# that q_knn_join anchors
+# ---------------------------------------------------------------------------
+
+_KNNJ_NPROBE = 2
+
+
+def q_knn_join_ivf(sf_dir: str):
+    """Approximate k-NN self-join scoped to IVF cells: every vector is a
+    MEMBER of its nearest-centroid cell and a QUERY in its top-
+    ``_KNNJ_NPROBE`` cells; neighbors are ranked only against the probed
+    cells' members.  Two bounded exchanges replace ``q_knn_join``'s
+    O(n^2) broadcast matmul: (1) groupby(cell) moves each vector
+    ``_KNNJ_NPROBE``x (the IVF replication), (2) groupby(vec_id) folds
+    <= nprobe*k candidate rows per vector into the final top-k.  Scoring
+    is the identical micro-quantized integer cosine as the exact join,
+    so overlapping pairs carry bit-identical cos_micro — the recall
+    pytest diffs the two directly (rows-only: candidate coverage depends
+    on the trained cells, not SQL-expressible)."""
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "neighbor_id": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "cos_micro": pa.array([], type=pa.int64())})
+    if _emb_rows(sf_dir) == 0:
+        return empty
+    C = _ivf_centroids(sf_dir)
+    k = _KNN_K
+
+    def route(t: pa.Table) -> pa.Table:
+        M = _batch_mat(t)
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (M / norms[:, None]) @ C.T
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :_KNNJ_NPROBE]
+        home = probes[:, 0]                      # argmax == first probe
+        n = len(ids)
+        rep_ids = np.tile(ids, _KNNJ_NPROBE)
+        rep_cell = probes.T.ravel()
+        rep_member = rep_cell == np.tile(home, _KNNJ_NPROBE)
+        rep_emb = pa.concat_arrays(
+            [t["embedding"].combine_chunks()
+             if isinstance(t["embedding"], pa.ChunkedArray)
+             else t["embedding"]] * _KNNJ_NPROBE)
+        return pa.table({
+            "cell": pa.array(rep_cell.astype(np.int64)),
+            "vec_id": pa.array(rep_ids),
+            "member": pa.array(rep_member),
+            "embedding": rep_emb,
+        })
+
+    def cell_knn(df):
+        import pandas as pd  # noqa: F401 (map_groups hands pandas)
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        Q = np.floor(np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                     * _QUANT + 0.5).astype(np.int64)
+        member = df["member"].to_numpy().astype(bool)
+        # dedupe member rows for the candidate side; id-sorted for the
+        # stable-argsort tie-break
+        mi = np.flatnonzero(member)
+        mo = mi[np.argsort(ids[mi], kind="stable")]
+        mid, Qm = ids[mo], Q[mo]
+        nqm = (Qm * Qm).sum(axis=1)
+        nq = (Q * Q).sum(axis=1)
+        D = Q @ Qm.T
+        S = D / np.sqrt(np.maximum(nq, 1).astype(np.float64))[:, None] \
+            / np.sqrt(np.maximum(nqm, 1).astype(np.float64))[None, :]
+        S[:, nqm == 0] = -np.inf
+        S[nq == 0, :] = -np.inf
+        S[ids[:, None] == mid[None, :]] = -np.inf      # self
+        kk = min(k, S.shape[1])
+        nbr = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(S, nbr, axis=1)
+        keep = np.isfinite(cos).ravel()
+        import pandas as pd
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, kk)[keep],
+            "neighbor_id": mid[nbr.ravel()[keep]],
+            "cos_micro": np.floor(
+                cos.ravel()[keep] * 1e6 + 0.5).astype(np.int64),
+        })
+
+    def fold_topk(df):
+        g = df.drop_duplicates(["vec_id", "neighbor_id"]) \
+              .sort_values(["cos_micro", "neighbor_id"],
+                           ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["vec_id", "neighbor_id", "rank", "cos_micro"]]
+
+    cands = _emb(sf_dir) \
+        .map_batches(route, batch_format="pyarrow", batch_size=None) \
+        .groupby("cell").map_groups(cell_knn) \
+        .groupby("vec_id").map_groups(fold_topk)
+    from engine.pipeline import collect_tables
+    tabs = [b for b in collect_tables(cands) if b.num_columns]
+    res = pa.concat_tables(
+        [t.cast(empty.schema) for t in tabs]) if tabs else empty
+    return res.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
