@@ -249,3 +249,103 @@ SELECT d.doc_id::BIGINT AS doc_id, d.source, r.rate_milli,
          % {_RATE_BUCKETS} < r.rate_milli AS kept
 FROM documents d JOIN r USING (source)
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus (incremental-ingest) exact dedup (gated)
+# ---------------------------------------------------------------------------
+
+
+def q_cross_corpus_dedup(sf_dir: str):
+    """Incremental-ingest dedup: flag every INCOMING document (the val/
+    test md5 split, standing in for a newly crawled shard) whose exact
+    text content already exists in the TRAIN split (the already-ingested
+    corpus) — the anti-join every pipeline runs before appending new data.
+
+    Shape: the existing corpus reduces to per-batch DISTINCT content-hash
+    counts folded by one small groupby, broadcast once (`ray.put`); the
+    incoming side is a pure map (hash + `np.searchsorted` lookup).  At
+    100 TB the existing-hash table outgrows one object-store block —
+    swap the broadcast for the hash-partitioned semi-join exactly as
+    `curate_to_parquet(method=...)` already auto-selects; the exchange
+    is (hash, count) rows either way, never text."""
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.pipeline import collect_tables
+
+    def _content_h(texts) -> np.ndarray:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        filled = pc.fill_null(texts, "").to_pylist()
+        # int64 from first 15 md5 hex chars: the line_dedup gate convention
+        return np.array([int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                         for s in filled], dtype=np.int64)
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
+        m = _split_bucket(ids) < _TRAIN_LT
+        h = _content_h(t["text"])[m]
+        if not len(h):
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    folded = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(train_partial, batch_format="pyarrow",
+                     batch_size=None) \
+        .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+    tabs = [b for b in collect_tables(folded) if b.num_columns]
+    if tabs:
+        ct = pa.concat_tables(tabs)
+        hs = ct["h"].to_numpy(zero_copy_only=False)
+        cs = ct["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hs, kind="stable")
+        hs, cs = hs[order], cs[order]
+    else:
+        hs = np.zeros(0, dtype=np.int64)
+        cs = np.zeros(0, dtype=np.int64)
+    ref = ray.put((hs, cs))
+
+    def mark(t: pa.Table) -> pa.Table:
+        exist_h, exist_c = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+            else ref
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = _split_bucket(ids)
+        m = bucket >= _TRAIN_LT
+        h = _content_h(t["text"])[m]
+        pos = np.searchsorted(exist_h, h)
+        pos_c = np.minimum(pos, max(len(exist_h) - 1, 0))
+        hit = (len(exist_h) > 0) & (exist_h[pos_c] == h)
+        n_match = np.where(hit, exist_c[pos_c], 0).astype(np.int64)
+        split = np.where(bucket[m] < _VAL_LT, "val", "test")
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "split": pa.array(split.astype(object), type=pa.string()),
+            "n_existing_matches": pa.array(n_match),
+            "is_dup": pa.array(n_match > 0),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+SQL_CROSS_CORPUS_DEDUP = rf"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           % {_SPLIT_BUCKETS} AS bucket,
+         ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS h
+  FROM documents
+), train AS (
+  SELECT h, count(*)::BIGINT AS cnt FROM b
+  WHERE bucket < {_TRAIN_LT} GROUP BY h
+)
+SELECT b.doc_id,
+       CASE WHEN b.bucket < {_VAL_LT} THEN 'val' ELSE 'test' END AS split,
+       coalesce(train.cnt, 0)::BIGINT AS n_existing_matches,
+       (coalesce(train.cnt, 0) > 0) AS is_dup
+FROM b LEFT JOIN train USING (h)
+WHERE b.bucket >= {_TRAIN_LT}
+"""

@@ -50,6 +50,7 @@ EXTRA_QUERIES = {
     "shuffle_shards": corpus.q_shuffle_shards,
     "source_cap": corpus.q_source_cap,
     "keyword_search": corpus.q_keyword_search,
+    "cross_corpus_dedup": decontam.q_cross_corpus_dedup,
     "knn_join": simsearch.q_knn_join,
     "knn_join_ivf": simsearch.q_knn_join_ivf,
     # tokenizer training (iterative; rows-only, pinned to a reference
@@ -101,6 +102,7 @@ EXTRA_ORACLE_SQL = {
     "shuffle_shards": corpus.SQL_SHUFFLE_SHARDS,
     "source_cap": corpus.SQL_SOURCE_CAP,
     "keyword_search": corpus.SQL_KEYWORD_SEARCH,
+    "cross_corpus_dedup": decontam.SQL_CROSS_CORPUS_DEDUP,
     "knn_join": simsearch.SQL_KNN_JOIN,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
     "repetition_filter": filters.SQL_REPETITION_FILTER,

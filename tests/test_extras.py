@@ -437,6 +437,7 @@ def test_operators_handle_empty_corpus(ray_session, tmp_path):
                filters.q_pii_redact, filters.q_unigram_commonness,
                sketch.q_token_quantiles, sketch.q_stratified_sample,
                decontam.q_decontaminate, decontam.q_source_mixture_sample,
+               decontam.q_cross_corpus_dedup,
                classify.q_train_quality_classifier):
         res = fn(str(d))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()

@@ -338,7 +338,7 @@ def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
     }), str(d / "documents.parquet"))
     for name in ("repetition_filter", "line_dedup", "pii_redact",
                  "dup_ngram_stats", "dup_span_removal",
-                 "unigram_commonness", "decontaminate",
+                 "unigram_commonness", "decontaminate", "cross_corpus_dedup",
                  "corpus_split", "pack_sequences", "top_terms_by_lang",
                  "shuffle_shards", "keyword_search"):
         _assert_matches_oracle(str(d), name)
@@ -415,3 +415,47 @@ def test_dup_span_removal_overlapping_spans_union(ray_session, tmp_path):
     assert t.loc[1, "kept_text"] == "tailone"
     assert t.loc[2, "kept_text"] == "tailtwo"
     _assert_matches_oracle(sf, "dup_span_removal")
+
+
+def test_cross_corpus_dedup_planted_duplicates(ray_session, tmp_path):
+    """An incoming (val/test-split) doc whose text byte-equals an
+    already-ingested (train-split) doc is flagged with the exact match
+    count; novel incoming docs are not; gates value-exact vs DuckDB."""
+    import duckdb
+    from engine import decontam
+    from engine.decontam import _split_bucket, _TRAIN_LT
+
+    train_ids, incoming_ids = [], []
+    i = 0
+    while len(train_ids) < 3 or len(incoming_ids) < 3:
+        b = int(_split_bucket([i])[0])
+        if b < _TRAIN_LT and len(train_ids) < 3:
+            train_ids.append(i)
+        elif b >= _TRAIN_LT and len(incoming_ids) < 3:
+            incoming_ids.append(i)
+        i += 1
+    shared = "this exact page was already ingested last crawl"
+    rows = (
+        [(train_ids[0], shared), (train_ids[1], shared),
+         (train_ids[2], "some other existing document")]
+        + [(incoming_ids[0], shared),              # dup of 2 train docs
+           (incoming_ids[1], "a genuinely new document"),
+           (incoming_ids[2], "some other existing document")])  # dup of 1
+    d = tmp_path / "cross"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "text": pa.array([r[1] for r in rows]),
+    }), str(d / "documents.parquet"))
+    t = decontam.q_cross_corpus_dedup(str(d))
+    df = (t.to_pandas() if hasattr(t, "to_pandas") else t.to_pandas()) \
+        .set_index("doc_id")
+    assert len(df) == 3                      # only incoming docs emit rows
+    assert df.loc[incoming_ids[0], "n_existing_matches"] == 2
+    assert bool(df.loc[incoming_ids[0], "is_dup"])
+    assert df.loc[incoming_ids[1], "n_existing_matches"] == 0
+    assert not bool(df.loc[incoming_ids[1], "is_dup"])
+    assert df.loc[incoming_ids[2], "n_existing_matches"] == 1
+    _assert_matches_oracle(str(d), "cross_corpus_dedup")
