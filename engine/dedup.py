@@ -46,6 +46,7 @@ All randomness is seeded/deterministic; no wall-clock.
 from __future__ import annotations
 
 import os
+import re
 from typing import List
 
 import numpy as np
@@ -151,18 +152,14 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def _word_hashes(texts) -> tuple:
     """One vectorized pass: texts -> (word-hash array, per-doc offsets).
 
-    Word split is Arrow's utf8_split_whitespace (after trim, matching
-    Python ``str.split()``); word hashing is pandas' C-level siphash over
-    the flattened word column — no per-row Python."""
+    Word split is engine.text._split_tokens (the single RE2-``\\s``-exact
+    splitter shared by every operator, so MinHash shingles agree with the
+    ``\\S+`` SQL oracles on Unicode-space/\\v text); word hashing is
+    pandas' C-level siphash over the flattened word column — no per-row
+    Python."""
     import pandas as pd
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    texts = pc.fill_null(texts, "")
-    w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
-    if isinstance(w, pa.ChunkedArray):
-        w = w.combine_chunks()
-    offs = w.offsets.to_numpy().astype(np.int64)
-    flat = w.values
+    from engine.text import _split_tokens
+    flat, offs = _split_tokens(texts)
     if len(flat) == 0:
         return np.zeros(0, dtype=np.uint64), offs
     wh = pd.util.hash_pandas_object(
@@ -384,9 +381,15 @@ def q_dedup_minhash_lsh(sf_dir: str):
     })
 
 
+#: RE2's ``\S`` is any char outside [\t\n\f\r ] — Python's str ``\S`` is
+#: Unicode-wide (treats NBSP as whitespace), so spell the class explicitly
+#: to keep scalar shingles byte-identical to the ``\S+`` SQL oracles.
+_RE2_TOKEN = re.compile(r"[^\t\n\f\r ]+")
+
+
 def _word_shingles(text: str, k: int = 3) -> set:
     """Scalar word-k-gram set (verify/oracle path only — never in a hot loop)."""
-    ws = text.split()
+    ws = _RE2_TOKEN.findall(text)
     if len(ws) < k:
         return {" ".join(ws)} if ws else set()
     return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}

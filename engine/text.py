@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -107,7 +108,7 @@ def _roll_fp_scalar(s: str) -> int:
     """Reference fold (oracle-shaped, per-row): kept as the spec the
     vectorized kernel is property-tested against."""
     h = _ROLL_SEED
-    for w in s.split():
+    for w in re.findall(r"[^\t\n\f\r ]+", s):  # RE2 '\S+' class, exactly
         wh = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
         h = (h * _ROLL_B + wh) % _ROLL_MOD
     return h
@@ -286,15 +287,35 @@ _LANG_PROFILES = {
 }
 
 
+# RE2's ``\s`` is exactly [\t\n\f\r ] — NOT \v (0x0B) and NOT Unicode
+# spaces (NBSP, EM SPACE, U+2028...).  Every DuckDB oracle in this repo
+# tokenizes with ``\S+``, so the engine split must use the SAME class:
+# Arrow's utf8_split_whitespace (Unicode) split NBSP-joined words that the
+# oracle keeps as one token.  ascii_split_whitespace matches RE2 everywhere
+# except \v (ascii-isspace but not RE2-\s); batches containing \v take the
+# RE2 split_pattern_regex path (exact by construction, ~4x slower — rare).
+_RE2_WS = "[\t\n\f\r ]"
+
+
 def _split_tokens(texts):
-    """texts -> (flat token array, per-doc offsets) via Arrow split.
+    """texts -> (flat token array, per-doc offsets), splitting on exactly
+    the RE2 ``\\s`` class so token streams match the ``\\S+`` oracles
+    byte-for-byte (including NBSP/EM-space/U+2028 kept inside tokens and
+    \\v kept inside tokens).
 
     Nulls are treated as empty documents (filled to '' before the split) so
-    zero-token segments are representable anywhere in the batch."""
+    zero-token segments are representable anywhere in the batch.  An empty
+    or whitespace-only doc yields ONE zero-length artifact token (callers
+    mask ``len == 0``), same contract as before."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
-    w = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if pc.any(pc.match_substring(texts, "\x0b")).as_py():
+        # exact RE2 path: trim with the RE2 class, then split on runs of it
+        t = pc.replace_substring_regex(texts, f"^{_RE2_WS}+|{_RE2_WS}+$", "")
+        w = pc.split_pattern_regex(t, pattern=f"{_RE2_WS}+")
+    else:
+        w = pc.ascii_split_whitespace(pc.ascii_trim_whitespace(texts))
     if isinstance(w, pa.ChunkedArray):
         w = w.combine_chunks()
     return w.values, w.offsets.to_numpy().astype(np.int64)
