@@ -65,7 +65,9 @@ EXTRA_QUERIES = {
     "repetition_filter": filters.q_repetition_filter,
     "line_dedup": filters.q_line_dedup,
     "dup_ngram_stats": filters.q_dup_ngram_stats,
+    "dup_ngram_stats_semijoin": filters.q_dup_ngram_stats_semijoin,
     "dup_span_removal": filters.q_dup_span_removal,
+    "dup_span_removal_semijoin": filters.q_dup_span_removal_semijoin,
     "pii_redact": filters.q_pii_redact,
     "unigram_commonness": filters.q_unigram_commonness,
     # decontamination / mixture control
@@ -108,7 +110,9 @@ EXTRA_ORACLE_SQL = {
     "repetition_filter": filters.SQL_REPETITION_FILTER,
     "line_dedup": filters.SQL_LINE_DEDUP,
     "dup_ngram_stats": filters.SQL_DUP_NGRAM,
+    "dup_ngram_stats_semijoin": filters.SQL_DUP_NGRAM,
     "dup_span_removal": filters.SQL_DUP_SPAN_REMOVAL,
+    "dup_span_removal_semijoin": filters.SQL_DUP_SPAN_REMOVAL,
     "pii_redact": filters.SQL_PII_REDACT,
     "unigram_commonness": filters.SQL_UNIGRAM_COMMONNESS,
     "decontaminate": decontam.SQL_DECONTAMINATE,

@@ -433,133 +433,270 @@ GROUP BY w.doc_id
 _NGRAM_N = 5          # word n-gram width
 _DUP_NGRAM_MILLI = 200  # >20% duplicated positions -> flagged
 
+# Two independent positional-multiplier streams -> a 128-bit n-gram key.
+# The distinct-(n-gram, doc) exchange carries (h1, h2, nd) = 24 B/row
+# instead of the n-gram STRING (~50-100 B/row), and the duplicated set is
+# integer rows the driver can hold sorted — or, past _DUP_BROADCAST_MAX,
+# never sees at all (hash-partitioned semi-join).  The streams differ in
+# every multiplier, so a key collision needs two independent 64-bit
+# collisions (~2^-128 per pair); the string-keyed DuckDB oracle
+# (SQL_DUP_NGRAM / SQL_DUP_SPAN_REMOVAL) stays the anchor that gates the
+# hash path value-exact.
+_NG_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                  0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64)
+_NG_B = np.array([0xD6E8FEB86659FD93, 0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
+                  0x8EBC6AF09C88C6E3, 0x589965CC75374CC3], dtype=np.uint64)
+_DUP_BROADCAST_MAX = 5_000_000   # duplicated n-grams; beyond -> semi-join
+_JOIN_PARTITIONS = 16
 
-def _ngram_positions(texts):
-    """texts -> (ngram string per valid start position, doc index per
-    position, per-doc position counts).  Fully vectorized: one Arrow
-    whitespace split, N shifted slices of the flat token array joined
-    element-wise, and an offset mask that stops n-grams crossing doc
-    boundaries."""
-    flat, offs = _split_tokens(texts)
+#: observability for the flood tests: how the last dup-ngram query moved
+#: the duplicated set ("broadcast" = one sorted packed array via ray.put,
+#: driver_bytes counts it; "semijoin" = zero driver-resident dup bytes)
+LAST_DUP_SET: dict = {}
+
+
+def _ngram_hash_positions(texts):
+    """texts -> (h1, h2 per valid n-gram start position (uint64 bit-viewed
+    as int64 for Arrow/Ray friendliness), doc index per position, doc-local
+    start position, per-doc position counts).
+
+    No n-gram strings are ever materialized: per-word siphash
+    (engine.dedup._word_hashes — RE2-'\\S+'-exact split) combined with two
+    positional-multiplier streams and a splitmix64 finalizer.  An offset
+    mask stops n-grams crossing doc boundaries."""
+    from engine.dedup import _word_hashes, _mix64
+    wh, offs = _word_hashes(texts)
     counts = offs[1:] - offs[:-1]
     n_docs = len(counts)
-    total = len(flat)
+    total = len(wh)
     n_pos_doc = np.maximum(counts - _NGRAM_N + 1, 0)
     if total < _NGRAM_N:
-        return (pa.array([], type=pa.string()),
-                np.zeros(0, dtype=np.int64), n_pos_doc)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, n_pos_doc
     m = total - _NGRAM_N + 1
-    parts = [flat.slice(k, m) for k in range(_NGRAM_N)]
-    ng_all = pc.binary_join_element_wise(*parts, " ")
+    h1 = np.zeros(m, dtype=np.uint64)
+    h2 = np.zeros(m, dtype=np.uint64)
+    for k in range(_NGRAM_N):
+        seg = wh[k:k + m]
+        h1 += seg * _NG_A[k]
+        h2 += seg * _NG_B[k]
+    h1, h2 = _mix64(h1), _mix64(h2)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)[:m]
     pos_in_doc = np.arange(m, dtype=np.int64) - offs[doc_idx]
     valid = pos_in_doc < n_pos_doc[doc_idx]
-    return ng_all.filter(pa.array(valid)), doc_idx[valid], n_pos_doc
+    return (h1[valid].view(np.int64), h2[valid].view(np.int64),
+            doc_idx[valid], pos_in_doc[valid], n_pos_doc)
 
 
-def _dup_ngram_broadcast(sf_dir: str):
-    """Build the corpus-wide duplicated-n-gram set (n-grams occurring in
-    >= 2 distinct docs) and broadcast it once via ``ray.put``.
+def _pair_pack(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) int64 arrays -> one structured array sortable/comparable as
+    a 128-bit key (np.isin / np.unique / np.sort operate on it directly)."""
+    x = np.empty(len(h1), dtype=[("a", "<i8"), ("b", "<i8")])
+    x["a"], x["b"] = h1, h2
+    return x
 
-    Combiner-first: a whole doc always sits in one batch, so per-batch
-    DISTINCT (n-gram, doc) partials sum to exact corpus-wide
-    distinct-doc counts with ONE string-keyed groupby; only n-grams seen
-    in >= 2 docs reach the driver."""
-    import ray
+
+def _distinct_doc_ngrams(t: pa.Table):
+    """batch -> per DISTINCT (doc, n-gram): (h1, h2, local doc index,
+    position count), plus the per-doc n-gram position totals."""
+    h1, h2, doc_idx, _, n_pos_doc = _ngram_hash_positions(t["text"])
+    if len(h1) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, n_pos_doc
+    order = np.lexsort((h2, h1, doc_idx))
+    a, b, d = h1[order], h2[order], doc_idx[order]
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+    starts = np.flatnonzero(new)
+    npos = np.diff(np.append(starts, len(a))).astype(np.int64)
+    return a[starts], b[starts], d[starts], npos, n_pos_doc
+
+
+def _dup_partial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner for the duplicated-set build: one
+    (h1, h2, nd) row per distinct (n-gram, doc) group collapsed to
+    per-batch distinct-doc counts — whole docs sit in one batch, so the
+    global groupby Sum is the exact corpus-wide distinct-doc count."""
+    a, b, d, _, _ = _distinct_doc_ngrams(t)
+    if len(a) == 0:
+        return pa.table({"h1": pa.array([], type=pa.int64()),
+                         "h2": pa.array([], type=pa.int64()),
+                         "nd": pa.array([], type=pa.int64())})
+    # rows are sorted by (doc, h1, h2); re-group by (h1, h2) for counts
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    nd = np.diff(np.append(starts, len(a))).astype(np.int64)
+    return pa.table({"h1": pa.array(a[starts]), "h2": pa.array(b[starts]),
+                     "nd": pa.array(nd)})
+
+
+def _dup_ngram_set(sf_dir: str):
+    """-> (materialized Dataset of duplicated (h1, h2) keys — n-grams seen
+    in >= 2 distinct docs — and its row count).  The exchange is ONE
+    integer-keyed groupby over per-batch partials; the driver sees only
+    the count (block metadata)."""
     from ray.data.aggregate import Sum
-    from engine.pipeline import collect_tables
 
-    def partial(t: pa.Table) -> pa.Table:
-        ng, doc_idx, _ = _ngram_positions(t["text"])
-        if len(ng) == 0:
-            return pa.table({"ng": pa.array([], type=pa.string()),
-                             "nd": pa.array([], type=pa.int64())})
-        codes, uniq = pd.factorize(ng.to_pandas(), sort=False)
-        order = np.lexsort((codes, doc_idx))
-        c2, d2 = codes[order], doc_idx[order]
-        new = np.ones(len(c2), dtype=bool)
-        if len(c2) > 1:
-            new[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
-        u, c = np.unique(c2[new], return_counts=True)
-        return pa.table({"ng": pa.array(uniq[u], type=pa.string()),
-                         "nd": pa.array(c.astype(np.int64))})
+    def keep_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["nd"], 2)).select(["h1", "h2"])
 
     folded = _docs(sf_dir, ["text"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .groupby("ng").aggregate(Sum("nd", alias_name="nd"))
-    tabs = [b for b in collect_tables(folded) if b.num_columns]
+        .map_batches(_dup_partial, batch_format="pyarrow", batch_size=None) \
+        .groupby(["h1", "h2"]).aggregate(Sum("nd", alias_name="nd")) \
+        .map_batches(keep_dups, batch_format="pyarrow")
+    mat = folded.materialize()
+    return mat, mat.count()
+
+
+def _dup_broadcast_ref(mat):
+    """Collect the duplicated (h1, h2) keys and ``ray.put`` ONE sorted
+    packed array -> (object ref, driver-resident bytes)."""
+    import ray
+    from engine.pipeline import collect_tables
+    tabs = [b for b in collect_tables(mat) if b.num_columns]
     if tabs:
         ct = pa.concat_tables(tabs)
-        nd = ct["nd"].to_numpy(zero_copy_only=False)
-        dup = ct["ng"].to_pandas()[nd >= 2].to_numpy()
+        packed = _pair_pack(ct["h1"].to_numpy(zero_copy_only=False),
+                            ct["h2"].to_numpy(zero_copy_only=False))
+        packed.sort()
     else:
-        dup = np.zeros(0, dtype=object)
-    return ray.put(pd.Index(dup))
+        packed = _pair_pack(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    return ray.put(packed), packed.nbytes
 
 
-def q_dup_ngram_stats(sf_dir: str):
+def _stats_table(ids, n_pos_doc, n_dup_pos, n_dup_ng) -> pa.Table:
+    """Shared finalizer of both dup-ngram-stats paths: keep docs with at
+    least one n-gram position, derive dup_milli + flagged."""
+    m = n_pos_doc > 0
+    np_, dp, dn = n_pos_doc[m], n_dup_pos[m], n_dup_ng[m]
+    dup_milli = dp * 1000 // np_
+    return pa.table({
+        "doc_id": pa.array(ids[m]),
+        "n_ngrams": pa.array(np_),
+        "n_dup_pos": pa.array(dp),
+        "n_dup_ngrams": pa.array(dn),
+        "dup_milli": pa.array(dup_milli),
+        "flagged": pa.array(dup_milli >= _DUP_NGRAM_MILLI),
+    })
+
+
+def q_dup_ngram_stats(sf_dir: str, method: str = "auto"):
     """Corpus-wide duplicated word-``_NGRAM_N``-gram accounting: for every
     doc with at least one n-gram, how many of its n-gram positions (and
     how many of its distinct n-grams) also occur in >= 2 distinct docs,
     plus a flag when the duplicated fraction exceeds
     ``_DUP_NGRAM_MILLI``/1000.
 
-    Two passes (the proven q_line_dedup shape): (1) combiner-first — a
-    whole doc always sits in one batch, so per-batch DISTINCT (n-gram,
-    doc) partials sum to exact corpus-wide distinct-doc counts with ONE
-    string-keyed groupby; only n-grams seen in >= 2 docs reach the
-    driver; (2) broadcast the duplicated set once (`ray.put`), mark per
-    batch with a C-speed `pd.Index.isin` over the batch's distinct
-    n-grams.  The doc side never shuffles.
-
-    Scale note (100 TB): the exchange in pass 1 carries one row per
-    distinct (batch, n-gram) — order of the token count.  That is the
-    honest cost of exact substring dedup (a suffix array is likewise a
-    global structure); at full scale key the exchange by a 128-bit
-    n-gram hash (~24 B/row instead of the string) and replace the
-    broadcast dup set with the semi-join path used by engine/curate.py
-    when it outgrows one object-store block."""
+    Two passes: (1) combiner-first duplicated-set build — per-batch
+    DISTINCT (n-gram, doc) partials keyed by a 128-bit n-gram HASH
+    (24 B/row, no strings cross the exchange) fold through ONE integer
+    groupby; (2a) ``method="broadcast"`` (the <= ``_DUP_BROADCAST_MAX``
+    regime): the dup keys are collected ONCE into a sorted packed array,
+    ``ray.put`` once, membership per batch is a vectorized 128-bit
+    ``np.isin``; (2b) ``method="semijoin"`` (the unbounded regime —
+    boilerplate-heavy corpora): the dup keys NEVER reach the driver; the
+    per-doc distinct-n-gram rows inner-join the dup set on (h1, h2)
+    (hash-partitioned), fold per doc, and left-join back to per-doc
+    totals.  ``method="auto"`` picks by measured dup-set size.  The
+    string-keyed DuckDB oracle (SQL_DUP_NGRAM) anchors both paths."""
     import ray
 
-    dup_ref = _dup_ngram_broadcast(sf_dir)
+    mat, n_dup = _dup_ngram_set(sf_dir)
+    if method == "auto":
+        method = "broadcast" if n_dup <= _DUP_BROADCAST_MAX else "semijoin"
+    LAST_DUP_SET.clear()
+    LAST_DUP_SET.update(mode=method, n_dup=int(n_dup), driver_bytes=0)
+    if method == "semijoin":
+        return _dup_ngram_stats_semijoin(sf_dir, mat)
+    dup_ref, nbytes = _dup_broadcast_ref(mat)
+    LAST_DUP_SET["driver_bytes"] = int(nbytes)
 
     def mark(t: pa.Table) -> pa.Table:
-        dup_idx = ray.get(dup_ref)
-        ng, doc_idx, n_pos_doc = _ngram_positions(t["text"])
+        dup = ray.get(dup_ref)
+        h1, h2, doc_idx, _, n_pos_doc = _ngram_hash_positions(t["text"])
         n_docs = len(n_pos_doc)
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        if len(ng):
-            codes, uniq = pd.factorize(ng.to_pandas(), sort=False)
-            is_dup_uniq = pd.Index(uniq).isin(dup_idx)
-            is_dup = is_dup_uniq[codes]
+        if len(h1):
+            is_dup = np.isin(_pair_pack(h1, h2), dup)
             n_dup_pos = np.bincount(doc_idx, weights=is_dup,
                                     minlength=n_docs).astype(np.int64)
             # distinct duplicated n-grams per doc
-            order = np.lexsort((codes, doc_idx))
-            c2, d2 = codes[order], doc_idx[order]
-            new = np.ones(len(c2), dtype=bool)
-            if len(c2) > 1:
-                new[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
-            nd_mask = new & is_dup_uniq[c2]
-            n_dup_ng = np.bincount(d2[nd_mask], minlength=n_docs) \
+            order = np.lexsort((h2, h1, doc_idx))
+            a, b, d = h1[order], h2[order], doc_idx[order]
+            new = np.ones(len(a), dtype=bool)
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+            nd_mask = new & is_dup[order]
+            n_dup_ng = np.bincount(d[nd_mask], minlength=n_docs) \
                 .astype(np.int64)
         else:
             n_dup_pos = np.zeros(n_docs, dtype=np.int64)
             n_dup_ng = np.zeros(n_docs, dtype=np.int64)
-        m = n_pos_doc > 0
-        np_, dp, dn = n_pos_doc[m], n_dup_pos[m], n_dup_ng[m]
-        dup_milli = dp * 1000 // np_
-        return pa.table({
-            "doc_id": pa.array(ids[m]),
-            "n_ngrams": pa.array(np_),
-            "n_dup_pos": pa.array(dp),
-            "n_dup_ngrams": pa.array(dn),
-            "dup_milli": pa.array(dup_milli),
-            "flagged": pa.array(dup_milli >= _DUP_NGRAM_MILLI),
-        })
+        return _stats_table(ids, n_pos_doc, n_dup_pos, n_dup_ng)
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+def q_dup_ngram_stats_semijoin(sf_dir: str):
+    """``q_dup_ngram_stats`` forced onto the semi-join path (the unbounded
+    dup-set regime) — registered gated so the driver verifies the at-scale
+    path against the same string-keyed oracle."""
+    return q_dup_ngram_stats(sf_dir, method="semijoin")
+
+
+def _dup_ngram_stats_semijoin(sf_dir: str, dup_ds):
+    """Semi-join marking: distinct (doc, n-gram) rows inner-join the dup
+    keys on (h1, h2), fold per doc, left-join back to per-doc totals.
+    No dup key or doc row ever reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+    from engine.pipeline import scrub_empty_blocks
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        a, b, d, npos, _ = _distinct_doc_ngrams(t)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[d] if len(a) else
+                               np.zeros(0, dtype=np.int64)),
+            "h1": pa.array(a), "h2": pa.array(b),
+            "npos": pa.array(npos)})
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, _, _, _, n_pos_doc = _ngram_hash_positions(t["text"])
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = n_pos_doc > 0
+        return pa.table({"doc_id": pa.array(ids[m]),
+                         "n_ngrams": pa.array(n_pos_doc[m])})
+
+    dup_clean = scrub_empty_blocks(
+        dup_ds, pa.schema([("h1", pa.int64()), ("h2", pa.int64())]))
+    side = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(doc_side, batch_format="pyarrow", batch_size=None)
+    hits = side.join(dup_clean, join_type="inner",
+                     num_partitions=_JOIN_PARTITIONS, on=("h1", "h2"))
+    agg = hits.groupby("doc_id").aggregate(
+        Sum("npos", alias_name="n_dup_pos"),
+        Count("npos", alias_name="n_dup_ngrams"))
+    agg_clean = scrub_empty_blocks(
+        agg, pa.schema([("doc_id", pa.int64()), ("n_dup_pos", pa.int64()),
+                        ("n_dup_ngrams", pa.int64())]))
+    tot = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(totals, batch_format="pyarrow", batch_size=None)
+    out = tot.join(agg_clean, join_type="left_outer",
+                   num_partitions=_JOIN_PARTITIONS, on=("doc_id",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        np_ = pc.cast(t["n_ngrams"], pa.int64()).to_numpy(zero_copy_only=False)
+        dp = pc.fill_null(pc.cast(t["n_dup_pos"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        dn = pc.fill_null(pc.cast(t["n_dup_ngrams"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        return _stats_table(ids, np_, dp, dn)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 SQL_DUP_NGRAM = rf"""
@@ -589,70 +726,167 @@ GROUP BY g.doc_id
 """
 
 
-def q_dup_span_removal(sf_dir: str):
+def _covered_from_starts(total: int, s: np.ndarray) -> np.ndarray:
+    """Duplicated-span starts (global token positions) -> per-token covered
+    mask: +1 at each start, -1 ``_NGRAM_N`` past it, prefix-sum > 0.
+    Valid positions never cross a doc boundary, so spans cannot bleed
+    between docs."""
+    width = total + _NGRAM_N
+    diff = np.bincount(s, minlength=width).astype(np.int64) \
+        - np.bincount(s + _NGRAM_N, minlength=width)
+    return np.cumsum(diff)[:total] > 0
+
+
+def _rebuild_kept(ids, flat, offs, covered) -> pa.Table:
+    """Shared rewrite tail of both span-removal paths: drop covered
+    tokens, rebuild kept text zero-copy with one Arrow list re-offset +
+    ``binary_join``.  Docs with no tokens emit no row (oracle parity:
+    '\\S+' finds none in an empty/whitespace-only doc — the split's ['']
+    artifact token is masked by length)."""
+    n_docs = len(offs) - 1
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    kept = ~covered & nonempty
+    n_tokens = _segment_sums(nonempty.astype(np.int64), offs)
+    n_kept = _segment_sums(kept.astype(np.int64), offs)
+    kept_flat = flat.filter(pa.array(kept))
+    new_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=new_offs[1:])
+    lst = pa.ListArray.from_arrays(
+        pa.array(new_offs, type=pa.int32()), kept_flat)
+    kept_text = pc.binary_join(lst, " ")
+    m2 = n_tokens > 0
+    return pa.table({
+        "doc_id": pa.array(ids[m2]),
+        "n_tokens": pa.array(n_tokens[m2]),
+        "n_kept": pa.array(n_kept[m2]),
+        "kept_milli": pa.array(n_kept[m2] * 1000 // n_tokens[m2]),
+        "kept_text": kept_text.filter(pa.array(m2)),
+    })
+
+
+def q_dup_span_removal(sf_dir: str, method: str = "auto"):
     """The REMOVAL half of exact substring dedup (Lee et al. 2022): drop
     every token covered by any corpus-duplicated ``_NGRAM_N``-gram and
     emit the rewritten document (kept tokens joined by a single space —
     whitespace-normalized on both sides of the gate).
 
-    Same two-pass shape as ``q_dup_ngram_stats``; the rewrite pass is a
-    pure map: coverage is a vectorized difference array over token
-    indices (+1 at each duplicated start, -1 N past it, prefix-sum > 0
-    = covered — valid positions never cross a doc boundary, so spans
-    cannot bleed between docs), and the kept text is rebuilt zero-copy
-    with one Arrow list re-offset + ``binary_join``.  Docs with no
-    tokens emit no row (oracle parity)."""
+    Same dual-path shape as ``q_dup_ngram_stats``: the duplicated set is
+    built hash-keyed (one integer groupby, 24 B/row); ``broadcast`` marks
+    per batch with a 128-bit ``np.isin``; ``semijoin`` (unbounded dup
+    sets) joins per-position rows to the dup keys, folds each doc's
+    duplicated-span starts into a list, joins them back to the docs by
+    doc_id, and rewrites — the driver never holds a dup key.  Coverage
+    is a vectorized difference array; the kept text is rebuilt zero-copy
+    (one Arrow list re-offset + ``binary_join``)."""
     import ray
 
-    dup_ref = _dup_ngram_broadcast(sf_dir)
+    mat, n_dup = _dup_ngram_set(sf_dir)
+    if method == "auto":
+        method = "broadcast" if n_dup <= _DUP_BROADCAST_MAX else "semijoin"
+    LAST_DUP_SET.clear()
+    LAST_DUP_SET.update(mode=method, n_dup=int(n_dup), driver_bytes=0)
+    if method == "semijoin":
+        return _dup_span_removal_semijoin(sf_dir, mat)
+    dup_ref, nbytes = _dup_broadcast_ref(mat)
+    LAST_DUP_SET["driver_bytes"] = int(nbytes)
 
     def rewrite(t: pa.Table) -> pa.Table:
-        dup_idx = ray.get(dup_ref)
+        dup = ray.get(dup_ref)
         flat, offs = _split_tokens(t["text"])
-        counts = offs[1:] - offs[:-1]
-        n_docs = len(counts)
         total = len(flat)
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        # utf8_split_whitespace('') -> [''] artifact token: an empty or
-        # whitespace-only doc must count 0 tokens (oracle: '\S+' finds none)
-        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
         covered = np.zeros(total, dtype=bool)
         if total >= _NGRAM_N:
-            ng, doc_idx, n_pos_doc = _ngram_positions(t["text"])
-            if len(ng):
-                m = total - _NGRAM_N + 1
-                all_doc = np.repeat(np.arange(n_docs, dtype=np.int64),
-                                    counts)[:m]
-                pos_in_doc = np.arange(m, dtype=np.int64) - offs[all_doc]
-                starts = np.flatnonzero(pos_in_doc < n_pos_doc[all_doc])
-                codes, uniq = pd.factorize(ng.to_pandas(), sort=False)
-                is_dup = pd.Index(uniq).isin(dup_idx)[codes]
-                s = starts[is_dup]
-                width = total + _NGRAM_N
-                diff = np.bincount(s, minlength=width).astype(np.int64) \
-                    - np.bincount(s + _NGRAM_N, minlength=width)
-                covered = np.cumsum(diff)[:total] > 0
-        kept = ~covered & nonempty
-        n_tokens = _segment_sums(nonempty.astype(np.int64), offs)
-        n_kept = _segment_sums(kept.astype(np.int64), offs)
-        kept_flat = flat.filter(pa.array(kept))
-        new_offs = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(n_kept, out=new_offs[1:])
-        lst = pa.ListArray.from_arrays(
-            pa.array(new_offs, type=pa.int32()), kept_flat)
-        kept_text = pc.binary_join(lst, " ")
-        m2 = n_tokens > 0
-        return pa.table({
-            "doc_id": pa.array(ids[m2]),
-            "n_tokens": pa.array(n_tokens[m2]),
-            "n_kept": pa.array(n_kept[m2]),
-            "kept_milli": pa.array(n_kept[m2] * 1000 // n_tokens[m2]),
-            "kept_text": kept_text.filter(pa.array(m2)),
-        })
+            h1, h2, doc_idx, pos, _ = _ngram_hash_positions(t["text"])
+            if len(h1):
+                is_dup = np.isin(_pair_pack(h1, h2), dup)
+                s = (offs[doc_idx] + pos)[is_dup]
+                covered = _covered_from_starts(total, s)
+        return _rebuild_kept(ids, flat, offs, covered)
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+
+
+def q_dup_span_removal_semijoin(sf_dir: str):
+    """``q_dup_span_removal`` forced onto the semi-join path — registered
+    gated so the driver verifies the at-scale path against the same
+    string-keyed oracle."""
+    return q_dup_span_removal(sf_dir, method="semijoin")
+
+
+def _dup_span_removal_semijoin(sf_dir: str, dup_ds):
+    """Semi-join rewrite: (doc_id, start, h1, h2) rows for every valid
+    n-gram position inner-join the dup keys, duplicated starts fold to a
+    sorted per-doc list (``groupby.map_groups`` — groups are per doc_id,
+    bounded by doc length), and a left join hands each doc its spans for
+    the vectorized rewrite."""
+    from engine.pipeline import scrub_empty_blocks
+
+    def pos_rows(t: pa.Table) -> pa.Table:
+        h1, h2, doc_idx, pos, _ = _ngram_hash_positions(t["text"])
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx] if len(h1) else
+                               np.zeros(0, dtype=np.int64)),
+            "start": pa.array(pos),
+            "h1": pa.array(h1), "h2": pa.array(h2)})
+
+    def fold_spans(g: pa.Table) -> pa.Table:
+        # Acero hash joins reject list<> payload columns — carry the sorted
+        # span starts as ONE little-endian int64 blob per doc instead
+        s = np.sort(g["start"].to_numpy(zero_copy_only=False)).astype("<i8")
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "starts_bin": pa.array([s.tobytes()], type=pa.binary())})
+
+    dup_clean = scrub_empty_blocks(
+        dup_ds, pa.schema([("h1", pa.int64()), ("h2", pa.int64())]))
+    pos = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(pos_rows, batch_format="pyarrow", batch_size=None)
+    hits = pos.join(dup_clean, join_type="inner",
+                    num_partitions=_JOIN_PARTITIONS, on=("h1", "h2")) \
+        .select_columns(["doc_id", "start"])
+    spans = hits.groupby("doc_id").map_groups(
+        fold_spans, batch_format="pyarrow")
+    spans_clean = scrub_empty_blocks(
+        spans, pa.schema([("doc_id", pa.int64()),
+                          ("starts_bin", pa.binary())]))
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .join(spans_clean, join_type="left_outer",
+              num_partitions=_JOIN_PARTITIONS, on=("doc_id",))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        flat, offs = _split_tokens(t["text"])
+        total = len(flat)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        covered = np.zeros(total, dtype=bool)
+        vals, lens = _decode_span_bins(t["starts_bin"])
+        if total and len(vals):
+            row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            covered = _covered_from_starts(total, vals + offs[row_idx])
+        return _rebuild_kept(ids, flat, offs, covered)
+
+    return out.map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+
+
+def _decode_span_bins(col):
+    """binary column of little-endian int64 span starts -> (flat starts,
+    per-row start counts).  Vectorized: one offsets read + one contiguous
+    reinterpret of the values buffer — no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, b"")
+    n = len(col)
+    raw_off = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    off = raw_off[col.offset: col.offset + n + 1].astype(np.int64)
+    lens = (off[1:] - off[:-1]) // 8
+    if off[-1] == off[0]:
+        return np.zeros(0, dtype=np.int64), lens
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    vals = np.frombuffer(data[off[0]:off[-1]].tobytes(), dtype="<i8")
+    return vals, lens
 
 
 SQL_DUP_SPAN_REMOVAL = rf"""

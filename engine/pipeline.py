@@ -62,6 +62,27 @@ def collect_tables(ds) -> List[pa.Table]:
     return out
 
 
+def scrub_empty_blocks(ds, empty_schema: pa.Schema):
+    """Drop schema-LESS empty blocks from a (small) dataset before a
+    ``Dataset.join``.
+
+    Ray's hash aggregate emits empty blocks with no schema; ``map_batches``
+    SKIPS empty blocks (a normalizing UDF never sees them), and any that
+    reach a later join make its per-partition table lose the key column
+    ("no match for FieldRef").  Materializes ``ds`` (callers pass bounded
+    aggregate/dup-set datasets, never the corpus), checks per-block column
+    counts remotely (the driver sees counts, never rows), and rebuilds the
+    dataset from the non-empty block refs."""
+    ds = ds.materialize()
+    ncols_of = ray.remote(num_cpus=0)(lambda t: t.num_columns)
+    refs = ds.to_arrow_refs()
+    ncols = ray.get([ncols_of.remote(r) for r in refs])
+    good = [r for r, c in zip(refs, ncols) if c > 0]
+    if not good:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return ray.data.from_arrow_refs(good)
+
+
 def list_input_files(input_dir: str) -> List[str]:
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:

@@ -70,7 +70,8 @@ UNICODE_GATED = [
     "fingerprint_rolling_fast", "doc_fingerprint_md5", "lang_id",
     "dedup_exact", "top_terms_by_lang", "repetition_filter",
     "unigram_commonness", "line_dedup", "pii_redact", "dup_ngram_stats",
-    "dup_span_removal", "ngram_jaccard_pairs", "decontaminate",
+    "dup_span_removal", "dup_ngram_stats_semijoin",
+    "dup_span_removal_semijoin", "ngram_jaccard_pairs", "decontaminate",
     "corpus_split", "pack_sequences",
 ]
 
