@@ -109,18 +109,33 @@ SELECT min(doc_id)::BIGINT AS doc_id FROM p GROUP BY text
 
 def q_curate_corpus_neardup(sf_dir: str, quality_min: int = QUALITY_MIN_MILLI):
     """Near-dup-aware curation (rows-only): the gated curated set minus
-    MinHash-LSH cluster non-survivors."""
+    MinHash-LSH cluster non-survivors.
+
+    Scale-safe (the r3 `weak` fix): the curated ids stay a DATASET end to
+    end — the driver never holds them.  Only the LOSER id set is
+    driver-resident, and it is bounded by construction: it comes from the
+    verified-pair graph, whose size the LSH bucket caps bound (it is the
+    near-dup RESULT, never the corpus).  Losers broadcast once via
+    ``ray.put`` and subtract with one vectorized ``pc.is_in`` per batch
+    (same recipe as :func:`curate_to_parquet`'s broadcast regime); the
+    final sort orders ids only (8 B/row), keeping the rows-only output
+    deterministic."""
     import ray
     from engine.dedup import q_dedup_clusters
-    from engine.pipeline import collect_tables
-    curated = pa.concat_tables(
-        [t for t in collect_tables(q_curate_corpus(sf_dir, quality_min))
-         if t.num_columns])
     clusters = q_dedup_clusters(sf_dir)
-    losers = {d for d, s in zip(clusters["doc_id"].to_pylist(),
-                                clusters["survivor"].to_pylist()) if not s}
-    ids = sorted(set(curated["doc_id"].to_pylist()) - losers)
-    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    surv = clusters["survivor"].to_numpy(zero_copy_only=False)
+    losers = np.sort(pc.cast(clusters["doc_id"], pa.int64())
+                     .to_numpy(zero_copy_only=False)[~surv])
+    losers_ref = ray.put(pa.array(losers, type=pa.int64()))
+
+    def drop_losers(t: pa.Table) -> pa.Table:
+        value_set = ray.get(losers_ref)   # local plasma hit after first read
+        m = pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=value_set)
+        return t.filter(pc.invert(m))
+
+    return q_curate_corpus(sf_dir, quality_min) \
+        .map_batches(drop_losers, batch_format="pyarrow") \
+        .sort("doc_id")
 
 
 #: above this many curated ids the broadcast filter switches to the

@@ -374,6 +374,46 @@ def test_curate_corpus_composition(ray_session, tmp_path):
     assert stats["input_docs"] == 500
 
 
+def test_curate_neardup_matches_set_reference(ray_session):
+    """The scale-safe q_curate_corpus_neardup (curated ids stay a Dataset;
+    losers broadcast + vectorized is_in subtract) equals the driver-side
+    set-subtraction reference it replaced (r3 `weak` #2)."""
+    from engine.curate import q_curate_corpus, q_curate_corpus_neardup
+    from engine.dedup import q_dedup_clusters
+    got = q_curate_corpus_neardup(SF_DIR).to_pandas()["doc_id"].tolist()
+    curated = set(_tbl(q_curate_corpus(SF_DIR))["doc_id"].to_pylist())
+    clusters = q_dedup_clusters(SF_DIR)
+    losers = {d for d, s in zip(clusters["doc_id"].to_pylist(),
+                                clusters["survivor"].to_pylist()) if not s}
+    assert got == sorted(curated - losers)
+    assert got == sorted(set(got))      # unique + ascending (deterministic)
+
+
+def test_curate_to_parquet_semijoin_equals_broadcast(ray_session, tmp_path,
+                                                     monkeypatch):
+    """curate_to_parquet's semi-join regime end-to-end: identical sharded
+    output vs broadcast on the same corpus, and the ID_BROADCAST_MAX
+    auto-switch engages when the threshold is crossed (r3 next-round #6)."""
+    import pyarrow.dataset as pads
+    from engine import curate
+    docs = f"{SF_DIR}/documents.parquet"
+    sb = curate.curate_to_parquet(docs, str(tmp_path / "b"),
+                                  method="broadcast")
+    ss = curate.curate_to_parquet(docs, str(tmp_path / "s"),
+                                  method="semijoin")
+    assert sb["curated_docs"] == ss["curated_docs"] > 0
+    assert (sb["method"], ss["method"]) == ("broadcast", "semijoin")
+    tb = pads.dataset(str(tmp_path / "b"), partitioning="hive") \
+        .to_table().sort_by("doc_id")
+    ts = pads.dataset(str(tmp_path / "s"), partitioning="hive") \
+        .to_table().sort_by("doc_id").select(tb.column_names)
+    assert tb.equals(ts)                # identical rows AND shard layout
+    monkeypatch.setattr(curate, "ID_BROADCAST_MAX", 1)
+    sa = curate.curate_to_parquet(docs, str(tmp_path / "a"))
+    assert sa["method"] == "semijoin"
+    assert sa["curated_docs"] == sb["curated_docs"]
+
+
 def test_multimodal_resize_and_frames_plumbing(ray_session):
     """Resize halves dims with a valid re-emitted container; frame
     sampling keeps every 4th frame — both gate-checked vs the md5 header
