@@ -6,8 +6,9 @@ The scale-path designs (per the ray_guide dedup patterns):
   min, then a tiny groupby over partials — the exchange carries one row per
   distinct hash per batch, never the text;
 * MinHash+LSH: vectorized shingle -> 64-perm minhash -> band buckets ->
-  in-bucket verify.  Only fixed-size sketch rows (~600 B/doc across all 8
-  bands) shuffle — never text, never shingle sets;
+  in-bucket verify.  Only fixed-size sketch rows (~1.25 KB/doc across all
+  8 bands: 20 B of keys/ids + 128 B of 16-bit signature components each)
+  shuffle — never text, never shingle sets;
 * SimHash: 64-bit sketch, 4x16-bit band blocking, Hamming<=3 verify;
 * n-gram Jaccard: exact pairwise within bounded blocking groups via
   groupby().map_groups;
@@ -273,8 +274,9 @@ def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup pairs, signature-verified (est. Jaccard >= 0.5).
 
     Stage 1 (map_batches, vectorized): per-doc content hash + 64-perm
-    minhash; exploded to (band, key, doc_id, chash, sig) rows — fixed
-    ~600 B/doc across all 8 bands is the ONLY shuffled data.
+    minhash; exploded to (band, key, doc_id, chash, sig) rows — a fixed
+    ~1.25 KB/doc across all 8 bands (8 x (20 B keys/ids + 128 B of 16-bit
+    signature components)) is the ONLY shuffled data.
     Stage 2 (groupby(band, key).map_groups): inside each bucket,
     exact-collapse by content hash (star pairs, Jaccard 1000, emitted in
     the first band only — identical signatures always share band 0), then
@@ -290,16 +292,18 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids, chash, mh = minhash_signatures(t)
-        # carry the top 32 bits of each perm: the Jaccard estimator only
-        # needs component equality (false-match prob 2^-32), and 256 B/doc
-        # per band halves the exchange vs full u64 signatures
-        mh32 = (mh >> np.uint64(32)).astype(np.uint32)
-        keys = _band_keys(mh32.astype(np.uint64))
+        # carry the top 16 bits of each perm: the Jaccard estimator only
+        # needs component equality, and a 2^-16 per-component false-match
+        # adds ~64*2^-16 ~ 0.001 expected agreement — an order below the
+        # estimator's own +-1/sqrt(64) noise.  128 B/doc per band is 4x
+        # smaller than the full u64 signatures (r3 next-round #4)
+        mh16 = (mh >> np.uint64(48)).astype(np.uint16)
+        keys = _band_keys(mh16.astype(np.uint64))
         n = len(ids)
         # one contiguous buffer -> FixedSizeBinary, no per-row Python
-        rep = np.repeat(mh32, _BANDS, axis=0)  # row i*BANDS+b = doc i
+        rep = np.repeat(mh16, _BANDS, axis=0)  # row i*BANDS+b = doc i
         sig_arr = pa.Array.from_buffers(
-            pa.binary(4 * _N_PERM), n * _BANDS,
+            pa.binary(2 * _N_PERM), n * _BANDS,
             [None, pa.py_buffer(np.ascontiguousarray(rep).tobytes())])
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, _BANDS), type=pa.int64()),
@@ -317,7 +321,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
         order = np.argsort(ids, kind="stable")
         ids, ch = ids[order], ch[order]
         sigs = {int(ids[i]): np.frombuffer(group["sig"].iloc[order[i]],
-                                           dtype=np.uint32).astype(np.uint64)
+                                           dtype=np.uint16)
                 for i in range(len(ids))}
         a_out, b_out, jm_out, cap_out, ex_out = [], [], [], [], []
 
