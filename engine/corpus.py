@@ -64,6 +64,40 @@ FROM b
 """
 
 
+def hash_bucket_fast(ids: np.ndarray, buckets: int, shift: int = 0) -> np.ndarray:
+    """splitmix64 of the int64 id -> bucket in [0, buckets): the at-scale
+    twin of the per-row-Python md5 gate bucket (md5 is DuckDB's only
+    shared digest, so the fast bucket has no SQL oracle — rows-only +
+    property-pinned, the fingerprint_rolling_fast precedent).  ``shift``
+    selects an independent bit window (the md5 paths' digest[:4] vs
+    digest[4:8] precedent)."""
+    from engine.dedup import _mix64
+    h = _mix64(np.ascontiguousarray(ids, dtype=np.int64).view(np.uint64))
+    if shift:
+        h = h >> np.uint64(shift)
+    return (h % np.uint64(buckets)).astype(np.int64)
+
+
+def q_corpus_split_fast(sf_dir: str):
+    """Rows-only fast twin of :func:`q_corpus_split`: one vectorized
+    splitmix64 over the int64 doc_id column replaces the per-row Python
+    md5 — same stability contract (a doc's split never changes as other
+    docs arrive), different (equally valid) pseudo-random assignment.
+    tests/test_fast_hash.py pins a scalar reference and the split-contract
+    properties."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = hash_bucket_fast(ids, _SPLIT_BUCKETS)
+        split = np.where(b < _TRAIN_LT, "train",
+                         np.where(b < _VAL_LT, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bucket": pa.array(b),
+            "split": pa.array(split.astype(object), type=pa.string()),
+        })
+    return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (gated)
 # ---------------------------------------------------------------------------

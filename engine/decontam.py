@@ -89,11 +89,64 @@ def _ngram_hashes_i64(ng: pa.StringArray) -> np.ndarray:
     return hv[codes] if len(codes) else np.zeros(0, dtype=np.int64)
 
 
-def q_decontaminate(sf_dir: str):
+# 8 odd 64-bit multipliers — one positional stream for the fast 8-gram
+# hash (engine/filters.py's 5-gram machinery, widened).  64 bits suffice
+# here: a collision only ever marks one extra doc contaminated (expected
+# false hits ~ n_train_ngrams * n_eval_ngrams / 2^64 — single digits even
+# at 100 TB train x 10M-ngram eval suites), and decontamination errs
+# toward dropping.
+_NG_F = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                  0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xD6E8FEB86659FD93,
+                  0xA0761D6478BD642F, 0xE7037ED1A0B428DB], dtype=np.uint64)
+
+
+def _ngram_hashes_fast(texts):
+    """texts (already lowercased) -> (int64 hash per valid 8-gram position,
+    per-doc 8-gram counts).  Fully vectorized: per-word siphash
+    (engine.dedup._word_hashes) + positional multipliers + splitmix64 —
+    no n-gram strings, no md5.  Position counts match ``_doc_ngrams``:
+    the split's [''] artifact token only occurs in token-less docs, whose
+    count is 0 on both paths."""
+    from engine.dedup import _word_hashes, _mix64
+    wh, offs = _word_hashes(texts)
+    counts = offs[1:] - offs[:-1]
+    npos = np.maximum(counts - _NGRAM_N + 1, 0)
+    # token-less docs carry one zero-length artifact token; npos is already
+    # 0 for them (1 - 8 + 1 < 0), matching _doc_ngrams' dropped-token count
+    total = len(wh)
+    if total < _NGRAM_N:
+        return np.zeros(0, dtype=np.int64), npos
+    m = total - _NGRAM_N + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for k in range(_NGRAM_N):
+        h += wh[k:k + m] * _NG_F[k]
+    h = _mix64(h)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[:m]
+    pos = np.arange(m, dtype=np.int64) - offs[doc_idx]
+    valid = pos < npos[doc_idx]
+    return h[valid].view(np.int64), npos
+
+
+def q_decontaminate(sf_dir: str, ngram_hash: str = "md5"):
     """Flag train/val documents sharing any word-8-gram with the held-out
     ``test`` split.  Output per non-test doc: its split, n-gram position
-    count, hit count, and the contaminated verdict."""
+    count, hit count, and the contaminated verdict.
+
+    ``ngram_hash`` picks the 8-gram digest: "md5" (60-bit md5 prefix, one
+    Python hash per DISTINCT n-gram — the anchor the SQL oracle mirrors
+    term by term) or "fast" (vectorized positional splitmix64, no n-gram
+    strings at all).  The OUTPUT is hash-agnostic — any injective digest
+    yields identical verdicts — so BOTH variants gate against the same
+    SQL_DECONTAMINATE oracle."""
     import ray
+
+    def batch_hashes(txt):
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if ngram_hash == "fast":
+            return _ngram_hashes_fast(pc.utf8_lower(pc.fill_null(txt, "")))
+        ng, ng_len = _doc_ngrams(txt)
+        return _ngram_hashes_i64(ng), ng_len
 
     def eval_partial(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -103,8 +156,8 @@ def q_decontaminate(sf_dir: str):
         txt = t["text"]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
-        ng, _ = _doc_ngrams(txt.filter(pa.array(is_test)))
-        return pa.table({"h": pa.array(np.unique(_ngram_hashes_i64(ng)))})
+        hv, _ = batch_hashes(txt.filter(pa.array(is_test)))
+        return pa.table({"h": pa.array(np.unique(hv))})
 
     from engine.pipeline import collect_tables
     tabs = [b for b in collect_tables(
@@ -120,8 +173,7 @@ def q_decontaminate(sf_dir: str):
         ev = ray.get(eval_ref)
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         b = _split_bucket(ids)
-        ng, ng_len = _doc_ngrams(t["text"])
-        hv = _ngram_hashes_i64(ng)
+        hv, ng_len = batch_hashes(t["text"])
         hits = np.isin(hv, ev).astype(np.int64)
         # cumsum segment sums: exact on zero-length segments (no reduceat)
         first = np.concatenate([[0], np.cumsum(ng_len)])
@@ -138,6 +190,13 @@ def q_decontaminate(sf_dir: str):
         })
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(check, batch_format="pyarrow", batch_size=None)
+
+
+def q_decontaminate_fast(sf_dir: str):
+    """``q_decontaminate`` on the vectorized splitmix64 n-gram digest —
+    gated against the SAME oracle (the verdict is hash-agnostic); the
+    r3 `weak` #3 fast twin for the per-distinct-n-gram md5 map."""
+    return q_decontaminate(sf_dir, ngram_hash="fast")
 
 
 SQL_DECONTAMINATE = rf"""
@@ -186,14 +245,15 @@ _TARGET_PER_SOURCE = 20   # per-source target count at gate scale
 _RATE_BUCKETS = 1000
 
 
-def q_source_mixture_sample(sf_dir: str):
+def q_source_mixture_sample(sf_dir: str, bucket: str = "md5"):
     """Deterministic mixture control: downsample each source toward
     ``_TARGET_PER_SOURCE`` docs with a hash-threshold — keep a doc iff
-    md5-bucket(doc_id) mod 1000 < rate(source), rate = min(1000,
+    hash-bucket(doc_id) mod 1000 < rate(source), rate = min(1000,
     target*1000/count).  Pass 1 is one tiny source-count groupby; pass 2 a
     pure map with the {{source: rate}} dict broadcast.  Per-doc keep
     decisions never change when OTHER sources grow (rate depends only on
-    the doc's own source), and are reproducible anywhere md5 exists."""
+    the doc's own source).  ``bucket``: "md5" (gate-compat, reproducible
+    anywhere md5 exists) or "fast" (vectorized splitmix64)."""
     import ray
     from ray.data.aggregate import Sum
     from engine.pipeline import collect_tables
@@ -220,9 +280,13 @@ def q_source_mixture_sample(sf_dir: str):
         r = ray.get(rates_ref)
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         srcs = t["source"].to_pylist()
-        hb = np.array([int.from_bytes(
-            hashlib.md5(str(d).encode()).digest()[4:8], "big")
-            % _RATE_BUCKETS for d in ids], dtype=np.int64)
+        if bucket == "fast":
+            from engine.corpus import hash_bucket_fast
+            hb = hash_bucket_fast(ids, _RATE_BUCKETS, shift=13)
+        else:
+            hb = np.array([int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[4:8], "big")
+                % _RATE_BUCKETS for d in ids], dtype=np.int64)
         rate = np.array([r.get(s, 0) for s in srcs], dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(ids),
@@ -232,6 +296,14 @@ def q_source_mixture_sample(sf_dir: str):
         })
     return _docs(sf_dir, ["doc_id", "source"]) \
         .map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+def q_source_mixture_sample_fast(sf_dir: str):
+    """Rows-only fast twin of :func:`q_source_mixture_sample`: vectorized
+    splitmix64 keep-bucket instead of the per-row Python md5 — identical
+    rate computation, a different (equally valid) deterministic draw, so
+    no SQL oracle; tests pin rates, determinism, and the keep contract."""
+    return q_source_mixture_sample(sf_dir, bucket="fast")
 
 
 SQL_SOURCE_MIXTURE = f"""

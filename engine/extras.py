@@ -44,6 +44,7 @@ EXTRA_QUERIES = {
     "multimodal_frames": multimodal.q_multimodal_frames,
     # corpus preparation
     "corpus_split": corpus.q_corpus_split,
+    "corpus_split_fast": corpus.q_corpus_split_fast,
     "pack_sequences": corpus.q_pack_sequences,
     "top_terms_by_lang": corpus.q_top_terms_by_lang,
     "events_hopping_window": corpus.q_events_hopping_window,
@@ -72,9 +73,12 @@ EXTRA_QUERIES = {
     "unigram_commonness": filters.q_unigram_commonness,
     # decontamination / mixture control
     "decontaminate": decontam.q_decontaminate,
+    "decontaminate_fast": decontam.q_decontaminate_fast,
     "source_mixture_sample": decontam.q_source_mixture_sample,
+    "source_mixture_sample_fast": decontam.q_source_mixture_sample_fast,
     # sketches / corpus profiling
     "kmv_distinct": sketch.q_kmv_distinct,
+    "kmv_distinct_fast": sketch.q_kmv_distinct_fast,
     "token_quantiles": sketch.q_token_quantiles,
     "stratified_sample": sketch.q_stratified_sample,
 }
@@ -116,6 +120,7 @@ EXTRA_ORACLE_SQL = {
     "pii_redact": filters.SQL_PII_REDACT,
     "unigram_commonness": filters.SQL_UNIGRAM_COMMONNESS,
     "decontaminate": decontam.SQL_DECONTAMINATE,
+    "decontaminate_fast": decontam.SQL_DECONTAMINATE,
     "source_mixture_sample": decontam.SQL_SOURCE_MIXTURE,
     "kmv_distinct": sketch.SQL_KMV_DISTINCT,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,

@@ -82,6 +82,47 @@ def q_kmv_distinct(sf_dir: str):
     })
 
 
+_KMV_SPACE_FAST = 1 << 63   # splitmix64 top bit dropped -> positive int64
+
+
+def q_kmv_distinct_fast(sf_dir: str):
+    """Rows-only fast twin of :func:`q_kmv_distinct`: one vectorized
+    splitmix64 over the int64 user_id column replaces the per-row Python
+    md5.  A different hash is a different (equally valid) KMV draw, so
+    the ESTIMATE differs within the k=256 error envelope and there is no
+    SQL oracle; tests/test_fast_hash.py pins determinism and the
+    relative-error bound against the exact distinct count instead."""
+    from engine.dedup import _mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(pc.cast(t["user_id"], pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        hv = np.unique((_mix64(u.view(np.uint64))
+                        >> np.uint64(1)).view(np.int64))
+        return pa.table({"h": pa.array(hv[:_KMV_K])})
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tabs = [b for b in collect_tables(ds) if b.num_columns]
+    merged = np.unique(np.concatenate(
+        [t["h"].to_numpy(zero_copy_only=False) for t in tabs])) \
+        if tabs else np.zeros(0, dtype=np.int64)
+    kmin = merged[:_KMV_K]
+    n_kmin = len(kmin)
+    if n_kmin < _KMV_K:
+        est = n_kmin
+        kth = int(kmin[-1]) if n_kmin else 0
+    else:
+        kth = int(kmin[-1])
+        est = (_KMV_K - 1) * _KMV_SPACE_FAST // kth
+    return pa.table({
+        "k_used": pa.array([n_kmin], type=pa.int64()),
+        "kth_hash": pa.array([kth], type=pa.int64()),
+        "est_distinct": pa.array([est], type=pa.int64()),
+    })
+
+
 SQL_KMV_DISTINCT = f"""
 WITH h AS (
   SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
