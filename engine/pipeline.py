@@ -49,11 +49,20 @@ def collect_tables(ds) -> List[pa.Table]:
     deterministic file name.  Observed as a duplicated sink row under
     full-suite load (the round-2 replay flake).  Iterating the internal
     ref bundles avoids the schema call entirely, so the pipeline executes
-    exactly once no matter what the blocks' schemas look like."""
-    from ray.data._internal.execution.interfaces.ref_bundle import (
-        _ref_bundles_iterator_to_block_refs_list)
-    refs = _ref_bundles_iterator_to_block_refs_list(
-        ds.iter_internal_ref_bundles())
+    exactly once no matter what the blocks' schemas look like.
+
+    The bundle iterator is a private Ray Data symbol; if a Ray upgrade
+    renames it, fall back to ``materialize().to_arrow_refs()`` — the
+    materialize pins the executed blocks so the schema fetch inside
+    ``to_arrow_refs`` cannot re-run the plan (slower, but still
+    exactly-once)."""
+    try:
+        from ray.data._internal.execution.interfaces.ref_bundle import (
+            _ref_bundles_iterator_to_block_refs_list)
+        refs = _ref_bundles_iterator_to_block_refs_list(
+            ds.iter_internal_ref_bundles())
+    except ImportError:
+        refs = ds.materialize().to_arrow_refs()
     out = []
     for t in ray.get(refs):
         if not isinstance(t, pa.Table):

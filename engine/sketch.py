@@ -33,7 +33,12 @@ from engine.pipeline import collect_tables
 
 def _md5_60(vals) -> np.ndarray:
     """First 60 md5 bits of str(v) as positive int64 — matches the oracle's
-    ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT."""
+    ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT.
+
+    Inputs must be non-null: str(None) would hash to md5('None') while the
+    oracle's md5(NULL) is NULL — fail loudly instead (advisor r3)."""
+    assert not any(v is None for v in vals), \
+        "_md5_60: null ids diverge from the SQL oracle (md5(NULL) IS NULL)"
     return np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
                      for v in vals], dtype=np.int64)
 
@@ -181,7 +186,10 @@ def q_token_quantiles(sf_dir: str):
     df = pa.concat_tables(tabs).to_pandas() \
         .sort_values(["lang", "nt"], ignore_index=True)
     rows = []
-    for lang, gdf in df.groupby("lang", sort=True):
+    # dropna=False: pandas' default silently drops a NULL-lang group while
+    # the oracle's GROUP BY lang keeps it (advisor r3) — fixtures are
+    # non-null today, but a nullable lang must not flip the gate silently
+    for lang, gdf in df.groupby("lang", sort=True, dropna=False):
         nt = gdf["nt"].to_numpy()
         cum = gdf["cnt"].to_numpy().cumsum()
         n = int(cum[-1])

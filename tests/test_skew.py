@@ -26,6 +26,23 @@ def test_corpus_is_hot_skewed(sf_small):
     assert max(counts, key=counts.get) == 0x2001
 
 
+def test_ngram_jaccard_gate_fixtures_never_cap(ray_session):
+    """SQL_NGRAM_JACCARD hardcodes 'false AS capped' + a full pairwise
+    join, while the engine's _BUCKET_CAP star fallback sets capped=true
+    and drops qualifying non-anchor pairs.  Gate-scale equality therefore
+    REQUIRES that no (source, lang, band) blocking group in the gate
+    fixtures is ever capped — enforce it here so a future fixture change
+    fails with a clear message, not a raw value-hash diff (advisor r3)."""
+    from engine.dedup import q_ngram_jaccard_pairs
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = q_ngram_jaccard_pairs(sf)
+        assert not any(out["capped"].to_pylist()), \
+            (f"{sf}: a blocking group exceeded _BUCKET_CAP — the gated "
+             "oracle (false AS capped, full pairwise) no longer matches "
+             "the engine's star degrade; shrink the fixture group or "
+             "raise _BUCKET_CAP")
+
+
 def test_routing_has_no_hot_task(ray_session, sf_small, tmp_path):
     """Shuffle-free fan-out: the hot sink's rows are spread across every
     batch's own output files — no single task owns the hot key."""
