@@ -43,6 +43,10 @@ NODE_CPUS = int(os.environ.get("NODE_CPUS", "8"))
 NUM_NODES = 4
 
 
+LSH_BASE = "/dev/shm/graft_node_lsh"
+LSH_SRC = os.environ.get("LSH_DOCS_SF", "/root/testdata/sf0.1")
+
+
 def _quarters():
     sys.path.insert(0, REPO)
     from engine import fixtures
@@ -50,6 +54,78 @@ def _quarters():
     files = sorted(glob.glob(os.path.join(root, "sequences", "*.parquet")))
     q = len(files) // NUM_NODES
     return root, [files[i * q:(i + 1) * q] for i in range(NUM_NODES)]
+
+
+LSH_REPL = int(os.environ.get("LSH_REPL", "16"))
+
+
+def _lsh_quarters():
+    """Split the documents corpus into NUM_NODES row-range quarters, each
+    written as its own sf-dir (idempotent) — how a real cluster would
+    shard a 100 TB dedup job across nodes.
+
+    The sf0.1 documents table is only 5k rows (a ~1.7 s per-node job —
+    pure fixed overhead), so each quarter gets LSH_REPL copy-major
+    replicas with re-numbered ids and two per-copy salt tokens appended:
+    within a copy the near-dup structure is the original corpus's; across
+    copies docs are deliberate near-dups (realistic boilerplate), spread
+    evenly so every quarter carries identical workload."""
+    sys.path.insert(0, REPO)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    marker = os.path.join(LSH_BASE, "_ready.json")
+    dirs = [os.path.join(LSH_BASE, f"q{i}") for i in range(NUM_NODES)]
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("repl") == LSH_REPL:
+                return dirs
+    t = pq.read_table(os.path.join(LSH_SRC, "documents.parquet"))
+    n = t.num_rows
+    copies = []
+    for c in range(LSH_REPL):
+        ids = pc.add(pc.cast(t["doc_id"], pa.int64()), 1_000_000 * c)
+        salt = pa.array([f" q{c} z{c}x{j % 97}" for j in range(n)])
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), salt, "")
+        copies.append(pa.table({
+            "doc_id": ids, "text": txt,
+            "lang": t["lang"], "source": t["source"],
+            "n_chars": t["n_chars"]}))
+    big = pa.concat_tables(copies)
+    q = big.num_rows // NUM_NODES
+    for i, d in enumerate(dirs):
+        os.makedirs(d, exist_ok=True)
+        m = q if i < NUM_NODES - 1 else big.num_rows - q * (NUM_NODES - 1)
+        pq.write_table(big.slice(i * q, m),
+                       os.path.join(d, "documents.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"src": LSH_SRC, "rows": big.num_rows,
+                   "repl": LSH_REPL}, f)
+    return dirs
+
+
+def run_node_lsh(qdir: str, tag: str) -> dict:
+    """One node's MinHash-LSH near-dup pass over its corpus quarter —
+    the one pipeline with a real all-to-all (the band groupby)."""
+    import ray
+    ray.init(address="local", num_cpus=NODE_CPUS, include_dashboard=False,
+             logging_level="ERROR", object_store_memory=4 * 1024**3)
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow.parquet as pq
+    from engine.dedup import q_dedup_minhash_lsh
+    rows = pq.read_metadata(os.path.join(qdir, "documents.parquet")).num_rows
+    q_dedup_minhash_lsh(qdir)        # untimed warmup (worker pool spin-up)
+    t0 = time.monotonic()
+    out = q_dedup_minhash_lsh(qdir)
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    return {"wall": round(wall, 3), "rows": rows, "pairs": out.num_rows,
+            "tag": tag}
 
 
 def run_node(files, meta_path: str, out_dir: str, tag: str) -> dict:
@@ -88,24 +164,32 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--node", type=int, default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--job", choices=("flagship", "lsh"), default="flagship")
     args = p.parse_args()
 
     if args.node is not None:  # child
-        root, quarters = _quarters()
-        res = run_node(quarters[args.node],
-                       os.path.join(root, "source_meta.parquet"),
-                       args.out, f"n{args.node}")
+        if args.job == "lsh":
+            res = run_node_lsh(_lsh_quarters()[args.node], f"n{args.node}")
+        else:
+            root, quarters = _quarters()
+            res = run_node(quarters[args.node],
+                           os.path.join(root, "source_meta.parquet"),
+                           args.out, f"n{args.node}")
         print(json.dumps(res))
         return 0
 
     # orchestrator
-    root, quarters = _quarters()
+    if args.job == "lsh":
+        _lsh_quarters()
+    else:
+        _quarters()
     shutil.rmtree(OUT_BASE, ignore_errors=True)
 
     def spawn(node: int) -> subprocess.Popen:
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--node", str(node),
-             "--out", os.path.join(OUT_BASE, f"node{node}")],
+             "--out", os.path.join(OUT_BASE, f"node{node}"),
+             "--job", args.job],
             stdout=subprocess.PIPE, text=True, cwd=REPO)
 
     def result(proc: subprocess.Popen) -> dict:
@@ -134,9 +218,10 @@ def main() -> int:
 
     eff = b["agg_rows_per_sec"] / (NUM_NODES * t1)
     res = {
-        "metric": "node_scaling_efficiency_1_to_4",
+        "metric": f"node_scaling_efficiency_1_to_4_{args.job}",
         "value": round(eff, 3),
         "unit": "ratio",
+        "job": args.job,
         "node_cpus": NODE_CPUS,
         "one_node_rows_per_sec": round(t1),
         "four_node_agg_rows_per_sec": round(b["agg_rows_per_sec"]),
@@ -147,7 +232,9 @@ def main() -> int:
                 "memory bus, the one per-node resource a single box cannot "
                 "replicate",
     }
-    with open(os.path.join(REPO, "BENCH", "node_emulation.json"), "w") as f:
+    out_name = "node_emulation.json" if args.job == "flagship" \
+        else "node_emulation_lsh.json"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(res, f, indent=1)
     with open(os.path.join(REPO, "BENCH", "scaling_history.jsonl"), "a") as f:
         f.write(json.dumps(res) + "\n")
