@@ -270,20 +270,131 @@ def minhash_signatures(t: pa.Table) -> tuple:
     return ids, chash, mh
 
 
-def q_dedup_minhash_lsh(sf_dir: str):
+_PAIR_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("jaccard_milli", pa.int64()), ("capped", pa.bool_()),
+    ("exact", pa.bool_()),
+])
+
+
+def _bucket_pairs_block(t: pa.Table) -> pa.Table:
+    """Vectorized bucket stage over ONE hash partition holding many whole
+    (band, key) buckets: the numpy twin of the per-group ``bucket_pairs``
+    body, with zero per-bucket Python.  Semantics are identical (pytest
+    pins table equality): exact-collapse by content hash (star pairs from
+    band 0 only), per-bucket distinct-content reps sorted by id, capped
+    star degrade past _BUCKET_CAP, all-pairs signature verify otherwise.
+
+    Requires every (band, key) group wholly inside the input batch — the
+    caller guarantees it via a hash-keyed repartition (Ray 2.49's hash
+    shuffle finalizes each partition as a single block)."""
+    n = t.num_rows
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table()
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ch = t["chash"].to_numpy(zero_copy_only=False)
+    sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) \
+        else t["sig"]
+    raw = np.frombuffer(sig_col.buffers()[1], dtype=np.uint16)
+    sigs = raw[sig_col.offset * _N_PERM:
+               (sig_col.offset + n) * _N_PERM].reshape(n, _N_PERM)
+
+    order = np.lexsort((ids, ch, key, band))
+    band, key, ids, ch, sigs = \
+        band[order], key[order], ids[order], ch[order], sigs[order]
+
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    new_sub = new_grp.copy()                   # new (band,key,chash) subgroup
+    new_sub[1:] |= ch[1:] != ch[:-1]
+
+    # exact star pairs: non-first member of a chash subgroup, band 0 only
+    pos = np.arange(n, dtype=np.int64)
+    sub_start = np.maximum.accumulate(np.where(new_sub, pos, 0))
+    ex_mask = (~new_sub) & (band == 0)
+    ex_a = ids[sub_start[ex_mask]]
+    ex_b = ids[ex_mask]
+
+    # one rep (min doc_id) per (band,key,chash); re-sort reps by id in-bucket
+    r_band, r_key = band[new_sub], key[new_sub]
+    r_id, r_sig = ids[new_sub], sigs[new_sub]
+    order2 = np.lexsort((r_id, r_key, r_band))
+    r_band, r_key, r_id, r_sig = \
+        r_band[order2], r_key[order2], r_id[order2], r_sig[order2]
+    m = len(r_id)
+    new_g = np.empty(m, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = (r_band[1:] != r_band[:-1]) | (r_key[1:] != r_key[:-1])
+    g_start = np.flatnonzero(new_g)
+    g_size = np.diff(np.append(g_start, m))
+    g_capped = g_size > _BUCKET_CAP
+    grp_of = np.cumsum(new_g) - 1              # rep row -> bucket ordinal
+
+    # candidate pairs — capped buckets: star around the min-id rep
+    row_capped = g_capped[grp_of]
+    star_b = np.flatnonzero(row_capped & ~new_g)
+    star_a = g_start[grp_of[star_b]]
+    # uncapped buckets of size >= 2: all pairs via a bounded triu template
+    un = np.flatnonzero((~g_capped) & (g_size >= 2))
+    if un.size:
+        sz, gs = g_size[un], g_start[un]
+        # (i<j) template sized to the largest bucket present (<= _BUCKET_CAP
+        # by construction); a bucket of size s keeps the pairs with j < s
+        ti, tj = np.triu_indices(int(sz.max()), k=1)
+        rows, cols = np.nonzero(tj[None, :] < sz[:, None])
+        ap_a = gs[rows] + ti[cols]
+        ap_b = gs[rows] + tj[cols]
+    else:
+        ap_a = ap_b = np.zeros(0, dtype=np.int64)
+
+    a_idx = np.concatenate([star_a, ap_a])
+    b_idx = np.concatenate([star_b, ap_b])
+    pair_cap = np.concatenate([np.ones(len(star_a), dtype=bool),
+                               np.zeros(len(ap_a), dtype=bool)])
+    est = np.count_nonzero(r_sig[a_idx] == r_sig[b_idx], axis=1) \
+        if len(a_idx) else np.zeros(0, dtype=np.int64)
+    keep = est * 2 >= _N_PERM
+    jm = np.rint(est[keep].astype(np.float64) / _N_PERM * 1000).astype(np.int64)
+
+    return pa.table({
+        "doc_a": pa.array(np.concatenate([ex_a, r_id[a_idx[keep]]]),
+                          type=pa.int64()),
+        "doc_b": pa.array(np.concatenate([ex_b, r_id[b_idx[keep]]]),
+                          type=pa.int64()),
+        "jaccard_milli": pa.array(np.concatenate(
+            [np.full(len(ex_a), 1000, dtype=np.int64), jm])),
+        "capped": pa.array(np.concatenate(
+            [np.zeros(len(ex_a), dtype=bool), pair_cap[keep]])),
+        "exact": pa.array(np.concatenate(
+            [np.ones(len(ex_a), dtype=bool), np.zeros(int(keep.sum()),
+                                                      dtype=bool)])),
+    })
+
+
+def q_dedup_minhash_lsh(sf_dir: str, method: str = "hash"):
     """MinHash+LSH near-dup pairs, signature-verified (est. Jaccard >= 0.5).
 
     Stage 1 (map_batches, vectorized): per-doc content hash + 64-perm
     minhash; exploded to (band, key, doc_id, chash, sig) rows — a fixed
     ~1.25 KB/doc across all 8 bands (8 x (20 B keys/ids + 128 B of 16-bit
     signature components)) is the ONLY shuffled data.
-    Stage 2 (groupby(band, key).map_groups): inside each bucket,
-    exact-collapse by content hash (star pairs, Jaccard 1000, emitted in
-    the first band only — identical signatures always share band 0), then
-    capped all-pairs across distinct contents verified by signature
-    agreement.  Cross-content pairs are emitted by EVERY colliding band and
-    deduplicated at collection (capped = OR across bands), so a pair missed
-    by one capped bucket still surfaces from any uncapped one.
+    Stage 2, ``method="hash"`` (default): a hash-keyed repartition on
+    (band, key) co-locates whole buckets, then ONE vectorized map_batches
+    (:func:`_bucket_pairs_block`) processes every bucket in a partition
+    with zero per-bucket Python — the scale path (singleton buckets, the
+    overwhelming majority, cost ~nothing).  ``method="mapgroups"`` keeps
+    the original groupby().map_groups per-bucket body as the semantics
+    oracle; pytest pins both paths to the identical pair table.
+    Bucket semantics (both paths): exact-collapse by content hash (star
+    pairs, Jaccard 1000, emitted in the first band only — identical
+    signatures always share band 0), then capped all-pairs across distinct
+    contents verified by signature agreement.  Cross-content pairs are
+    emitted by EVERY colliding band and deduplicated at collection
+    (capped = OR across bands), so a pair missed by one capped bucket
+    still surfaces from any uncapped one.
     Output: (doc_a, doc_b, jaccard_milli, capped) — jaccard_milli is the
     64-perm MinHash estimate (granularity ~16 milli; exactly 1000 for
     identical texts); capped flags pairs from degraded (star) buckets.
@@ -364,10 +475,28 @@ def q_dedup_minhash_lsh(sf_dir: str):
                              "jaccard_milli": jm_out, "capped": cap_out,
                              "exact": ex_out})
 
-    out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
-        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    df = out.to_pandas()  # final verified pairs only — this IS the result
+    if method == "hash":
+        from ray.data.context import ShuffleStrategy
+        ctx = ray.data.DataContext.get_current()
+        prev = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            nparts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+            out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
+                .map_batches(band_rows, batch_format="pyarrow",
+                             batch_size=None) \
+                .repartition(nparts, keys=["band", "key"]) \
+                .map_batches(_bucket_pairs_block, batch_format="pyarrow",
+                             batch_size=None)
+            df = out.to_pandas()  # final verified pairs only — the result
+        finally:
+            ctx.shuffle_strategy = prev
+    else:
+        out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
+            .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
+            .groupby(["band", "key"]) \
+            .map_groups(bucket_pairs, batch_format="pandas")
+        df = out.to_pandas()  # final verified pairs only — the result
     import pandas as pd
     if df.empty or "doc_a" not in df.columns:
         df = pd.DataFrame({"doc_a": [], "doc_b": [],

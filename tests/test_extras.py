@@ -24,6 +24,31 @@ def test_rows_only_queries_run(ray_session):
         assert t.num_columns >= 1, name
 
 
+def test_minhash_hash_exchange_equals_mapgroups(ray_session, tmp_path):
+    """The vectorized hash-exchange bucket stage must emit the identical
+    pair table as the per-group map_groups oracle — including on a corpus
+    with a capped (>_BUCKET_CAP distinct near-dup contents) bucket."""
+    import pyarrow.parquet as pq
+    from engine.dedup import q_dedup_minhash_lsh, _BUCKET_CAP
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.slice(0, 1).to_pydict()
+    words = base["text"][0].split()
+    rows = {c: [] for c in base}
+    for i in range(_BUCKET_CAP + 20):     # distinct near-dup contents
+        for c in base:
+            rows[c].append(base[c][0])
+        rows["doc_id"][-1] = 7_000_000 + i
+        rows["text"][-1] = " ".join(words + [f"tail{i}"])
+    aug = pa.concat_tables([src, pa.table(rows, schema=src.schema)])
+    d = tmp_path / "paths"
+    d.mkdir()
+    pq.write_table(aug, str(d / "documents.parquet"))
+    a = q_dedup_minhash_lsh(str(d), method="hash").to_pandas()
+    b = q_dedup_minhash_lsh(str(d), method="mapgroups").to_pandas()
+    assert a.equals(b)
+    assert a["capped"].any()              # the flood really exercised the cap
+
+
 def test_minhash_finds_exact_duplicates(ray_session, tmp_path):
     """A doc duplicated verbatim must surface as a jaccard=1000 pair."""
     import pyarrow.parquet as pq
