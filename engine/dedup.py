@@ -277,30 +277,26 @@ _PAIR_SCHEMA = pa.schema([
 ])
 
 
-def _bucket_pairs_block(t: pa.Table) -> pa.Table:
-    """Vectorized bucket stage over ONE hash partition holding many whole
-    (band, key) buckets: the numpy twin of the per-group ``bucket_pairs``
-    body, with zero per-bucket Python.  Semantics are identical (pytest
-    pins table equality): exact-collapse by content hash (star pairs from
-    band 0 only), per-bucket distinct-content reps sorted by id, capped
-    star degrade past _BUCKET_CAP, all-pairs signature verify otherwise.
+def _bucket_candidates(band, key, ids, ch, sigs):
+    """Shared vectorized skeleton of the LSH bucket stage over ONE hash
+    partition holding many whole (band, key) buckets — zero per-bucket
+    Python.  Semantics mirror the per-group ``bucket_pairs`` bodies:
+    exact-collapse by content hash (star pairs from band 0 only, by
+    construction of identical signatures), one rep (min doc_id) per
+    distinct content, reps sorted by id in-bucket, capped star degrade
+    past _BUCKET_CAP, all-pairs candidates otherwise.
+
+    ``sigs`` is an (n,) or (n, k) numpy signature array aligned with the
+    input rows; the caller applies its own verify predicate to the
+    returned candidate index pairs.  Returns
+    ``(ex_a, ex_b, r_id, r_sig, a_idx, b_idx, pair_cap)``: exact-pair id
+    arrays, the rep id/signature arrays, and candidate index pairs into
+    them with the bucket-capped flag.
 
     Requires every (band, key) group wholly inside the input batch — the
     caller guarantees it via a hash-keyed repartition (Ray 2.49's hash
     shuffle finalizes each partition as a single block)."""
-    n = t.num_rows
-    if n == 0:
-        return _PAIR_SCHEMA.empty_table()
-    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-    key = t["key"].to_numpy(zero_copy_only=False)
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    ch = t["chash"].to_numpy(zero_copy_only=False)
-    sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) \
-        else t["sig"]
-    raw = np.frombuffer(sig_col.buffers()[1], dtype=np.uint16)
-    sigs = raw[sig_col.offset * _N_PERM:
-               (sig_col.offset + n) * _N_PERM].reshape(n, _N_PERM)
-
+    n = len(ids)
     order = np.lexsort((ids, ch, key, band))
     band, key, ids, ch, sigs = \
         band[order], key[order], ids[order], ch[order], sigs[order]
@@ -354,6 +350,28 @@ def _bucket_pairs_block(t: pa.Table) -> pa.Table:
     b_idx = np.concatenate([star_b, ap_b])
     pair_cap = np.concatenate([np.ones(len(star_a), dtype=bool),
                                np.zeros(len(ap_a), dtype=bool)])
+    return ex_a, ex_b, r_id, r_sig, a_idx, b_idx, pair_cap
+
+
+def _bucket_pairs_block(t: pa.Table) -> pa.Table:
+    """MinHash bucket stage over one hash partition (see
+    :func:`_bucket_candidates`): candidates verified by 16-bit signature
+    component agreement (est. Jaccard >= 0.5)."""
+    n = t.num_rows
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table()
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ch = t["chash"].to_numpy(zero_copy_only=False)
+    sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) \
+        else t["sig"]
+    raw = np.frombuffer(sig_col.buffers()[1], dtype=np.uint16)
+    sigs = raw[sig_col.offset * _N_PERM:
+               (sig_col.offset + n) * _N_PERM].reshape(n, _N_PERM)
+
+    ex_a, ex_b, r_id, r_sig, a_idx, b_idx, pair_cap = \
+        _bucket_candidates(band, key, ids, ch, sigs)
     est = np.count_nonzero(r_sig[a_idx] == r_sig[b_idx], axis=1) \
         if len(a_idx) else np.zeros(0, dtype=np.int64)
     keep = est * 2 >= _N_PERM
@@ -476,21 +494,12 @@ def q_dedup_minhash_lsh(sf_dir: str, method: str = "hash"):
                              "exact": ex_out})
 
     if method == "hash":
-        from ray.data.context import ShuffleStrategy
-        ctx = ray.data.DataContext.get_current()
-        prev = ctx.shuffle_strategy
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        try:
-            nparts = max(16, int(ray.cluster_resources().get("CPU", 8)))
-            out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
-                .map_batches(band_rows, batch_format="pyarrow",
-                             batch_size=None) \
-                .repartition(nparts, keys=["band", "key"]) \
-                .map_batches(_bucket_pairs_block, batch_format="pyarrow",
-                             batch_size=None)
-            df = out.to_pandas()  # final verified pairs only — the result
-        finally:
-            ctx.shuffle_strategy = prev
+        from engine.stages import hash_group_exchange
+        # final verified pairs only — the result
+        df = hash_group_exchange(
+            lambda: _docs(sf_dir, ["doc_id", "text"], num_blocks=16)
+            .map_batches(band_rows, batch_format="pyarrow", batch_size=None),
+            ["band", "key"], _bucket_pairs_block)
     else:
         out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
             .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
@@ -783,11 +792,56 @@ def simhash_batch(texts) -> np.ndarray:
     return sigs
 
 
-def q_dedup_simhash(sf_dir: str):
+#: byte-popcount lookup for vectorized Hamming distance on uint64 sketches
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+_SIMHASH_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("capped", pa.bool_()),
+])
+
+
+def _simhash_pairs_block(t: pa.Table) -> pa.Table:
+    """SimHash bucket stage over one hash partition (see
+    :func:`_bucket_candidates`): candidates verified by Hamming<=3 on the
+    full 64-bit sketch (byte-table popcount, no per-pair Python)."""
+    n = t.num_rows
+    if n == 0:
+        return _SIMHASH_SCHEMA.empty_table()
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ch = t["chash"].to_numpy(zero_copy_only=False)
+    sigs = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        .view(np.uint64)
+
+    ex_a, ex_b, r_id, r_sig, a_idx, b_idx, pair_cap = \
+        _bucket_candidates(band, key, ids, ch, sigs)
+    if len(a_idx):
+        x = (r_sig[a_idx] ^ r_sig[b_idx]).view(np.uint8).reshape(-1, 8)
+        ham = _POP8[x].sum(axis=1)
+        keep = ham <= 3
+    else:
+        keep = np.zeros(0, dtype=bool)
+    return pa.table({
+        "doc_a": pa.array(np.concatenate([ex_a, r_id[a_idx[keep]]]),
+                          type=pa.int64()),
+        "doc_b": pa.array(np.concatenate([ex_b, r_id[b_idx[keep]]]),
+                          type=pa.int64()),
+        "capped": pa.array(np.concatenate(
+            [np.zeros(len(ex_a), dtype=bool), pair_cap[keep]])),
+    })
+
+
+def q_dedup_simhash(sf_dir: str, method: str = "hash"):
     """SimHash near-dup pairs: 4x16-bit band blocking then Hamming<=3
     verify — same bounded-bucket find->verify shape as MinHash-LSH
     (exact-collapse by content hash, capped all-pairs, every-band emit
-    with dedup at collection; output carries the ``capped`` flag)."""
+    with dedup at collection; output carries the ``capped`` flag).
+    ``method="hash"`` (default) runs the bucket stage as a hash-keyed
+    exchange + one vectorized pass per partition
+    (:func:`engine.stages.hash_group_exchange`); ``method="mapgroups"``
+    keeps the per-group body as the semantics oracle (pytest pins both
+    paths to the identical table)."""
     _ = np  # noqa
 
     def sketch(t: pa.Table) -> pa.Table:
@@ -849,10 +903,18 @@ def q_dedup_simhash(sf_dir: str):
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out,
                              "capped": cap_out})
 
-    out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
-        .map_batches(sketch, batch_format="pyarrow", batch_size=None) \
-        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    df = out.to_pandas()
+    if method == "hash":
+        from engine.stages import hash_group_exchange
+        df = hash_group_exchange(
+            lambda: _docs(sf_dir, ["doc_id", "text"], num_blocks=16)
+            .map_batches(sketch, batch_format="pyarrow", batch_size=None),
+            ["band", "key"], _simhash_pairs_block)
+    else:
+        out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
+            .map_batches(sketch, batch_format="pyarrow", batch_size=None) \
+            .groupby(["band", "key"]) \
+            .map_groups(bucket_pairs, batch_format="pandas")
+        df = out.to_pandas()
     if df.empty or "doc_a" not in df.columns:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),

@@ -476,3 +476,46 @@ def pre_aggregated(parsed_ds):
     out = pa.table({"source": g["source"], "msg_type": g["msg_type"],
                     "n_rows": g["n_rows_sum"], "sum_n_tok": g["sum_n_tok_sum"]})
     return ray.data.from_arrow(out)
+
+
+def hash_group_exchange(ds_factory, keys, block_fn,
+                        num_partitions: int = None,
+                        batch_format: str = "pyarrow"):
+    """Hash-keyed group exchange: co-locate whole key groups, then run ONE
+    vectorized ``map_batches`` over each partition — the scale substitute
+    for ``groupby(keys).map_groups(per_group_fn)`` whenever the per-group
+    body can be expressed as a multi-group numpy pass (lexsort + boundary
+    masks).  ``map_groups`` costs one Python call (and one DataFrame) per
+    group — ruinous when groups are small and plentiful (LSH buckets,
+    per-user sessions); this shape costs one call per PARTITION.
+
+    Uses Ray's hash-shuffle strategy, whose aggregators finalize each
+    partition as a single block (Ray 2.49), so ``batch_size=None`` hands
+    ``block_fn`` every group whole.  The strategy flag is scoped to this
+    plan's construction and execution and restored after — which is why
+    ``ds_factory`` must be a zero-arg callable building the upstream
+    Dataset: each Dataset snapshots the DataContext at CREATION, so a
+    dataset built before the flag flips would plan the repartition under
+    the sort strategy and fail.
+
+    Partition count defaults to the cluster CPU count (min 16) — at real
+    scale pass ``num_partitions`` explicitly so each partition's groups
+    fit a worker heap."""
+    from ray.data.context import ShuffleStrategy
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        # Ray may not be up yet (Ray Data auto-inits at execution; e.g. a
+        # prior CLI run owned and shut down the session) — don't force an
+        # early init just to size the partition count
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = num_partitions or max(16, cpus)
+        ds = ds_factory()
+        out = ds.repartition(nparts, keys=list(keys)) \
+            .map_batches(block_fn, batch_format=batch_format,
+                         batch_size=None)
+        return out.to_pandas()
+    finally:
+        ctx.shuffle_strategy = prev

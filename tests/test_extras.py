@@ -47,6 +47,10 @@ def test_minhash_hash_exchange_equals_mapgroups(ray_session, tmp_path):
     b = q_dedup_minhash_lsh(str(d), method="mapgroups").to_pandas()
     assert a.equals(b)
     assert a["capped"].any()              # the flood really exercised the cap
+    from engine.dedup import q_dedup_simhash
+    sa = q_dedup_simhash(str(d), method="hash").to_pandas()
+    sb = q_dedup_simhash(str(d), method="mapgroups").to_pandas()
+    assert sa.equals(sb)
 
 
 def test_minhash_finds_exact_duplicates(ray_session, tmp_path):
