@@ -690,25 +690,45 @@ GROUP BY 1
 
 def q_user_sessions(sf_dir: str):
     """Session windowing over the events log (SURVEY 2.9 streaming-shape):
-    partition by user, sort by ts within the group, break sessions on
-    >30-minute gaps — ``groupby(key).map_groups`` over the ordered group is
-    the Ray Data form of a session window; the SQL oracle is the standard
-    lag()-gap formulation.  Ordering assumption: only within-user order
-    matters, and it is established inside the group."""
-    import pandas as pd
-    ds = _table(sf_dir, "events").select_columns(["user_id", "ts"])
+    partition by user, sort by ts within the user, break sessions on
+    >30-minute gaps; the SQL oracle is the standard lag()-gap formulation.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
-        brk = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(brk.sum())],
-                             "n_events": [len(g)]})
-
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    Scale shape: a hash-keyed exchange co-locates each user's events, then
+    ONE vectorized pass per partition (lexsort + boundary masks +
+    ``np.add.reduceat``) sessionizes every user in the block — the
+    ``groupby(user).map_groups(per_user)`` form costs one Python call per
+    USER, ruinous at real user cardinalities.  Only within-user order
+    matters, and it is established inside the partition."""
     import ray
-    return ray.data.from_pandas(out.to_pandas().astype(
+    from engine.stages import hash_group_exchange
+
+    def sessionize(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.schema([("user_id", pa.int64()),
+                              ("n_sessions", pa.int64()),
+                              ("n_events", pa.int64())]).empty_table()
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)   # datetime64
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        brk = new_u.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")
+        starts = np.flatnonzero(new_u)
+        return pa.table({
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "n_sessions": pa.array(
+                np.add.reduceat(brk.astype(np.int64), starts)),
+            "n_events": pa.array(np.diff(np.append(starts, n))),
+        })
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(["user_id", "ts"]),
+        ["user_id"], sessionize)
+    return ray.data.from_pandas(df.astype(
         {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}))
 
 

@@ -480,7 +480,8 @@ def pre_aggregated(parsed_ds):
 
 def hash_group_exchange(ds_factory, keys, block_fn,
                         num_partitions: int = None,
-                        batch_format: str = "pyarrow"):
+                        batch_format: str = "pyarrow",
+                        collect: bool = True):
     """Hash-keyed group exchange: co-locate whole key groups, then run ONE
     vectorized ``map_batches`` over each partition — the scale substitute
     for ``groupby(keys).map_groups(per_group_fn)`` whenever the per-group
@@ -516,6 +517,10 @@ def hash_group_exchange(ds_factory, keys, block_fn,
         out = ds.repartition(nparts, keys=list(keys)) \
             .map_batches(block_fn, batch_format=batch_format,
                          batch_size=None)
-        return out.to_pandas()
+        # collect=False returns the LAZY Dataset: safe, because every
+        # Dataset deep-copies the DataContext at creation, so the plan
+        # keeps HASH_SHUFFLE after the global flag is restored (pinned by
+        # test_hash_exchange_lazy_survives_restore)
+        return out.to_pandas() if collect else out
     finally:
         ctx.shuffle_strategy = prev

@@ -92,3 +92,29 @@ def test_salted_aggregate_on_extreme_skew(ray_session, tmp_path):
     n_hot = int((mt == 0x2001).sum())
     assert got[("s0", 0x2001)] == (n_hot, n_hot * 6)
     assert got[("s0", 0x3A11)] == (n - n_hot, (n - n_hot) * 6)
+
+
+def test_hash_exchange_lazy_survives_restore(ray_session):
+    """collect=False returns a LAZY plan built under the hash-shuffle
+    strategy; it must still execute after the global flag is restored
+    (each Dataset deep-copies the DataContext at creation)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.context import ShuffleStrategy
+    from engine.stages import hash_group_exchange
+
+    t = pa.table({"k": np.arange(1000, dtype=np.int64) % 7,
+                  "v": np.arange(1000, dtype=np.int64)})
+
+    def per_part(b: pa.Table) -> pa.Table:
+        ks = np.unique(b["k"].to_numpy())
+        return pa.table({"k": pa.array(ks),
+                         "n": pa.array(np.full(len(ks), b.num_rows))})
+
+    ds = hash_group_exchange(lambda: ray.data.from_arrow(t), ["k"],
+                             per_part, num_partitions=4, collect=False)
+    ctx = ray.data.DataContext.get_current()
+    assert ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE  # restored
+    out = ds.to_pandas()                 # executes after the restore
+    assert sorted(out["k"]) == list(range(7))
