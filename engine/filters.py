@@ -819,9 +819,10 @@ def q_dup_span_removal_semijoin(sf_dir: str):
 def _dup_span_removal_semijoin(sf_dir: str, dup_ds):
     """Semi-join rewrite: (doc_id, start, h1, h2) rows for every valid
     n-gram position inner-join the dup keys, duplicated starts fold to a
-    sorted per-doc list (``groupby.map_groups`` — groups are per doc_id,
-    bounded by doc length), and a left join hands each doc its spans for
-    the vectorized rewrite."""
+    sorted per-doc blob via a hash-keyed exchange + one vectorized pass
+    per partition (a per-doc map_groups would cost one Python call per
+    flagged doc), and a left join hands each doc its spans for the
+    vectorized rewrite."""
     from engine.pipeline import scrub_empty_blocks
 
     def pos_rows(t: pa.Table) -> pa.Table:
@@ -833,13 +834,33 @@ def _dup_span_removal_semijoin(sf_dir: str, dup_ds):
             "start": pa.array(pos),
             "h1": pa.array(h1), "h2": pa.array(h2)})
 
-    def fold_spans(g: pa.Table) -> pa.Table:
+    def fold_spans_block(t: pa.Table) -> pa.Table:
         # Acero hash joins reject list<> payload columns — carry the sorted
-        # span starts as ONE little-endian int64 blob per doc instead
-        s = np.sort(g["start"].to_numpy(zero_copy_only=False)).astype("<i8")
-        return pa.table({
-            "doc_id": g["doc_id"].slice(0, 1),
-            "starts_bin": pa.array([s.tobytes()], type=pa.binary())})
+        # span starts as ONE little-endian int64 blob per doc instead.
+        # Vectorized over every doc in the hash partition: one lexsort,
+        # then the per-doc blobs are built zero-copy as a BinaryArray whose
+        # value buffer IS the sorted starts array and whose offsets are the
+        # doc boundaries x8 — no per-doc Python
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("starts_bin", pa.binary())]).empty_table()
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        st = t["start"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, did))
+        did, st = did[order], st[order]
+        n = len(did)
+        new_d = np.empty(n, dtype=bool)
+        new_d[0] = True
+        new_d[1:] = did[1:] != did[:-1]
+        starts_idx = np.flatnonzero(new_d)
+        offsets = np.append(starts_idx, n).astype(np.int32) * 8
+        blob = np.ascontiguousarray(st.astype("<i8"))
+        bins = pa.Array.from_buffers(
+            pa.binary(), len(starts_idx),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(blob.tobytes())])
+        return pa.table({"doc_id": pa.array(did[starts_idx]),
+                         "starts_bin": bins})
 
     dup_clean = scrub_empty_blocks(
         dup_ds, pa.schema([("h1", pa.int64()), ("h2", pa.int64())]))
@@ -848,8 +869,9 @@ def _dup_span_removal_semijoin(sf_dir: str, dup_ds):
     hits = pos.join(dup_clean, join_type="inner",
                     num_partitions=_JOIN_PARTITIONS, on=("h1", "h2")) \
         .select_columns(["doc_id", "start"])
-    spans = hits.groupby("doc_id").map_groups(
-        fold_spans, batch_format="pyarrow")
+    from engine.stages import hash_group_exchange
+    spans = hash_group_exchange(hits, ["doc_id"], fold_spans_block,
+                                collect=False)
     spans_clean = scrub_empty_blocks(
         spans, pa.schema([("doc_id", pa.int64()),
                           ("starts_bin", pa.binary())]))

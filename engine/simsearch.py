@@ -264,7 +264,97 @@ def q_simsearch_lsh(sf_dir: str):
                      "sim_micro": pa.array([r[3] for r in rows], type=pa.int64())})
 
 
-def q_embedding_near_dup(sf_dir: str):
+_EMBDUP_SCHEMA = pa.schema([
+    ("vec_a", pa.int64()), ("vec_b", pa.int64()),
+    ("cos_micro", pa.int64()), ("capped", pa.bool_()),
+])
+
+
+def _embdup_block(t: pa.Table) -> pa.Table:
+    """Vectorized near-dup bucket stage over ONE hash partition holding
+    many whole hyperplane buckets: exact-collapse identical embeddings
+    (star around the min vec_id, cos exactly 1.0), capped star degrade
+    past _BUCKET_CAP distinct embeddings, all-pairs otherwise; candidate
+    scores are ONE rowwise-dot ``einsum`` over every pair in the
+    partition (may differ from the per-bucket matmul path by the last
+    micro — the same drift the result fold already tolerates between its
+    own matvec/matmul paths)."""
+    n = t.num_rows
+    if n == 0:
+        return _EMBDUP_SCHEMA.empty_table()
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    col = t["emb"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64) \
+        .reshape(n, -1)
+    _, eid = np.unique(V, axis=0, return_inverse=True)  # embedding class
+    order = np.lexsort((ids, eid, bucket))
+    bucket, eid, ids = bucket[order], eid[order], ids[order]
+
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = bucket[1:] != bucket[:-1]
+    new_sub = new_grp.copy()                 # new (bucket, embedding) class
+    new_sub[1:] |= eid[1:] != eid[:-1]
+
+    # exact star pairs: identical embeddings (cos exactly 1.0).  Each
+    # vector lives in exactly ONE bucket, so every bucket emits its stars.
+    pos = np.arange(n, dtype=np.int64)
+    sub_start = np.maximum.accumulate(np.where(new_sub, pos, 0))
+    ex_mask = ~new_sub
+    ex_a, ex_b = ids[sub_start[ex_mask]], ids[ex_mask]
+
+    # reps: min vec_id per (bucket, embedding) class, re-sorted by id
+    r_bucket, r_id = bucket[new_sub], ids[new_sub]
+    r_row = order[new_sub]                   # original row of each rep
+    o2 = np.lexsort((r_id, r_bucket))
+    r_bucket, r_id, r_row = r_bucket[o2], r_id[o2], r_row[o2]
+    Vr = V[r_row]
+    nr = np.linalg.norm(Vr, axis=1)
+    nr[nr == 0] = 1.0
+    Vrn = Vr / nr[:, None]
+    m = len(r_id)
+    new_g = np.empty(m, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = r_bucket[1:] != r_bucket[:-1]
+    g_start = np.flatnonzero(new_g)
+    g_size = np.diff(np.append(g_start, m))
+    g_capped = g_size > _BUCKET_CAP
+    grp_of = np.cumsum(new_g) - 1
+    row_capped = g_capped[grp_of]
+    star_b = np.flatnonzero(row_capped & ~new_g)
+    star_a = g_start[grp_of[star_b]]
+    un = np.flatnonzero((~g_capped) & (g_size >= 2))
+    if un.size:
+        sz, gs = g_size[un], g_start[un]
+        ti, tj = np.triu_indices(int(sz.max()), k=1)
+        rows, cols = np.nonzero(tj[None, :] < sz[:, None])
+        ap_a, ap_b = gs[rows] + ti[cols], gs[rows] + tj[cols]
+    else:
+        ap_a = ap_b = np.zeros(0, dtype=np.int64)
+    a_idx = np.concatenate([star_a, ap_a])
+    b_idx = np.concatenate([star_b, ap_b])
+    pair_cap = np.concatenate([np.ones(len(star_a), dtype=bool),
+                               np.zeros(len(ap_a), dtype=bool)])
+    c = np.einsum("ij,ij->i", Vrn[a_idx], Vrn[b_idx]) if len(a_idx) \
+        else np.zeros(0)
+    keep = c >= 0.99
+    return pa.table({
+        "vec_a": pa.array(np.concatenate([ex_a, r_id[a_idx[keep]]]),
+                          type=pa.int64()),
+        "vec_b": pa.array(np.concatenate([ex_b, r_id[b_idx[keep]]]),
+                          type=pa.int64()),
+        "cos_micro": pa.array(np.concatenate(
+            [np.full(len(ex_a), 1_000_000, dtype=np.int64),
+             np.rint(c[keep] * 1e6).astype(np.int64)])),
+        "capped": pa.array(np.concatenate(
+            [np.zeros(len(ex_a), dtype=bool), pair_cap[keep]])),
+    })
+
+
+def q_embedding_near_dup(sf_dir: str, method: str = "hash"):
     """Embedding-cosine near-dup pairs (cosine >= 0.99): hyperplane-band
     blocking, exact verify inside buckets — the embedding analogue of
     MinHash-LSH, with the same bounded-bucket guarantees:
@@ -273,8 +363,13 @@ def q_embedding_near_dup(sf_dir: str):
       vec_id (cos exactly 1.0): k copies of one boilerplate vector cost
       O(k), never O(k^2);
     * at most ``_BUCKET_CAP`` distinct embeddings per bucket do all-pairs
-      (ONE k x k matmul, no per-pair Python); larger buckets degrade to a
-      star around the min rep, flagged via the ``capped`` column."""
+      (vectorized, no per-pair Python); larger buckets degrade to a
+      star around the min rep, flagged via the ``capped`` column.
+
+    ``method="hash"`` (default): hash-keyed bucket exchange + one
+    vectorized pass per partition (:func:`_embdup_block`);
+    ``method="mapgroups"`` keeps the per-bucket body as the semantics
+    oracle (pytest pins the pair SETS equal, scores within 1 micro)."""
     if _emb_rows(sf_dir) == 0:
         return pa.table({'vec_a': pa.array([], type=pa.int64()),
                          'vec_b': pa.array([], type=pa.int64()),
@@ -337,9 +432,17 @@ def q_embedding_near_dup(sf_dir: str):
         return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_micro": sim,
                              "capped": cap})
 
-    out = _emb(sf_dir).map_batches(sketch, batch_format="pyarrow", batch_size=None) \
-        .groupby("bucket").map_groups(pairs_of, batch_format="pandas")
-    df = out.to_pandas()
+    if method == "hash":
+        from engine.stages import hash_group_exchange
+        df = hash_group_exchange(
+            lambda: _emb(sf_dir).map_batches(
+                sketch, batch_format="pyarrow", batch_size=None),
+            ["bucket"], _embdup_block)
+    else:
+        out = _emb(sf_dir) \
+            .map_batches(sketch, batch_format="pyarrow", batch_size=None) \
+            .groupby("bucket").map_groups(pairs_of, batch_format="pandas")
+        df = out.to_pandas()
     if df.empty or "vec_a" not in df.columns:
         return pa.table({"vec_a": pa.array([], type=pa.int64()),
                          "vec_b": pa.array([], type=pa.int64()),
@@ -807,10 +910,13 @@ def q_knn_join_ivf(sf_dir: str):
     """Approximate k-NN self-join scoped to IVF cells: every vector is a
     MEMBER of its nearest-centroid cell and a QUERY in its top-
     ``_KNNJ_NPROBE`` cells; neighbors are ranked only against the probed
-    cells' members.  Two bounded exchanges replace ``q_knn_join``'s
-    O(n^2) broadcast matmul: (1) groupby(cell) moves each vector
-    ``_KNNJ_NPROBE``x (the IVF replication), (2) groupby(vec_id) folds
-    <= nprobe*k candidate rows per vector into the final top-k.  Scoring
+    cells' members.  Two bounded hash exchanges (one chained
+    :func:`engine.stages.hash_group_exchange` plan) replace
+    ``q_knn_join``'s O(n^2) broadcast matmul: (1) partition by cell and
+    score whole cells per block (the IVF replication moves each vector
+    ``_KNNJ_NPROBE``x), (2) partition by vec_id and fold <= nprobe*k
+    candidate rows per vector into the final top-k with one vectorized
+    pass — never one Python call per vector.  Scoring
     is the identical micro-quantized integer cosine as the exact join,
     so overlapping pairs carry bit-identical cos_micro — the recall
     pytest diffs the two directly (rows-only: candidate coverage depends
@@ -847,14 +953,10 @@ def q_knn_join_ivf(sf_dir: str):
             "embedding": rep_emb,
         })
 
-    def cell_knn(df):
-        import pandas as pd  # noqa: F401 (map_groups hands pandas)
-        ids = df["vec_id"].to_numpy().astype(np.int64)
-        Q = np.floor(np.stack(df["embedding"].to_numpy()).astype(np.float64)
-                     * _QUANT + 0.5).astype(np.int64)
-        member = df["member"].to_numpy().astype(bool)
-        # dedupe member rows for the candidate side; id-sorted for the
-        # stable-argsort tie-break
+    def _one_cell(ids, Q, member):
+        """Identical scoring body to the exact join's, scoped to one cell:
+        dedupe member rows for the candidate side (id-sorted for the
+        stable-argsort tie-break), quantized-integer cosine, top-kk."""
         mi = np.flatnonzero(member)
         mo = mi[np.argsort(ids[mi], kind="stable")]
         mid, Qm = ids[mo], Q[mo]
@@ -870,26 +972,75 @@ def q_knn_join_ivf(sf_dir: str):
         nbr = np.argsort(-S, axis=1, kind="stable")[:, :kk]
         cos = np.take_along_axis(S, nbr, axis=1)
         keep = np.isfinite(cos).ravel()
-        import pandas as pd
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids, kk)[keep],
-            "neighbor_id": mid[nbr.ravel()[keep]],
-            "cos_micro": np.floor(
-                cos.ravel()[keep] * 1e6 + 0.5).astype(np.int64),
+        return (np.repeat(ids, kk)[keep], mid[nbr.ravel()[keep]],
+                np.floor(cos.ravel()[keep] * 1e6 + 0.5).astype(np.int64))
+
+    _CAND_SCHEMA = pa.schema([
+        ("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("cos_micro", pa.int64())])
+
+    def cells_block(t: pa.Table) -> pa.Table:
+        """Score every whole cell in the partition: the Python loop runs
+        once per CELL (bounded by the trained cell count, each a heavy
+        matmul), never per vector."""
+        if t.num_rows == 0:
+            return _CAND_SCHEMA.empty_table()
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        member = t["member"].to_numpy(zero_copy_only=False)
+        Q = np.floor(_batch_mat(t).astype(np.float64) * _QUANT + 0.5) \
+            .astype(np.int64)
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1], True])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            outs.append(_one_cell(ids[idx], Q[idx], member[idx]))
+        return pa.table({
+            "vec_id": pa.array(np.concatenate([o[0] for o in outs])),
+            "neighbor_id": pa.array(np.concatenate([o[1] for o in outs])),
+            "cos_micro": pa.array(np.concatenate([o[2] for o in outs])),
         })
 
-    def fold_topk(df):
-        g = df.drop_duplicates(["vec_id", "neighbor_id"]) \
-              .sort_values(["cos_micro", "neighbor_id"],
-                           ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["vec_id", "neighbor_id", "rank", "cos_micro"]]
+    def fold_topk_block(t: pa.Table) -> pa.Table:
+        """Fold every vector's <= nprobe*k candidate rows in the partition
+        at once: within a vec_id, sort by (cos desc, neighbor asc), drop
+        duplicate (vec_id, neighbor) rows (same pair scored in two probed
+        cells carries bit-identical cos_micro, so any survivor is THE
+        value), keep the first k, rank by in-segment position — the
+        vectorized twin of the old per-vector map_groups fold."""
+        if t.num_rows == 0:
+            return empty
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        nbr = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        cos = t["cos_micro"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, -cos, vid))
+        vid, nbr, cos = vid[order], nbr[order], cos[order]
+        first = np.empty(len(vid), dtype=bool)
+        first[0] = True
+        first[1:] = (vid[1:] != vid[:-1]) | (nbr[1:] != nbr[:-1])
+        vid, nbr, cos = vid[first], nbr[first], cos[first]
+        n = len(vid)
+        new_v = np.empty(n, dtype=bool)
+        new_v[0] = True
+        new_v[1:] = vid[1:] != vid[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        seg_pos = pos - np.maximum.accumulate(np.where(new_v, pos, 0))
+        keep = seg_pos < k
+        return pa.table({
+            "vec_id": pa.array(vid[keep]),
+            "neighbor_id": pa.array(nbr[keep]),
+            "rank": pa.array(seg_pos[keep] + 1),
+            "cos_micro": pa.array(cos[keep]),
+        })
 
-    cands = _emb(sf_dir) \
-        .map_batches(route, batch_format="pyarrow", batch_size=None) \
-        .groupby("cell").map_groups(cell_knn) \
-        .groupby("vec_id").map_groups(fold_topk)
+    from engine.stages import hash_group_exchange
+    cands = hash_group_exchange(
+        lambda: _emb(sf_dir)
+        .map_batches(route, batch_format="pyarrow", batch_size=None),
+        [["cell"], ["vec_id"]], [cells_block, fold_topk_block],
+        collect=False)
     from engine.pipeline import collect_tables
     tabs = [b for b in collect_tables(cands) if b.num_columns]
     res = pa.concat_tables(

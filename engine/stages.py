@@ -492,35 +492,36 @@ def hash_group_exchange(ds_factory, keys, block_fn,
 
     Uses Ray's hash-shuffle strategy, whose aggregators finalize each
     partition as a single block (Ray 2.49), so ``batch_size=None`` hands
-    ``block_fn`` every group whole.  The strategy flag is scoped to this
-    plan's construction and execution and restored after — which is why
-    ``ds_factory`` must be a zero-arg callable building the upstream
-    Dataset: each Dataset snapshots the DataContext at CREATION, so a
-    dataset built before the flag flips would plan the repartition under
-    the sort strategy and fail.
+    ``block_fn`` every group whole.  The strategy is flipped on the
+    upstream Dataset's OWN captured DataContext (every Dataset deep-copies
+    the global context at creation and derived datasets inherit it), so
+    the global context is never touched and the flip stays scoped to this
+    lineage even when a lazy Dataset is returned.  ``ds_factory`` may be
+    the upstream Dataset itself or a zero-arg callable building it.
 
     Partition count defaults to the cluster CPU count (min 16) — at real
     scale pass ``num_partitions`` explicitly so each partition's groups
-    fit a worker heap."""
+    fit a worker heap.
+
+    ``keys``/``block_fn`` may also be LISTS of equal length — a chain of
+    exchange stages in one plan (e.g. knn: exchange on cell, score,
+    exchange on vec_id, fold).  CAUTION: the upstream plan must not
+    contain ``groupby().map_groups`` — that operator deadlocks under the
+    hash-shuffle strategy in Ray 2.49 local mode (observed empirically);
+    express such stages as exchange stages of this chain instead."""
     from ray.data.context import ShuffleStrategy
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        # Ray may not be up yet (Ray Data auto-inits at execution; e.g. a
-        # prior CLI run owned and shut down the session) — don't force an
-        # early init just to size the partition count
-        cpus = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-        nparts = num_partitions or max(16, cpus)
-        ds = ds_factory()
-        out = ds.repartition(nparts, keys=list(keys)) \
-            .map_batches(block_fn, batch_format=batch_format,
+    stages = list(zip(keys, block_fn)) if isinstance(block_fn, (list, tuple)) \
+        else [(keys, block_fn)]
+    # Ray may not be up yet (Ray Data auto-inits at execution; e.g. a
+    # prior CLI run owned and shut down the session) — don't force an
+    # early init just to size the partition count
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = num_partitions or max(16, cpus)
+    out = ds_factory() if callable(ds_factory) else ds_factory
+    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    for stage_keys, stage_fn in stages:
+        out = out.repartition(nparts, keys=list(stage_keys)) \
+            .map_batches(stage_fn, batch_format=batch_format,
                          batch_size=None)
-        # collect=False returns the LAZY Dataset: safe, because every
-        # Dataset deep-copies the DataContext at creation, so the plan
-        # keeps HASH_SHUFFLE after the global flag is restored (pinned by
-        # test_hash_exchange_lazy_survives_restore)
-        return out.to_pandas() if collect else out
-    finally:
-        ctx.shuffle_strategy = prev
+    return out.to_pandas() if collect else out

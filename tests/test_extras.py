@@ -307,6 +307,36 @@ def test_ivf_ann_recall_and_scan(ray_session):
         assert rows_read / scan["rows_total"] < 0.6, (qid, rows_read)
 
 
+def test_embedding_near_dup_paths_agree(ray_session, tmp_path):
+    """The vectorized hash-exchange bucket stage finds the identical pair
+    SET as the per-bucket map_groups oracle; scores may differ by the
+    last micro (rowwise einsum vs per-bucket BLAS matmul — the same
+    drift the result fold already tolerates between matvec/matmul)."""
+    import pyarrow.parquet as pq
+    from engine.simsearch import q_embedding_near_dup
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    rows = {c: [] for c in src.column_names}
+    for i in range(40):                     # plant a clique of near-dups
+        base = src.slice(i % 5, 1).to_pydict()
+        v = np.asarray(base["embedding"][0], dtype=np.float64)
+        for c in src.column_names:
+            rows[c].append(base[c][0])
+        rows["vec_id"][-1] = 9_000_000 + i
+        rows["embedding"][-1] = (v * (1 + i * 1e-5)).astype(
+            np.float32).tolist()
+    aug = pa.concat_tables([src, pa.table(rows, schema=src.schema)])
+    d = tmp_path / "embpaths"
+    d.mkdir()
+    pq.write_table(aug, str(d / "embeddings.parquet"))
+    a = q_embedding_near_dup(str(d), method="hash").to_pandas()
+    b = q_embedding_near_dup(str(d), method="mapgroups").to_pandas()
+    assert len(a) == len(b) > 0
+    ka = list(zip(a["vec_a"], a["vec_b"], a["capped"]))
+    kb = list(zip(b["vec_a"], b["vec_b"], b["capped"]))
+    assert ka == kb                        # identical pair set + flags
+    assert (a["cos_micro"] - b["cos_micro"]).abs().max() <= 1
+
+
 def test_embedding_near_dup_planted_pair(ray_session, tmp_path):
     """Two nearly-identical embedding vectors (cosine > 0.99) must surface
     as a near-dup pair through the hyperplane blocking + exact verify."""
