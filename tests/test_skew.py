@@ -118,3 +118,33 @@ def test_hash_exchange_lazy_survives_restore(ray_session):
     assert ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE  # restored
     out = ds.to_pandas()                 # executes after the restore
     assert sorted(out["k"]) == list(range(7))
+
+
+def test_hash_shuffle_partition_is_one_block(ray_session):
+    """hash_group_exchange requires every (key) group to arrive WHOLE in
+    one map_batches batch.  That holds because Ray 2.49's hash-shuffle
+    aggregator finalizes each partition as a single block (splitting to
+    target block size is an upstream TODO) and batch_size=None hands
+    blocks through unsplit.  If a Ray upgrade starts splitting partition
+    blocks, this canary fails loudly before any silent pair loss."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from engine.stages import hash_group_exchange
+
+    n, nkeys = 50_000, 1_000
+    t = pa.table({"k": (np.arange(n, dtype=np.int64) * 7919) % nkeys,
+                  "v": np.arange(n, dtype=np.int64)})
+
+    def audit(b: pa.Table) -> pa.Table:
+        ks = np.unique(b["k"].to_numpy())
+        return pa.table({"k": pa.array(ks),
+                         "n_in_batch": pa.array(np.full(len(ks), 1,
+                                                        dtype=np.int64))})
+
+    out = hash_group_exchange(lambda: ray.data.from_arrow(t), ["k"],
+                              audit, num_partitions=8)
+    per_key = out.groupby("k")["n_in_batch"].sum()
+    # every key seen in exactly ONE batch across the whole exchange
+    assert (per_key == 1).all(), per_key[per_key > 1]
+    assert len(per_key) == nkeys
