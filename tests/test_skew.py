@@ -148,3 +148,27 @@ def test_hash_shuffle_partition_is_one_block(ray_session):
     # every key seen in exactly ONE batch across the whole exchange
     assert (per_key == 1).all(), per_key[per_key > 1]
     assert len(per_key) == nkeys
+
+
+def test_hash_exchange_empty_input(ray_session):
+    """An empty upstream dataset must flow through the exchange and yield
+    an empty result with the block fn's schema, not crash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from engine.stages import hash_group_exchange
+
+    t = pa.table({"k": pa.array([], type=pa.int64()),
+                  "v": pa.array([], type=pa.int64())})
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        ks = np.unique(b["k"].to_numpy())
+        return pa.table({"k": pa.array(ks),
+                         "n": pa.array(np.full(len(ks), b.num_rows))})
+
+    out = hash_group_exchange(lambda: ray.data.from_arrow(t), ["k"], f,
+                              num_partitions=4)
+    assert len(out) == 0
