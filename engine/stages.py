@@ -508,7 +508,13 @@ def hash_group_exchange(ds_factory, keys, block_fn,
     exchange on vec_id, fold).  CAUTION: the upstream plan must not
     contain ``groupby().map_groups`` — that operator deadlocks under the
     hash-shuffle strategy in Ray 2.49 local mode (observed empirically);
-    express such stages as exchange stages of this chain instead."""
+    express such stages as exchange stages of this chain instead.
+
+    Empty partitions finalize as schema-LESS empty blocks (same Ray
+    quirk as hash aggregates): ``block_fn`` never sees them (map_batches
+    skips empties) but they stay in the output stream — harmless for
+    ``to_pandas``/``collect_tables`` consumers, but feed a downstream
+    ``Dataset.join`` through ``pipeline.scrub_empty_blocks`` first."""
     from ray.data.context import ShuffleStrategy
     stages = list(zip(keys, block_fn)) if isinstance(block_fn, (list, tuple)) \
         else [(keys, block_fn)]
