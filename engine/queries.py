@@ -725,11 +725,11 @@ def q_user_sessions(sf_dir: str):
             "n_events": pa.array(np.diff(np.append(starts, n))),
         })
 
-    df = hash_group_exchange(
+    _ = ray  # noqa: F841
+    # collect=False: one row per user is still O(users) — stays a Dataset
+    return hash_group_exchange(
         lambda: _table(sf_dir, "events").select_columns(["user_id", "ts"]),
-        ["user_id"], sessionize)
-    return ray.data.from_pandas(df.astype(
-        {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}))
+        ["user_id"], sessionize, collect=False)
 
 
 SQL_USER_SESSIONS = """
