@@ -114,3 +114,62 @@ def test_string_field_straddling_payload_end(data):
         got = cols[k].to_pylist()[0]
         assert got == v or (got is None and v is None), \
             (k, got, v, exact, name)
+
+
+# word alphabet engineered for shingle/bucket collisions: few distinct
+# words, plus a Unicode NBSP-bearing token (RE2-\S+ vs Unicode-\s trap)
+_DEDUP_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "x1",
+                "nb sp", "z"]
+
+
+def _dedup_corpus(data) -> list:
+    """Random doc list with planted exact dups, near-dups, empty and
+    short (<3 words) docs — the shapes that stress exact-collapse, cap
+    and short-doc fallback in both bucket-stage implementations."""
+    docs = []
+    n_base = data.draw(st.integers(min_value=1, max_value=6))
+    next_id = 0
+    for _ in range(n_base):
+        words = data.draw(st.lists(st.sampled_from(_DEDUP_WORDS),
+                                   min_size=0, max_size=12))
+        text = " ".join(words)
+        docs.append((next_id, text)); next_id += 1
+        for _ in range(data.draw(st.integers(min_value=0, max_value=3))):
+            kind = data.draw(st.sampled_from(["exact", "near"]))
+            if kind == "exact":
+                docs.append((next_id, text))
+            else:
+                docs.append((next_id, text + " " + data.draw(
+                    st.sampled_from(_DEDUP_WORDS))))
+            next_id += 1
+    return docs
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_bucket_exchange_paths_equal_random(ray_session, tmp_path_factory,
+                                            data):
+    """MinHash-LSH and SimHash: the vectorized hash-exchange bucket stage
+    must emit the IDENTICAL pair table as the per-group map_groups oracle
+    on random corpora with exact dups, near-dups, empty and short docs
+    (the class of boundary bug this guards: the round-4 triu-template
+    slice that silently dropped in-bucket pairs)."""
+    import pyarrow.parquet as pq
+    from engine.dedup import q_dedup_minhash_lsh, q_dedup_simhash
+
+    docs = _dedup_corpus(data)
+    d = tmp_path_factory.mktemp("bexp")
+    t = pa.table({
+        "doc_id": pa.array([i for i, _ in docs], type=pa.int64()),
+        "text": pa.array([s for _, s in docs]),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["web"] * len(docs)),
+        "n_chars": pa.array([len(s) for _, s in docs], type=pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    a = q_dedup_minhash_lsh(str(d), method="hash").to_pandas()
+    b = q_dedup_minhash_lsh(str(d), method="mapgroups").to_pandas()
+    assert a.equals(b), (a, b)
+    sa = q_dedup_simhash(str(d), method="hash").to_pandas()
+    sb = q_dedup_simhash(str(d), method="mapgroups").to_pandas()
+    assert sa.equals(sb), (sa, sb)
