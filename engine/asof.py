@@ -78,13 +78,16 @@ def q_events_asof_prior_purchase(sf_dir: str):
     from engine.io import read_parquet_clean
     from engine.stages import hash_group_exchange
 
+    import pyarrow.parquet as pq
     # collect=False: keep the (nullable-int64) result a streaming Dataset —
     # a pandas hop would coerce the masked columns to float64
     return hash_group_exchange(
         lambda: read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "event_type"]),
-        ["user_id"], _asof_block, collect=False)
+        ["user_id"], _asof_block, collect=False,
+        rows_hint=pq.read_metadata(
+            os.path.join(sf_dir, "events.parquet")).num_rows)
 
 
 SQL_EVENTS_ASOF = f"""
@@ -152,11 +155,14 @@ def q_events_range_join_counts(sf_dir: str):
             "n_prior_events_1h": pa.array((hi - lo).astype(np.int64)),
         })
 
+    import pyarrow.parquet as pq
     return hash_group_exchange(
         lambda: read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "event_type"]),
-        ["user_id"], range_block, collect=False)
+        ["user_id"], range_block, collect=False,
+        rows_hint=pq.read_metadata(
+            os.path.join(sf_dir, "events.parquet")).num_rows)
 
 
 SQL_EVENTS_RANGE_JOIN = f"""

@@ -75,6 +75,12 @@ def _docs(sf_dir: str, columns=None, num_blocks: int = None):
                               columns=columns, **kw)
 
 
+def _doc_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (gated): min(doc_id) survives per identical text
 # ---------------------------------------------------------------------------
@@ -499,7 +505,8 @@ def q_dedup_minhash_lsh(sf_dir: str, method: str = "hash"):
         df = hash_group_exchange(
             lambda: _docs(sf_dir, ["doc_id", "text"], num_blocks=16)
             .map_batches(band_rows, batch_format="pyarrow", batch_size=None),
-            ["band", "key"], _bucket_pairs_block)
+            ["band", "key"], _bucket_pairs_block,
+            rows_hint=_doc_rows(sf_dir) * _BANDS)
     else:
         out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
             .map_batches(band_rows, batch_format="pyarrow", batch_size=None) \
@@ -908,7 +915,8 @@ def q_dedup_simhash(sf_dir: str, method: str = "hash"):
         df = hash_group_exchange(
             lambda: _docs(sf_dir, ["doc_id", "text"], num_blocks=16)
             .map_batches(sketch, batch_format="pyarrow", batch_size=None),
-            ["band", "key"], _simhash_pairs_block)
+            ["band", "key"], _simhash_pairs_block,
+            rows_hint=_doc_rows(sf_dir) * 4)
     else:
         out = _docs(sf_dir, ["doc_id", "text"], num_blocks=16) \
             .map_batches(sketch, batch_format="pyarrow", batch_size=None) \

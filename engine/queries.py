@@ -726,10 +726,12 @@ def q_user_sessions(sf_dir: str):
         })
 
     _ = ray  # noqa: F841
+    n_events = pq.read_metadata(
+        os.path.join(sf_dir, "events.parquet")).num_rows
     # collect=False: one row per user is still O(users) — stays a Dataset
     return hash_group_exchange(
         lambda: _table(sf_dir, "events").select_columns(["user_id", "ts"]),
-        ["user_id"], sessionize, collect=False)
+        ["user_id"], sessionize, collect=False, rows_hint=n_events)
 
 
 SQL_USER_SESSIONS = """

@@ -437,7 +437,7 @@ def q_embedding_near_dup(sf_dir: str, method: str = "hash"):
         df = hash_group_exchange(
             lambda: _emb(sf_dir).map_batches(
                 sketch, batch_format="pyarrow", batch_size=None),
-            ["bucket"], _embdup_block)
+            ["bucket"], _embdup_block, rows_hint=_emb_rows(sf_dir))
     else:
         out = _emb(sf_dir) \
             .map_batches(sketch, batch_format="pyarrow", batch_size=None) \
@@ -1040,7 +1040,7 @@ def q_knn_join_ivf(sf_dir: str):
         lambda: _emb(sf_dir)
         .map_batches(route, batch_format="pyarrow", batch_size=None),
         [["cell"], ["vec_id"]], [cells_block, fold_topk_block],
-        collect=False)
+        collect=False, rows_hint=_emb_rows(sf_dir) * _KNNJ_NPROBE)
     from engine.pipeline import collect_tables
     tabs = [b for b in collect_tables(cands) if b.num_columns]
     res = pa.concat_tables(

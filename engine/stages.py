@@ -478,10 +478,16 @@ def pre_aggregated(parsed_ds):
     return ray.data.from_arrow(out)
 
 
+#: target exchange rows per partition: sketch/id rows are ~100-200 B, so
+#: ~500k rows ≈ 50-100 MB — comfortably one worker heap
+_EXCHANGE_ROWS_PER_PART = 500_000
+
+
 def hash_group_exchange(ds_factory, keys, block_fn,
                         num_partitions: int = None,
                         batch_format: str = "pyarrow",
-                        collect: bool = True):
+                        collect: bool = True,
+                        rows_hint: int = None):
     """Hash-keyed group exchange: co-locate whole key groups, then run ONE
     vectorized ``map_batches`` over each partition — the scale substitute
     for ``groupby(keys).map_groups(per_group_fn)`` whenever the per-group
@@ -499,9 +505,15 @@ def hash_group_exchange(ds_factory, keys, block_fn,
     lineage even when a lazy Dataset is returned.  ``ds_factory`` may be
     the upstream Dataset itself or a zero-arg callable building it.
 
-    Partition count defaults to the cluster CPU count (min 16) — at real
-    scale pass ``num_partitions`` explicitly so each partition's groups
-    fit a worker heap.
+    Partition count: pass ``rows_hint`` (the approximate exchange row
+    count, usually one parquet-metadata read) and the count scales with
+    DATA — ceil(rows / 500k), floor 8 — so each partition's groups fit a
+    worker heap at any scale while small jobs don't pay spin-up for
+    aggregator actors they can't use (measured at sf0.1: 8 partitions
+    1.1 s vs 64 partitions 5.4 s for the identical LSH exchange — the
+    per-partition aggregator actors ARE the fixed cost).  Without a hint
+    it falls back to max(16, cluster CPUs); ``num_partitions`` overrides
+    both.
 
     ``keys``/``block_fn`` may also be LISTS of equal length — a chain of
     exchange stages in one plan (e.g. knn: exchange on cell, score,
@@ -518,12 +530,17 @@ def hash_group_exchange(ds_factory, keys, block_fn,
     from ray.data.context import ShuffleStrategy
     stages = list(zip(keys, block_fn)) if isinstance(block_fn, (list, tuple)) \
         else [(keys, block_fn)]
-    # Ray may not be up yet (Ray Data auto-inits at execution; e.g. a
-    # prior CLI run owned and shut down the session) — don't force an
-    # early init just to size the partition count
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nparts = num_partitions or max(16, cpus)
+    if num_partitions is not None:
+        nparts = num_partitions
+    elif rows_hint is not None:
+        nparts = max(8, -(-int(rows_hint) // _EXCHANGE_ROWS_PER_PART))
+    else:
+        # Ray may not be up yet (Ray Data auto-inits at execution; e.g. a
+        # prior CLI run owned and shut down the session) — don't force an
+        # early init just to size the partition count
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(16, cpus)
     out = ds_factory() if callable(ds_factory) else ds_factory
     out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     for stage_keys, stage_fn in stages:
