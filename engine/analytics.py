@@ -1,0 +1,295 @@
+"""Windowed / order-statistics analytics over the relational tables.
+
+Four operator families the reference's aggregate layer (src/parser.py
+summary counts; hex_decoder_module's per-packet stats) never needed but a
+large-scale training-data pipeline does, each expressed Ray-Data-first:
+
+* ``q_events_running_totals`` — per-key window functions (row_number,
+  running sum, lag-gap) over the events log: ONE hash-keyed exchange
+  co-locates each user's rows, then a single lexsort + cumsum pass per
+  partition computes every user's windows at once (the
+  ``groupby(user).map_groups`` form costs one Python call per user —
+  see :func:`engine.stages.hash_group_exchange`).
+* ``q_value_quantiles_by_type`` — EXACT per-group order statistics
+  (min/max/quantile_disc) of an unbounded-domain double column.  The
+  bounded-domain histogram trick (engine/sketch.py token_quantiles)
+  does not apply to continuous values; instead whole groups are
+  co-located by the exchange and one lexsort ranks every group in the
+  partition.  Partitioning assumption: one GROUP's rows fit a worker
+  heap — true for bounded group counts (event types); for hot groups at
+  100 TB switch to the sketch module's mergeable quantile summaries.
+* ``q_customers_without_urgent_order`` — distributed ANTI-join: both
+  sides tagged and unioned, ONE exchange on the join key, per-partition
+  vectorized ``np.isin`` mask.  No broadcast (the build side is
+  unbounded at scale), no driver-side sets; the probe side's payload
+  columns ride the same exchange.
+* ``q_distinct_users_by_type`` — exact COUNT(DISTINCT) per group: a
+  per-batch distinct-pair partial cuts the exchange to unique pairs per
+  batch, the exchange co-locates by user_id (each user lands in exactly
+  one partition, so per-partition dedup IS global dedup), and only
+  O(types) partial rows per partition return to the driver.
+
+All outputs are integer-exact (milli-units via ``floor(x*1000+0.5)``,
+identical IEEE expression order in numpy and DuckDB) so the driver's
+value-hash gate is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from engine.io import read_parquet_clean
+
+
+def _table(sf_dir: str, name: str):
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _nrows(sf_dir: str, name: str) -> int:
+    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+
+
+# ---------------------------------------------------------------------------
+# window functions: row_number / running sum / lag gap per user
+# ---------------------------------------------------------------------------
+
+def q_events_running_totals(sf_dir: str):
+    """row_number(), running SUM(value) and lag-gap per user ordered by
+    (ts, event_id) — the standard windowed-analytics triple, one exchange
+    plus one vectorized pass per partition (no per-user Python calls)."""
+    from engine.stages import hash_group_exchange
+
+    def windows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.schema([("event_id", pa.int64()),
+                              ("user_id", pa.int64()),
+                              ("seq", pa.int64()),
+                              ("cum_value_milli", pa.int64()),
+                              ("gap_us", pa.int64())]).empty_table()
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v_milli = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts, v_milli = uid[order], eid[order], ts[order], v_milli[order]
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_u)
+        grp = np.cumsum(new_u) - 1
+
+        seq = np.arange(n, dtype=np.int64) - starts[grp] + 1
+        cum = np.cumsum(v_milli)
+        base = (cum[starts] - v_milli[starts])[grp]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[new_u] = 0
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(uid),
+                         "seq": pa.array(seq),
+                         "cum_value_milli": pa.array(cum - base),
+                         "gap_us": pa.array(gap)})
+
+    # O(n_events) output rows — stays a streaming Dataset
+    return hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], windows, collect=False,
+        rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_RUNNING_TOTALS = """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       (row_number() OVER w)::BIGINT AS seq,
+       (sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT)) OVER w)::BIGINT
+           AS cum_value_milli,
+       coalesce(date_diff('microsecond', lag(ts) OVER w, ts), 0)::BIGINT
+           AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped order statistics (quantile_disc over a continuous column)
+# ---------------------------------------------------------------------------
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Exact per-event-type min/max/p25/p50/p75 of the continuous ``value``
+    column (milli-units).  quantile_disc rank (both sides): the element at
+    1-indexed position ceil(q*n) of the group's sorted values."""
+    from engine.stages import hash_group_exchange
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.schema([("event_type", pa.string()),
+                              ("n", pa.int64()),
+                              ("min_milli", pa.int64()),
+                              ("max_milli", pa.int64()),
+                              ("p25_milli", pa.int64()),
+                              ("p50_milli", pa.int64()),
+                              ("p75_milli", pa.int64())]).empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0
+                     + 0.5).astype(np.int64)
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.append(starts, n))
+
+        def q_at(q: float) -> np.ndarray:
+            # 0.25/0.5/0.75 are exact binary fractions -> ceil is exact
+            return v[starts + np.ceil(q * counts).astype(np.int64) - 1]
+
+        return pa.table({"event_type": pa.array(et[starts]),
+                         "n": pa.array(counts),
+                         "min_milli": pa.array(v[starts]),
+                         "max_milli": pa.array(v[starts + counts - 1]),
+                         "p25_milli": pa.array(q_at(0.25)),
+                         "p50_milli": pa.array(q_at(0.50)),
+                         "p75_milli": pa.array(q_at(0.75))})
+
+    return hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_type", "value"]),
+        ["event_type"], stats, collect=True,
+        rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_VALUE_QUANTILES = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value*1000.0 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       min(v)::BIGINT AS min_milli, max(v)::BIGINT AS max_milli,
+       quantile_disc(v, 0.25)::BIGINT AS p25_milli,
+       quantile_disc(v, 0.50)::BIGINT AS p50_milli,
+       quantile_disc(v, 0.75)::BIGINT AS p75_milli
+FROM m GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed anti-join (NOT EXISTS) without broadcast or driver sets
+# ---------------------------------------------------------------------------
+
+def q_customers_without_urgent_order(sf_dir: str):
+    """Customers with no '1-URGENT' order: tag both sides, union, ONE
+    hash exchange on the key, per-partition vectorized anti mask.  The
+    build side is pre-deduplicated per batch (unique custkeys only) so the
+    exchange carries at most one row per (batch, custkey)."""
+    from engine.stages import hash_group_exchange
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "c_mktsegment": t["c_mktsegment"],
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["o_orderpriority"], "1-URGENT")
+        keys = pc.unique(pc.cast(t.filter(mask)["o_custkey"], pa.int64()))
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "c_name": pa.nulls(n, pa.string()),
+            "c_mktsegment": pa.nulls(n, pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def anti(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        probe = side == 0
+        have = key[~probe]
+        keep = probe & ~np.isin(key, have)
+        kept = t.filter(pa.array(keep))
+        return pa.table({"c_custkey": kept["key"],
+                         "c_name": kept["c_name"],
+                         "c_mktsegment": kept["c_mktsegment"]})
+
+    def build():
+        cust = _table(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name", "c_mktsegment"]) \
+            .map_batches(tag_cust, batch_format="pyarrow")
+        orders = _table(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderpriority"]) \
+            .map_batches(tag_orders, batch_format="pyarrow")
+        return cust.union(orders)
+
+    return hash_group_exchange(
+        build, ["key"], anti, collect=False,
+        rows_hint=_nrows(sf_dir, "customer") + _nrows(sf_dir, "orders"))
+
+
+SQL_CUSTOMERS_WITHOUT_URGENT = """
+SELECT c_custkey::BIGINT AS c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact COUNT(DISTINCT) per group via key-partitioned exchange
+# ---------------------------------------------------------------------------
+
+def q_distinct_users_by_type(sf_dir: str):
+    """count(DISTINCT user_id) + count(*) per event_type, exactly: distinct
+    (type, user, n) partials per batch, one exchange keyed on user_id
+    (per-partition dedup IS global dedup), O(types) partial rows back."""
+    from engine.stages import hash_group_exchange
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["event_type", "user_id"]),
+            ["event_type", "user_id"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "user_id": pc.cast(g["user_id"], pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def fold_partition(t: pa.Table) -> pa.Table:
+        # merge per-batch partials for the same pair, then reduce to one
+        # partial row per event_type
+        pairs = pa.TableGroupBy(t, ["event_type", "user_id"]) \
+            .aggregate([("n", "sum")])
+        g = pa.TableGroupBy(pairs, ["event_type"]) \
+            .aggregate([([], "count_all"), ("n_sum", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n_users": pc.cast(g["count_all"], pa.int64()),
+                         "n_events": pc.cast(g["n_sum_sum"], pa.int64())})
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events")
+        .select_columns(["event_type", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id"], fold_partition, collect=True,
+        rows_hint=_nrows(sf_dir, "events"))
+    out = df.groupby("event_type", as_index=False).sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""

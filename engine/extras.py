@@ -7,13 +7,19 @@ check (LSH / sketches / stubs are not SQL-expressible).
 
 from __future__ import annotations
 
-from engine import (asof, bpe, classify, corpus, curate, decontam, dedup,
-                    filters, multimodal, simsearch, sketch, text)
+from engine import (analytics, asof, bpe, classify, corpus, curate, decontam,
+                    dedup, filters, multimodal, simsearch, sketch, text)
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
     "events_asof_prior_purchase": asof.q_events_asof_prior_purchase,
     "events_range_join_counts": asof.q_events_range_join_counts,
+    # windowed / order-statistics analytics
+    "events_running_totals": analytics.q_events_running_totals,
+    "value_quantiles_by_type": analytics.q_value_quantiles_by_type,
+    "customers_without_urgent_order":
+        analytics.q_customers_without_urgent_order,
+    "distinct_users_by_type": analytics.q_distinct_users_by_type,
     # text analysis
     "text_stats": text.q_text_stats,
     "token_counts": text.q_token_counts,
@@ -86,6 +92,10 @@ EXTRA_QUERIES = {
 EXTRA_ORACLE_SQL = {
     "events_asof_prior_purchase": asof.SQL_EVENTS_ASOF,
     "events_range_join_counts": asof.SQL_EVENTS_RANGE_JOIN,
+    "events_running_totals": analytics.SQL_EVENTS_RUNNING_TOTALS,
+    "value_quantiles_by_type": analytics.SQL_VALUE_QUANTILES,
+    "customers_without_urgent_order": analytics.SQL_CUSTOMERS_WITHOUT_URGENT,
+    "distinct_users_by_type": analytics.SQL_DISTINCT_USERS_BY_TYPE,
     "text_stats": text.SQL_TEXT_STATS,
     "token_counts": text.SQL_TOKEN_COUNTS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,

@@ -1,0 +1,95 @@
+"""Edge cases for the windowed/order-statistics analytics operators.
+
+The DuckDB gate mirror (tests/test_queries.py) covers value-exactness on
+the fixture corpus; these tests pin the exchange edge cases it cannot
+reach: partitions with an empty build side, a fully-matched anti-join,
+and window math on a hand-checked micro corpus.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(tmp, name, table):
+    path = os.path.join(tmp, f"{name}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+@pytest.fixture()
+def micro_dir(tmp_path):
+    tmp = str(tmp_path)
+    _write(tmp, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_name": [f"c{i}" for i in range(1, 6)],
+        "c_mktsegment": ["SEG"] * 5,
+    }))
+    return tmp
+
+
+def test_anti_join_no_build_rows(ray_session, micro_dir):
+    """No urgent orders anywhere: every probe partition sees an empty
+    build side and must emit all its customers."""
+    from engine.analytics import q_customers_without_urgent_order
+    _write(micro_dir, "orders", pa.table({
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderpriority": ["3-MEDIUM"] * 3,
+    }))
+    out = q_customers_without_urgent_order(micro_dir).to_pandas()
+    assert sorted(out["c_custkey"]) == [1, 2, 3, 4, 5]
+
+
+def test_anti_join_fully_matched(ray_session, micro_dir):
+    """Every customer has an urgent order: the anti-join is empty."""
+    from engine.analytics import q_customers_without_urgent_order
+    _write(micro_dir, "orders", pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+        "o_orderpriority": ["1-URGENT"] * 7,
+    }))
+    out = q_customers_without_urgent_order(micro_dir).to_pandas()
+    assert len(out) == 0
+
+
+def test_running_totals_micro(ray_session, tmp_path):
+    """Hand-checked windows: two users, interleaved timestamps, a tie on
+    ts broken by event_id, and the first-of-user gap pinned to 0."""
+    from engine.analytics import q_events_running_totals
+    tmp = str(tmp_path)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    sec = np.timedelta64(1_000_000, "us")
+    _write(tmp, "events", pa.table({
+        # user 7: events 3 (t=0), 1 (t=10), 2 (t=10)  -> tie on ts
+        # user 9: event 4 (t=5)
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+        "ts": pa.array([base + 10 * sec, base + 10 * sec, base, base + 5 * sec]),
+        "value": pa.array([1.25, 2.0, 0.5, 4.0]),
+    }))
+    out = q_events_running_totals(tmp).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    assert out["seq"].tolist() == [2, 3, 1, 1]
+    assert out["cum_value_milli"].tolist() == [1750, 3750, 500, 4000]
+    assert out["gap_us"].tolist() == [10_000_000, 0, 0, 0]
+
+
+def test_quantiles_match_duckdb_rank_rule(ray_session, tmp_path):
+    """quantile_disc rank = element at 1-indexed ceil(q*n): even/odd group
+    sizes pinned against the closed form."""
+    from engine.analytics import q_value_quantiles_by_type
+    tmp = str(tmp_path)
+    _write(tmp, "events", pa.table({
+        "event_type": ["a"] * 4 + ["b"] * 5,
+        "value": pa.array([.04, .02, .03, .01, .5, .4, .3, .2, .1]),
+    }))
+    out = q_value_quantiles_by_type(tmp).set_index("event_type")
+    # group a (n=4, sorted milli 10,20,30,40): p25=10, p50=20, p75=30
+    assert out.loc["a", ["p25_milli", "p50_milli", "p75_milli"]].tolist() \
+        == [10, 20, 30]
+    # group b (n=5, sorted 100..500): p25=200, p50=300, p75=400
+    assert out.loc["b", ["p25_milli", "p50_milli", "p75_milli"]].tolist() \
+        == [200, 300, 400]
