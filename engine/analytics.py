@@ -293,3 +293,202 @@ SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS rollup in one pass (no shuffle)
+# ---------------------------------------------------------------------------
+
+def q_doc_rollup(sf_dir: str):
+    """Counts + char sums for GROUPING SETS ((source,lang),(source),
+    (lang),()) in ONE pass: per-batch partials at the FINEST level only
+    (cardinality = sources x langs, tiny), driver derives every coarser
+    level from the folded finest table.  '<all>' marks the rolled-up
+    dimension (fixture columns are non-null)."""
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["source", "lang", "n_chars"]),
+                            ["source", "lang"]) \
+            .aggregate([([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n_docs": pc.cast(g["count_all"], pa.int64()),
+                         "sum_chars": pc.cast(g["n_chars_sum"], pa.int64())})
+
+    ds = _table(sf_dir, "documents") \
+        .select_columns(["source", "lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tabs = [b for b in collect_tables(ds) if b.num_columns]
+    fine = pa.concat_tables(tabs).to_pandas() \
+        .groupby(["source", "lang"], as_index=False).sum()
+
+    import pandas as pd
+    levels = [fine]
+    for dims, fills in ((["source"], {"lang": "<all>"}),
+                        (["lang"], {"source": "<all>"}),
+                        ([], {"source": "<all>", "lang": "<all>"})):
+        if dims:
+            lv = fine.groupby(dims, as_index=False)[
+                ["n_docs", "sum_chars"]].sum()
+        else:
+            lv = pd.DataFrame([fine[["n_docs", "sum_chars"]].sum()])
+        for c, v in fills.items():
+            lv[c] = v
+        levels.append(lv[["source", "lang", "n_docs", "sum_chars"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+SQL_DOC_ROLLUP = """
+SELECT coalesce(source, '<all>') AS source, coalesce(lang, '<all>') AS lang,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (QUALIFY row_number) via partial top-k partials
+# ---------------------------------------------------------------------------
+
+def _topk_per_group(prio: np.ndarray, cents: np.ndarray, key: np.ndarray,
+                    k: int):
+    """Vectorized per-group top-k by (cents DESC, key ASC): one lexsort,
+    boundary masks, rank-within-group filter — no per-group Python."""
+    order = np.lexsort((key, -cents, prio))
+    p, c, kk = prio[order], cents[order], key[order]
+    n = len(p)
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = p[1:] != p[:-1]
+    starts = np.flatnonzero(new_g)
+    grp = np.cumsum(new_g) - 1
+    rank = np.arange(n, dtype=np.int64) - starts[grp] + 1
+    keep = rank <= k
+    return p[keep], c[keep], kk[keep], rank[keep]
+
+
+def q_top3_orders_per_priority(sf_dir: str):
+    """Top-3 orders per priority by (price DESC, orderkey ASC): per-batch
+    partial top-3 per group (<= 3 x #priorities rows cross the fold per
+    batch — the partial-top-K combiner shape of corpus.q_source_cap,
+    generalized to value-ranked top-k), driver re-selects on the folded
+    partials.  Prices compare as exact cents."""
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        key = pc.cast(t["o_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p, c, kk, _ = _topk_per_group(prio, cents, key, 3)
+        return pa.table({"o_orderpriority": pa.array(p),
+                         "price_cents": pa.array(c),
+                         "o_orderkey": pa.array(kk)})
+
+    ds = _table(sf_dir, "orders") \
+        .select_columns(["o_orderpriority", "o_totalprice", "o_orderkey"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tabs = [b for b in collect_tables(ds) if b.num_columns]
+    t = pa.concat_tables(tabs)
+    p, c, kk, rk = _topk_per_group(
+        t["o_orderpriority"].to_numpy(zero_copy_only=False),
+        t["price_cents"].to_numpy(zero_copy_only=False),
+        t["o_orderkey"].to_numpy(zero_copy_only=False), 3)
+    return pa.table({"o_orderpriority": pa.array(p),
+                     "rk": pa.array(rk),
+                     "o_orderkey": pa.array(kk),
+                     "price_cents": pa.array(c)})
+
+
+SQL_TOP3_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority,
+       (row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY price_cents DESC, o_orderkey))::BIGINT
+           AS rk,
+       o_orderkey::BIGINT AS o_orderkey, price_cents
+FROM (SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS price_cents
+      FROM orders)
+QUALIFY rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# left-outer grouped count (customers with zero orders kept)
+# ---------------------------------------------------------------------------
+
+def q_orders_per_customer_left(sf_dir: str):
+    """Order count + spend per customer INCLUDING zero-order customers:
+    order-side per-batch partials (one row per (batch, custkey)), customer
+    side tagged, one exchange on the key, per-partition segment sums.  The
+    left-outer join never broadcasts and never ships order rows — only
+    partials."""
+    from engine.stages import hash_group_exchange
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": pc.cast(t["c_custkey"], pa.int64()),
+                         "n": pa.array(np.zeros(n, dtype=np.int64)),
+                         "cents": pa.array(np.zeros(n, dtype=np.int64)),
+                         "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "cents": pa.array(cents)}), ["key"]) \
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "cents": pc.cast(g["cents_sum"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, n, cents, side = key[order], n[order], cents[order], side[order]
+        m = len(key)
+        new_g = np.empty(m, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new_g)
+        # groups are non-empty and starts strictly increase -> reduceat safe
+        n_sum = np.add.reduceat(n, starts)
+        c_sum = np.add.reduceat(cents, starts)
+        has_cust = np.add.reduceat((side == 0).astype(np.int64), starts) > 0
+        return pa.table({"c_custkey": pa.array(key[starts][has_cust]),
+                         "n_orders": pa.array(n_sum[has_cust]),
+                         "spend_cents": pa.array(c_sum[has_cust])})
+
+    def build():
+        cust = _table(sf_dir, "customer").select_columns(["c_custkey"]) \
+            .map_batches(cust_side, batch_format="pyarrow")
+        orders = _table(sf_dir, "orders") \
+            .select_columns(["o_custkey", "o_totalprice"]) \
+            .map_batches(order_partial, batch_format="pyarrow",
+                         batch_size=None)
+        return cust.union(orders)
+
+    # O(customers) output rows — stays a streaming Dataset
+    return hash_group_exchange(
+        build, ["key"], fold, collect=False,
+        rows_hint=_nrows(sf_dir, "customer") + _nrows(sf_dir, "orders"))
+
+
+SQL_ORDERS_PER_CUSTOMER_LEFT = """
+SELECT c.c_custkey::BIGINT AS c_custkey,
+       count(o.o_orderkey)::BIGINT AS n_orders,
+       coalesce(sum(CAST(floor(o.o_totalprice*100.0 + 0.5) AS BIGINT)),
+                0)::BIGINT AS spend_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""

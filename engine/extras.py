@@ -20,6 +20,9 @@ EXTRA_QUERIES = {
     "customers_without_urgent_order":
         analytics.q_customers_without_urgent_order,
     "distinct_users_by_type": analytics.q_distinct_users_by_type,
+    "doc_rollup": analytics.q_doc_rollup,
+    "top3_orders_per_priority": analytics.q_top3_orders_per_priority,
+    "orders_per_customer_left": analytics.q_orders_per_customer_left,
     # text analysis
     "text_stats": text.q_text_stats,
     "token_counts": text.q_token_counts,
@@ -96,6 +99,9 @@ EXTRA_ORACLE_SQL = {
     "value_quantiles_by_type": analytics.SQL_VALUE_QUANTILES,
     "customers_without_urgent_order": analytics.SQL_CUSTOMERS_WITHOUT_URGENT,
     "distinct_users_by_type": analytics.SQL_DISTINCT_USERS_BY_TYPE,
+    "doc_rollup": analytics.SQL_DOC_ROLLUP,
+    "top3_orders_per_priority": analytics.SQL_TOP3_ORDERS_PER_PRIORITY,
+    "orders_per_customer_left": analytics.SQL_ORDERS_PER_CUSTOMER_LEFT,
     "text_stats": text.SQL_TEXT_STATS,
     "token_counts": text.SQL_TOKEN_COUNTS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,
