@@ -43,6 +43,7 @@ EXTRA_QUERIES = {
     "simsearch_topk": simsearch.q_simsearch_topk,
     "simsearch_lsh": simsearch.q_simsearch_lsh,
     "simsearch_ivf": simsearch.q_simsearch_ivf,
+    "simsearch_pq": simsearch.q_simsearch_pq,
     "embedding_near_dup": simsearch.q_embedding_near_dup,
     "embedding_similar_pairs_exact": simsearch.q_embedding_similar_pairs_exact,
     "semantic_dedup": simsearch.q_semantic_dedup,

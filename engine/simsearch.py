@@ -1046,3 +1046,199 @@ def q_knn_join_ivf(sf_dir: str):
     res = pa.concat_tables(
         [t.cast(empty.schema) for t in tabs]) if tabs else empty
     return res.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN (rows-only): the compressed-scan scale path (Jegou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", IEEE TPAMI)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16          # subspaces; 4-bit codes pack ALL M into one uint64
+_PQ_K = 16          # centroids per subspace
+_PQ_SAMPLE = 2048   # codebook train sample (driver cost corpus-independent)
+_PQ_ITERS = 10
+_PQ_SHORTLIST = 10 * TOP_K   # ADC candidates re-ranked exactly
+
+LAST_PQ: dict = {}
+
+
+def _pq_codebooks(sf_dir: str) -> list:
+    """Deterministic per-subspace k-means codebooks trained on a bounded
+    sample of normalized vectors — like :func:`_ivf_centroids`, the train
+    set is ``_PQ_SAMPLE`` rows no matter the corpus size."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pa.Table.from_batches([next(pf.iter_batches(batch_size=_PQ_SAMPLE))])
+    M = _batch_mat(t)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    X = M / norms[:, None]
+    dim = X.shape[1]
+    if dim % _PQ_M:
+        raise ValueError(f"dim {dim} not divisible by _PQ_M={_PQ_M}")
+    d_sub = dim // _PQ_M
+    rng = np.random.default_rng(20260818)
+    books = []
+    for m in range(_PQ_M):
+        Xm = X[:, m * d_sub:(m + 1) * d_sub]
+        C = Xm[rng.choice(len(Xm), size=min(_PQ_K, len(Xm)), replace=False)]
+        for _ in range(_PQ_ITERS):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(len(C)):
+                mk = assign == c
+                if mk.any():
+                    C[c] = Xm[mk].mean(0)
+        books.append(C)
+    return books
+
+
+def _pq_encode(X: np.ndarray, books: list) -> np.ndarray:
+    """Vectorized encode: per-subspace L2 argmin, 4-bit codes packed into
+    ONE uint64 per vector (8 B — a 32x cut vs the raw float64 row)."""
+    n, dim = X.shape
+    d_sub = dim // _PQ_M
+    packed = np.zeros(n, dtype=np.uint64)
+    for m, C in enumerate(books):
+        Xm = X[:, m * d_sub:(m + 1) * d_sub]
+        d2 = (Xm ** 2).sum(1)[:, None] - 2.0 * (Xm @ C.T) + (C ** 2).sum(1)[None, :]
+        packed |= d2.argmin(1).astype(np.uint64) << np.uint64(4 * m)
+    return packed
+
+
+def pq_index_dir(sf_dir: str) -> str:
+    """Compressed-code index: (vec_id, code uint64) parquet, built once per
+    corpus fingerprint.  The ANN scan reads ONLY this table — 8 B/row —
+    and raw embeddings are fetched just for the shortlist re-rank."""
+    import hashlib
+    import pyarrow.parquet as pq
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    tag = hashlib.blake2b(
+        f"pq|{emb_path}|{st.st_mtime_ns}|{st.st_size}|{_PQ_M}|{_PQ_K}".encode(),
+        digest_size=8).hexdigest()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, "graft_ann_index", tag)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    import ray
+    books_ref = ray.put(_pq_codebooks(sf_dir))
+
+    def encode(t: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        M = _batch_mat(t)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "code": pa.array(_pq_encode(M / norms[:, None],
+                                                     books))})
+
+    _emb(sf_dir).map_batches(encode, batch_format="pyarrow",
+                             batch_size=None).write_parquet(d)
+    with open(marker, "w") as f:
+        f.write(tag)
+    return d
+
+
+def q_simsearch_pq(sf_dir: str):
+    """PQ ANN: asymmetric-distance scan over the 8 B/row code index (one
+    query LUT gather-sum per subspace, no per-row float math on raw
+    vectors), ADC top-``_PQ_SHORTLIST`` shortlist, exact re-rank of the
+    shortlist only.  Complements LSH (bucket-pruned) and IVF
+    (cell-pruned): PQ compresses the SCAN itself, and at 100 TB composes
+    with IVF (probe cells, then ADC-scan their codes).  Rows-only; recall
+    + compression accounting pinned in tests (``LAST_PQ``)."""
+    if _emb_rows(sf_dir) == 0:
+        return _empty_table(_EMPTY_ANN)
+    import ray
+    import pyarrow.parquet as pq
+    Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    books = _pq_codebooks(sf_dir)
+    dim = qn.shape[1]
+    d_sub = dim // _PQ_M
+    idx_dir = pq_index_dir(sf_dir)
+    # (n_query, M, K) inner-product lookup tables — the only query state
+    luts = np.stack([
+        np.stack([books[m] @ qn[qi, m * d_sub:(m + 1) * d_sub]
+                  for m in range(_PQ_M)])
+        for qi in range(len(QUERY_IDS))])
+    luts_ref = ray.put(luts)
+
+    def adc_scan(t: pa.Table) -> pa.Table:
+        luts = ray.get(luts_ref)
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy()
+        code = t["code"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sub = np.empty((len(ids), _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            sub[:, m] = ((code >> np.uint64(4 * m)) & np.uint64(15)) \
+                .astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(QUERY_IDS):
+            score = np.zeros(len(ids))
+            for m in range(_PQ_M):
+                score += luts[qi, m][sub[:, m]]
+            idx = np.flatnonzero(ids != qid)
+            order = np.lexsort((ids[idx], -score[idx]))[:_PQ_SHORTLIST]
+            sel = idx[order]
+            out_q += [qid] * len(sel)
+            out_n += ids[sel].tolist()
+            out_s += score[sel].tolist()
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "adc": pa.array(out_s, type=pa.float64())})
+
+    parts = ray.data.read_parquet(idx_dir) \
+        .map_batches(adc_scan, batch_format="pyarrow", batch_size=None) \
+        .to_pandas()
+    LAST_PQ.clear()
+    n_rows = _emb_rows(sf_dir)
+    LAST_PQ["rows_total"] = n_rows
+    LAST_PQ["index_bytes_per_row"] = 8
+    LAST_PQ["raw_bytes_per_row"] = dim * 8
+    short: dict = {}
+    for qid in QUERY_IDS:
+        g = parts[parts.query_id == qid] \
+            .sort_values(["adc", "neighbor_id"], ascending=[False, True]) \
+            .head(_PQ_SHORTLIST)
+        short[qid] = g.neighbor_id.to_numpy().astype(np.int64)
+    LAST_PQ["shortlist"] = {q: len(v) for q, v in short.items()}
+
+    # exact re-rank: fetch raw embeddings for shortlist ids ONLY
+    all_ids = np.unique(np.concatenate(list(short.values()))) \
+        if short else np.array([], dtype=np.int64)
+    ids_ref = ray.put(all_ids)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        mask = pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                        value_set=pa.array(want, type=pa.int64()))
+        return t.filter(mask)
+
+    from engine.pipeline import collect_tables
+    ft = pa.concat_tables(
+        [b for b in collect_tables(_emb(sf_dir).map_batches(
+            fetch, batch_format="pyarrow", batch_size=None))
+         if b.num_columns])
+    fids = pc.cast(ft["vec_id"], pa.int64()).to_numpy()
+    FM = _batch_mat(ft)
+    fn = np.linalg.norm(FM, axis=1)
+    fn[fn == 0] = 1.0
+    FMn = FM / fn[:, None]
+    pos = {int(v): i for i, v in enumerate(fids)}
+
+    rows = []
+    for qi, qid in enumerate(QUERY_IDS):
+        cand = short.get(qid, np.array([], dtype=np.int64))
+        if not len(cand):
+            continue
+        sel = np.array([pos[int(c)] for c in cand], dtype=np.int64)
+        s = FMn[sel] @ qn[qi]
+        order = np.lexsort((cand, -s))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            rows.append((qid, int(cand[j]), rank, int(round(s[j] * 1e6))))
+    return pa.table({"query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                     "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+                     "sim_micro": pa.array([r[3] for r in rows], type=pa.int64())})

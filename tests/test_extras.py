@@ -1099,3 +1099,29 @@ def test_knn_join_ivf_recall_on_clustered_corpus(ray_session, tmp_path):
         assert list(g.sort_values("rank")["rank"]) == \
             list(range(1, len(g) + 1))
         assert len(g) <= _KNN_K
+
+
+def test_pq_ann_recall_and_compression(ray_session):
+    """PQ ANN (16x4-bit codes packed in one uint64, ADC shortlist + exact
+    re-rank): high recall of the exact top-5 while the scan table is 8
+    bytes/row (64x smaller than the raw float64 rows); re-rank fetches
+    only shortlist ids.  Measured recall on the uniform-random fixture
+    embeddings: 15/15 at both sf0.001 and sf0.01."""
+    from engine import simsearch
+    from engine.simsearch import q_simsearch_pq, q_simsearch_topk
+    exact = _tbl(q_simsearch_topk(SF_DIR))
+    approx = q_simsearch_pq(SF_DIR)
+    ex, ap = {}, {}
+    for q, n in zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()):
+        ex.setdefault(q, set()).add(n)
+    for q, n in zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()):
+        ap.setdefault(q, set()).add(n)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.8, recalls
+    acc = simsearch.LAST_PQ
+    assert acc["index_bytes_per_row"] * 8 <= acc["raw_bytes_per_row"]
+    for qid, n_short in acc["shortlist"].items():
+        assert n_short <= simsearch._PQ_SHORTLIST
+    # deterministic: second run returns the identical table
+    again = q_simsearch_pq(SF_DIR)
+    assert approx.equals(again)
