@@ -58,53 +58,57 @@ def _nrows(sf_dir: str, name: str) -> int:
 # window functions: row_number / running sum / lag gap per user
 # ---------------------------------------------------------------------------
 
+def windows_block(t: pa.Table) -> pa.Table:
+    """Per-partition window kernel: one lexsort by (user, ts, event_id),
+    then row_number / running sum / lag gap for every user in the block.
+    Module-level so property tests can drive it directly."""
+    n = t.num_rows
+    if n == 0:
+        return pa.schema([("event_id", pa.int64()),
+                          ("user_id", pa.int64()),
+                          ("seq", pa.int64()),
+                          ("cum_value_milli", pa.int64()),
+                          ("gap_us", pa.int64())]).empty_table()
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    v = t["value"].to_numpy(zero_copy_only=False)
+    v_milli = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+
+    order = np.lexsort((eid, ts, uid))
+    uid, eid, ts, v_milli = uid[order], eid[order], ts[order], v_milli[order]
+    new_u = np.empty(n, dtype=bool)
+    new_u[0] = True
+    new_u[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new_u)
+    grp = np.cumsum(new_u) - 1
+
+    seq = np.arange(n, dtype=np.int64) - starts[grp] + 1
+    cum = np.cumsum(v_milli)
+    base = (cum[starts] - v_milli[starts])[grp]
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = 0
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[new_u] = 0
+    return pa.table({"event_id": pa.array(eid),
+                     "user_id": pa.array(uid),
+                     "seq": pa.array(seq),
+                     "cum_value_milli": pa.array(cum - base),
+                     "gap_us": pa.array(gap)})
+
+
 def q_events_running_totals(sf_dir: str):
     """row_number(), running SUM(value) and lag-gap per user ordered by
     (ts, event_id) — the standard windowed-analytics triple, one exchange
     plus one vectorized pass per partition (no per-user Python calls)."""
     from engine.stages import hash_group_exchange
 
-    def windows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return pa.schema([("event_id", pa.int64()),
-                              ("user_id", pa.int64()),
-                              ("seq", pa.int64()),
-                              ("cum_value_milli", pa.int64()),
-                              ("gap_us", pa.int64())]).empty_table()
-        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
-            .astype(np.int64)
-        v = t["value"].to_numpy(zero_copy_only=False)
-        v_milli = np.floor(v * 1000.0 + 0.5).astype(np.int64)
-
-        order = np.lexsort((eid, ts, uid))
-        uid, eid, ts, v_milli = uid[order], eid[order], ts[order], v_milli[order]
-        new_u = np.empty(n, dtype=bool)
-        new_u[0] = True
-        new_u[1:] = uid[1:] != uid[:-1]
-        starts = np.flatnonzero(new_u)
-        grp = np.cumsum(new_u) - 1
-
-        seq = np.arange(n, dtype=np.int64) - starts[grp] + 1
-        cum = np.cumsum(v_milli)
-        base = (cum[starts] - v_milli[starts])[grp]
-        gap = np.empty(n, dtype=np.int64)
-        gap[0] = 0
-        gap[1:] = ts[1:] - ts[:-1]
-        gap[new_u] = 0
-        return pa.table({"event_id": pa.array(eid),
-                         "user_id": pa.array(uid),
-                         "seq": pa.array(seq),
-                         "cum_value_milli": pa.array(cum - base),
-                         "gap_us": pa.array(gap)})
-
     # O(n_events) output rows — stays a streaming Dataset
     return hash_group_exchange(
         lambda: _table(sf_dir, "events").select_columns(
             ["event_id", "user_id", "ts", "value"]),
-        ["user_id"], windows, collect=False,
+        ["user_id"], windows_block, collect=False,
         rows_hint=_nrows(sf_dir, "events"))
 
 
@@ -124,49 +128,53 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # exact grouped order statistics (quantile_disc over a continuous column)
 # ---------------------------------------------------------------------------
 
+def quantiles_block(t: pa.Table) -> pa.Table:
+    """Per-partition order-statistics kernel: one lexsort ranks every
+    event_type group in the block; quantile_disc rank = element at
+    1-indexed ceil(q*n).  Module-level for property tests."""
+    n = t.num_rows
+    if n == 0:
+        return pa.schema([("event_type", pa.string()),
+                          ("n", pa.int64()),
+                          ("min_milli", pa.int64()),
+                          ("max_milli", pa.int64()),
+                          ("p25_milli", pa.int64()),
+                          ("p50_milli", pa.int64()),
+                          ("p75_milli", pa.int64())]).empty_table()
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0
+                 + 0.5).astype(np.int64)
+    order = np.lexsort((v, et))
+    et, v = et[order], v[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = et[1:] != et[:-1]
+    starts = np.flatnonzero(new_g)
+    counts = np.diff(np.append(starts, n))
+
+    def q_at(q: float) -> np.ndarray:
+        # 0.25/0.5/0.75 are exact binary fractions -> ceil is exact
+        return v[starts + np.ceil(q * counts).astype(np.int64) - 1]
+
+    return pa.table({"event_type": pa.array(et[starts]),
+                     "n": pa.array(counts),
+                     "min_milli": pa.array(v[starts]),
+                     "max_milli": pa.array(v[starts + counts - 1]),
+                     "p25_milli": pa.array(q_at(0.25)),
+                     "p50_milli": pa.array(q_at(0.50)),
+                     "p75_milli": pa.array(q_at(0.75))})
+
+
 def q_value_quantiles_by_type(sf_dir: str):
     """Exact per-event-type min/max/p25/p50/p75 of the continuous ``value``
     column (milli-units).  quantile_disc rank (both sides): the element at
     1-indexed position ceil(q*n) of the group's sorted values."""
     from engine.stages import hash_group_exchange
 
-    def stats(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return pa.schema([("event_type", pa.string()),
-                              ("n", pa.int64()),
-                              ("min_milli", pa.int64()),
-                              ("max_milli", pa.int64()),
-                              ("p25_milli", pa.int64()),
-                              ("p50_milli", pa.int64()),
-                              ("p75_milli", pa.int64())]).empty_table()
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0
-                     + 0.5).astype(np.int64)
-        order = np.lexsort((v, et))
-        et, v = et[order], v[order]
-        new_g = np.empty(n, dtype=bool)
-        new_g[0] = True
-        new_g[1:] = et[1:] != et[:-1]
-        starts = np.flatnonzero(new_g)
-        counts = np.diff(np.append(starts, n))
-
-        def q_at(q: float) -> np.ndarray:
-            # 0.25/0.5/0.75 are exact binary fractions -> ceil is exact
-            return v[starts + np.ceil(q * counts).astype(np.int64) - 1]
-
-        return pa.table({"event_type": pa.array(et[starts]),
-                         "n": pa.array(counts),
-                         "min_milli": pa.array(v[starts]),
-                         "max_milli": pa.array(v[starts + counts - 1]),
-                         "p25_milli": pa.array(q_at(0.25)),
-                         "p50_milli": pa.array(q_at(0.50)),
-                         "p75_milli": pa.array(q_at(0.75))})
-
     return hash_group_exchange(
         lambda: _table(sf_dir, "events").select_columns(
             ["event_type", "value"]),
-        ["event_type"], stats, collect=True,
+        ["event_type"], quantiles_block, collect=True,
         rows_hint=_nrows(sf_dir, "events"))
 
 

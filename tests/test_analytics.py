@@ -77,6 +77,83 @@ def test_running_totals_micro(ray_session, tmp_path):
     assert out["gap_us"].tolist() == [10_000_000, 0, 0, 0]
 
 
+def test_windows_block_random_vs_pandas():
+    """Property: windows_block == pandas window functions (row_number,
+    running sum, lag gap) on random corpora with duplicate users, tied
+    timestamps, and negative values.  Pure-kernel test — no Ray."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.analytics import windows_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        n = data.draw(st.integers(min_value=0, max_value=60))
+        uid = data.draw(st.lists(st.integers(0, 5), min_size=n, max_size=n))
+        ts_us = data.draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+        val = data.draw(st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=n, max_size=n))
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts_us, dtype="datetime64[us]")
+                           if n else np.array([], dtype="datetime64[us]")),
+            "value": pa.array(val, pa.float64()),
+        })
+        got = windows_block(t).to_pandas().sort_values(
+            "event_id", ignore_index=True)
+        df = t.to_pandas()
+        df["milli"] = np.floor(df["value"].to_numpy() * 1000.0
+                               + 0.5).astype(np.int64)
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)
+        df["seq"] = g.cumcount() + 1
+        df["cum"] = g["milli"].cumsum()
+        gap = g["ts"].diff()
+        df["gap"] = (gap.dt.total_seconds() * 1e6).fillna(0).round()
+        want = df.sort_values("event_id", ignore_index=True)
+        assert got["seq"].tolist() == want["seq"].tolist()
+        assert got["cum_value_milli"].tolist() == want["cum"].tolist()
+        assert got["gap_us"].tolist() == [int(x) for x in want["gap"]]
+
+    prop()
+
+
+def test_quantiles_block_random_vs_sorted_rank():
+    """Property: quantiles_block == the 1-indexed ceil(q*n) rank rule
+    (quantile_disc) evaluated scalar-wise per group.  No Ray."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.analytics import quantiles_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        n = data.draw(st.integers(min_value=0, max_value=80))
+        et = data.draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                                min_size=n, max_size=n))
+        val = data.draw(st.lists(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            min_size=n, max_size=n))
+        t = pa.table({"event_type": pa.array(et, pa.string()),
+                      "value": pa.array(val, pa.float64())})
+        got = quantiles_block(t).to_pandas().set_index("event_type")
+        milli = np.floor(np.asarray(val) * 1000.0 + 0.5).astype(np.int64)
+        for grp in sorted(set(et)):
+            vs = np.sort(milli[np.asarray(et) == grp])
+            m = len(vs)
+            row = got.loc[grp]
+            assert row["n"] == m
+            assert row["min_milli"] == vs[0]
+            assert row["max_milli"] == vs[-1]
+            for q, col in [(.25, "p25_milli"), (.5, "p50_milli"),
+                           (.75, "p75_milli")]:
+                assert row[col] == vs[int(np.ceil(q * m)) - 1]
+
+    prop()
+
+
 def test_quantiles_match_duckdb_rank_rule(ray_session, tmp_path):
     """quantile_disc rank = element at 1-indexed ceil(q*n): even/odd group
     sizes pinned against the closed form."""
