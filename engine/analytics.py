@@ -500,3 +500,138 @@ SELECT c.c_custkey::BIGINT AS c_custkey,
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user event-type transition counts (Markov bigrams over the event log)
+# ---------------------------------------------------------------------------
+
+def transitions_block(t: pa.Table) -> pa.Table:
+    """Per-partition transition kernel: lexsort by (user, ts, event_id),
+    mask consecutive same-user rows, partial-count the (from,to) bigrams.
+    Module-level for property tests."""
+    n = t.num_rows
+    empty = pa.schema([("from_type", pa.string()), ("to_type", pa.string()),
+                       ("n", pa.int64())]).empty_table()
+    if n < 2:
+        return empty
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid, et = uid[order], et[order]
+    same = uid[1:] == uid[:-1]
+    if not same.any():
+        return empty
+    g = pa.TableGroupBy(pa.table({
+        "from_type": pa.array(et[:-1][same]),
+        "to_type": pa.array(et[1:][same])}), ["from_type", "to_type"]) \
+        .aggregate([([], "count_all")])
+    return pa.table({"from_type": g["from_type"], "to_type": g["to_type"],
+                     "n": pc.cast(g["count_all"], pa.int64())})
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over the event log: how often each user's
+    event of type A is immediately followed by type B (ordered by ts,
+    event_id within the user).  One exchange on user_id co-locates each
+    user's history whole; the per-partition kernel sorts once and
+    partial-counts bigrams, so only O(types^2) rows per partition return
+    to the driver."""
+    from engine.stages import hash_group_exchange
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"]),
+        ["user_id"], transitions_block, collect=True,
+        rows_hint=_nrows(sf_dir, "events"))
+    if df.empty:      # all partitions empty -> schema-less column-less frame
+        return pa.schema([("from_type", pa.string()),
+                          ("to_type", pa.string()),
+                          ("n", pa.int64())]).empty_table().to_pandas()
+    out = df.groupby(["from_type", "to_type"], as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# correlated-subquery decorrelation: orders above their customer's average
+# ---------------------------------------------------------------------------
+
+def above_avg_block(t: pa.Table) -> pa.Table:
+    """Per-partition kernel: group sums/counts by custkey (reduceat over
+    one sort), keep rows with cents * n_cust > sum_cents — the strict
+    above-average test cross-multiplied so it is integer-exact (no
+    division).  Module-level for property tests."""
+    n = t.num_rows
+    if n == 0:
+        return pa.schema([("o_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64()),
+                          ("price_cents", pa.int64())]).empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+    cents = t["price_cents"].to_numpy(zero_copy_only=False)
+    order = np.argsort(key, kind="stable")
+    key, okey, cents = key[order], okey[order], cents[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_g)
+    grp = np.cumsum(new_g) - 1
+    g_sum = np.add.reduceat(cents, starts)[grp]
+    g_n = np.diff(np.append(starts, n))[grp]
+    keep = cents * g_n > g_sum
+    return pa.table({"o_orderkey": pa.array(okey[keep]),
+                     "o_custkey": pa.array(key[keep]),
+                     "price_cents": pa.array(cents[keep])})
+
+
+def q_orders_above_customer_avg(sf_dir: str):
+    """Orders strictly above their own customer's average order value —
+    the classic correlated subquery, decorrelated into ONE hash exchange
+    on the grouping key: each customer's orders co-locate, the partition
+    kernel computes every customer's (sum, count) in one reduceat pass and
+    filters by cross-multiplication (cents * n > sum), so the comparison
+    is integer-exact with no float division on either side."""
+    from engine.stages import hash_group_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"key": pc.cast(t["o_custkey"], pa.int64()),
+                         "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "price_cents": pa.array(cents)})
+
+    # O(orders) output rows — stays a streaming Dataset
+    return hash_group_exchange(
+        lambda: _table(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["key"], above_avg_block, collect=False,
+        rows_hint=_nrows(sf_dir, "orders"))
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+WITH c AS (
+  SELECT o_orderkey::BIGINT AS o_orderkey, o_custkey::BIGINT AS o_custkey,
+         CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS price_cents,
+         sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT))
+             OVER (PARTITION BY o_custkey) AS s,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders)
+SELECT o_orderkey, o_custkey, price_cents
+FROM c WHERE price_cents * n > s
+"""

@@ -8,7 +8,8 @@ check (LSH / sketches / stubs are not SQL-expressible).
 from __future__ import annotations
 
 from engine import (analytics, asof, bpe, classify, corpus, curate, decontam,
-                    dedup, filters, multimodal, simsearch, sketch, text)
+                    dedup, editsim, filters, multimodal, relational,
+                    simsearch, sketch, text)
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
@@ -23,6 +24,12 @@ EXTRA_QUERIES = {
     "doc_rollup": analytics.q_doc_rollup,
     "top3_orders_per_priority": analytics.q_top3_orders_per_priority,
     "orders_per_customer_left": analytics.q_orders_per_customer_left,
+    "event_transitions": analytics.q_event_transitions,
+    "orders_above_customer_avg": analytics.q_orders_above_customer_avg,
+    # fact-to-fact join plans
+    "q3_revenue_topk": relational.q_q3_revenue_topk,
+    # edit-distance near-dup family
+    "edit_distance_pairs": editsim.q_edit_distance_pairs,
     # text analysis
     "text_stats": text.q_text_stats,
     "token_counts": text.q_token_counts,
@@ -103,6 +110,10 @@ EXTRA_ORACLE_SQL = {
     "doc_rollup": analytics.SQL_DOC_ROLLUP,
     "top3_orders_per_priority": analytics.SQL_TOP3_ORDERS_PER_PRIORITY,
     "orders_per_customer_left": analytics.SQL_ORDERS_PER_CUSTOMER_LEFT,
+    "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
+    "orders_above_customer_avg": analytics.SQL_ORDERS_ABOVE_CUSTOMER_AVG,
+    "q3_revenue_topk": relational.SQL_Q3_REVENUE_TOPK,
+    "edit_distance_pairs": editsim.SQL_EDIT_DISTANCE_PAIRS,
     "text_stats": text.SQL_TEXT_STATS,
     "token_counts": text.SQL_TOKEN_COUNTS,
     "doc_fingerprint_md5": text.SQL_DOC_FINGERPRINT,

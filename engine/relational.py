@@ -1,0 +1,203 @@
+"""Multi-table join plans over the relational tables (TPC-H shapes).
+
+The reference's join layer is metadata-sized (enrich maps, revision
+lookups — see engine/stages.py, engine/revisions.py); this module adds the
+fact-to-fact shapes a warehouse-scale pipeline needs, built on the same
+``hash_group_exchange`` primitive so NO side is ever broadcast and no
+driver-side sets exist:
+
+* ``q_q3_revenue_topk`` — the TPC-H Q3 plan (segment-filtered customers
+  ⋈ date-filtered orders ⋈ shipdate-filtered lineitem revenue, top-10 by
+  revenue): TWO hash exchanges, each carrying only what the next stage
+  needs.  Exchange 1 (on custkey) semi-joins orders to the qualifying
+  customers — customer rows carry the key only, order rows carry
+  (orderkey, orderdate).  Exchange 2 (on orderkey) joins the qualified
+  orders to PER-BATCH revenue partials of the filtered lineitems (one row
+  per (batch, orderkey) — lineitem rows themselves never shuffle), folds
+  revenue per order, and emits only each partition's top-10, so the
+  driver sees <= 10 x partitions candidate rows.
+
+All money math is integer: cents = floor(price*100 + 0.5) as int64,
+revenue_micro = cents * (100 - discount_pct) — identical expressions on
+the DuckDB side, so the value-hash gate is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from engine.io import read_parquet_clean
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
+_CUTOFF_US = int(Q3_CUTOFF.astype(np.int64))
+
+
+def _table(sf_dir: str, name: str):
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _nrows(sf_dir: str, name: str) -> int:
+    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    return np.floor(col.to_numpy(zero_copy_only=False) * 100.0
+                    + 0.5).astype(np.int64)
+
+
+def semi_block(t: pa.Table) -> pa.Table:
+    """Exchange-1 kernel: keep order rows whose custkey appears on the
+    customer side (vectorized np.isin per partition)."""
+    if t.num_rows == 0:
+        return pa.schema([("key", pa.int64()), ("odate_us", pa.int64()),
+                          ("rev_micro", pa.int64()),
+                          ("side", pa.int8())]).empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    cust = key[side == 0]
+    keep = (side == 1) & np.isin(key, cust)
+    kept = t.filter(pa.array(keep))
+    n = kept.num_rows
+    return pa.table({"key": kept["okey"],
+                     "odate_us": kept["odate_us"],
+                     "rev_micro": pa.array(np.zeros(n, dtype=np.int64)),
+                     "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+
+def fold_topk_block(t: pa.Table) -> pa.Table:
+    """Exchange-2 kernel: per-order revenue fold (reduceat over one sort)
+    joined to the qualified-order rows, then the partition's local top-10
+    by (revenue DESC, orderkey ASC)."""
+    empty = pa.schema([("o_orderkey", pa.int64()), ("odate_us", pa.int64()),
+                       ("revenue_micro", pa.int64())]).empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    key = t["key"].to_numpy(zero_copy_only=False)
+    odate = t["odate_us"].to_numpy(zero_copy_only=False)
+    rev = t["rev_micro"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, key))          # per key: order row first
+    key, odate, rev, side = key[order], odate[order], rev[order], side[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_g)
+    counts = np.diff(np.append(starts, n))
+    has_order = side[starts] == 0            # an order row sorts first
+    has_rev = (np.add.reduceat((side == 1).astype(np.int64), starts)
+               > 0)
+    g_rev = np.add.reduceat(rev, starts)
+    keep = has_order & has_rev               # inner-join semantics
+    if not keep.any():
+        return empty
+    okey, od, rv = key[starts][keep], odate[starts][keep], g_rev[keep]
+    top = np.lexsort((okey, -rv))[:10]
+    return pa.table({"o_orderkey": pa.array(okey[top]),
+                     "odate_us": pa.array(od[top]),
+                     "revenue_micro": pa.array(rv[top])})
+
+
+def q_q3_revenue_topk(sf_dir: str):
+    """TPC-H Q3 shape: top-10 orders by shipped revenue among BUILDING-
+    segment customers' pre-cutoff orders — two hash exchanges, partial
+    revenue combiners, per-partition top-10, no broadcast."""
+    from engine.stages import hash_group_exchange
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.filter(pc.equal(t["c_mktsegment"],
+                                         Q3_SEGMENT))["c_custkey"],
+                       pa.int64())
+        n = len(keys)
+        return pa.table({"key": keys,
+                         "okey": pa.nulls(n, pa.int64()),
+                         "odate_us": pa.nulls(n, pa.int64()),
+                         "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def order_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        kept = t.filter(pa.array(od < _CUTOFF_US))
+        od = od[od < _CUTOFF_US]
+        n = kept.num_rows
+        return pa.table({"key": pc.cast(kept["o_custkey"], pa.int64()),
+                         "okey": pc.cast(kept["o_orderkey"], pa.int64()),
+                         "odate_us": pa.array(od),
+                         "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        kept = t.filter(pa.array(sd > _CUTOFF_US))
+        cents = _cents(kept["l_extendedprice"])
+        pct = 100 - np.floor(
+            kept["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(kept["l_orderkey"], pa.int64()),
+            "rev": pa.array(cents * pct)}), ["key"]) \
+            .aggregate([("rev", "sum")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "odate_us": pa.nulls(m, pa.int64()),
+                         "rev_micro": pc.cast(g["rev_sum"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def stage1():
+        cust = _table(sf_dir, "customer") \
+            .select_columns(["c_custkey", "c_mktsegment"]) \
+            .map_batches(cust_side, batch_format="pyarrow")
+        orders = _table(sf_dir, "orders") \
+            .select_columns(["o_custkey", "o_orderkey", "o_orderdate"]) \
+            .map_batches(order_side, batch_format="pyarrow")
+        return cust.union(orders)
+
+    qualified = hash_group_exchange(
+        stage1, ["key"], semi_block, collect=False,
+        rows_hint=_nrows(sf_dir, "customer") + _nrows(sf_dir, "orders"))
+
+    def stage2():
+        lines = _table(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+            .map_batches(line_partial, batch_format="pyarrow",
+                         batch_size=None)
+        return qualified.union(lines)
+
+    df = hash_group_exchange(
+        stage2, ["key"], fold_topk_block, collect=True,
+        rows_hint=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
+    if df.empty:      # all partitions empty -> schema-less column-less frame
+        return pa.schema([("o_orderkey", pa.int64()),
+                          ("odate_us", pa.int64()),
+                          ("revenue_micro", pa.int64())]) \
+            .empty_table().to_pandas()
+    df = df.sort_values(["revenue_micro", "o_orderkey"],
+                        ascending=[False, True], ignore_index=True).head(10)
+    return df.astype({"o_orderkey": "int64", "odate_us": "int64",
+                      "revenue_micro": "int64"})
+
+
+SQL_Q3_REVENUE_TOPK = """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)))
+             ::BIGINT AS revenue_micro
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1)
+SELECT o.o_orderkey::BIGINT AS o_orderkey,
+       epoch_us(o.o_orderdate)::BIGINT AS odate_us, r.revenue_micro
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING'
+JOIN rev r ON r.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+ORDER BY r.revenue_micro DESC, o.o_orderkey
+LIMIT 10
+"""

@@ -1,0 +1,114 @@
+"""Q3 join-plan edge cases the sf-corpus gate mirror cannot isolate:
+inner-join semantics (orders with no qualifying lineitem drop), the
+segment and date filters, and revenue-fold exactness across batches."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from engine.relational import Q3_CUTOFF
+
+
+def _write(tmp, name, table):
+    pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
+
+
+@pytest.fixture()
+def micro_dir(tmp_path):
+    tmp = str(tmp_path)
+    before = Q3_CUTOFF - np.timedelta64(10, "D")
+    after = Q3_CUTOFF + np.timedelta64(10, "D")
+    _write(tmp, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": ["BUILDING", "MACHINERY", "BUILDING"],
+    }))
+    _write(tmp, "orders", pa.table({
+        # o1: qualifies fully; o2: wrong segment; o3: order after cutoff;
+        # o4: qualifies but its only lineitem shipped before the cutoff
+        "o_orderkey": pa.array([10, 20, 30, 40], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "o_orderdate": pa.array([before, before, after, before]),
+    }))
+    _write(tmp, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10, 20, 30, 40], pa.int64()),
+        "l_shipdate": pa.array([after, after, after, after, before]),
+        "l_extendedprice": pa.array([100.0, 50.0, 10.0, 10.0, 10.0]),
+        "l_discount": pa.array([0.05, 0.00, 0.0, 0.0, 0.0]),
+    }))
+    return tmp
+
+
+def test_q3_inner_join_and_filters(ray_session, micro_dir):
+    from engine.relational import q_q3_revenue_topk
+    out = q_q3_revenue_topk(micro_dir)
+    # only order 10 survives: 20 fails the segment, 30 the order date,
+    # 40 has no post-cutoff lineitem
+    assert out["o_orderkey"].tolist() == [10]
+    # revenue = 10000c*95 + 5000c*100 exactly
+    assert out["revenue_micro"].tolist() == [10000 * 95 + 5000 * 100]
+
+
+def test_q3_empty_result(ray_session, micro_dir):
+    """No BUILDING customers at all: the semi-join empties the plan and
+    the fold returns a typed empty frame."""
+    from engine.relational import q_q3_revenue_topk
+    _write(micro_dir, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": ["MACHINERY"] * 3,
+    }))
+    out = q_q3_revenue_topk(micro_dir)
+    assert len(out) == 0
+    assert sorted(out.columns) == ["o_orderkey", "odate_us", "revenue_micro"]
+
+
+def test_transitions_block_random_vs_pandas():
+    """Property: transitions_block == pandas lag/groupby on random event
+    logs with tied timestamps.  Pure kernel — no Ray."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from engine.analytics import transitions_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        n = data.draw(st.integers(min_value=0, max_value=50))
+        uid = data.draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+        ts = data.draw(st.lists(st.integers(0, 30), min_size=n, max_size=n))
+        et = data.draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                                min_size=n, max_size=n))
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")
+                           if n else np.array([], dtype="datetime64[us]")),
+            "event_type": pa.array(et, pa.string()),
+        })
+        got = transitions_block(t).to_pandas()
+        got = {(r.from_type, r.to_type): r.n for r in got.itertuples()}
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        df["prev"] = df.groupby("user_id")["event_type"].shift()
+        df = df.dropna(subset=["prev"])
+        want = df.groupby(["prev", "event_type"]).size().to_dict()
+        assert got == want
+
+    prop()
+
+
+def test_above_avg_block_ties_and_singletons():
+    """Singleton customers (avg == own price) and exact-tie orders are
+    excluded by the STRICT inequality; cross-multiplication stays exact
+    at int64 scale."""
+    from engine.analytics import above_avg_block
+    t = pa.table({
+        "key": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 20, 30, 31], pa.int64()),
+        # cust 1: avg 200 -> only 300 qualifies; cust 2: singleton (tie);
+        # cust 3: equal pair (both tie)
+        "price_cents": pa.array([100, 200, 300, 500, 7, 7], pa.int64()),
+    })
+    out = above_avg_block(t)
+    assert out["o_orderkey"].to_pylist() == [12]

@@ -43,6 +43,20 @@ def test_ngram_jaccard_gate_fixtures_never_cap(ray_session):
              "raise _BUCKET_CAP")
 
 
+def test_edit_distance_gate_fixtures_never_cap(ray_session):
+    """SQL_EDIT_DISTANCE_PAIRS hardcodes 'false AS capped' + a full
+    blocked join, while the engine truncates a (lang, bucket) group's
+    candidates at _PAIR_CAP and flags the survivors.  Gate-scale equality
+    therefore requires that no blocking group in the gate fixtures ever
+    caps — enforce it here (same contract as the ngram-Jaccard test)."""
+    from engine.editsim import q_edit_distance_pairs
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = q_edit_distance_pairs(sf)
+        assert not out["capped"].any(), \
+            (f"{sf}: a (lang, bucket) group exceeded _PAIR_CAP — the gated "
+             "oracle no longer matches; shrink the group or raise the cap")
+
+
 def test_routing_has_no_hot_task(ray_session, sf_small, tmp_path):
     """Shuffle-free fan-out: the hot sink's rows are spread across every
     batch's own output files — no single task owns the hot key."""
