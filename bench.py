@@ -142,7 +142,8 @@ def run_bench() -> dict:
             if hasattr(res, "to_pandas"):
                 res.to_pandas()
 
-        for name in ("dedup_minhash_lsh", "simsearch_topk"):
+        for name in ("dedup_minhash_lsh", "simsearch_topk",
+                     "q3_revenue_topk"):
             fn = extras.EXTRA_QUERIES.get(name) or extras.ROWS_ONLY_QUERIES.get(name)
             if fn is None:
                 continue

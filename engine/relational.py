@@ -8,12 +8,15 @@ driver-side sets exist:
 
 * ``q_q3_revenue_topk`` — the TPC-H Q3 plan (segment-filtered customers
   ⋈ date-filtered orders ⋈ shipdate-filtered lineitem revenue, top-10 by
-  revenue): TWO hash exchanges, each carrying only what the next stage
-  needs.  Exchange 1 (on custkey) semi-joins orders to the qualifying
-  customers — customer rows carry the key only, order rows carry
-  (orderkey, orderdate).  Exchange 2 (on orderkey) joins the qualified
-  orders to PER-BATCH revenue partials of the filtered lineitems (one row
-  per (batch, orderkey) — lineitem rows themselves never shuffle), folds
+  revenue).  The custkey semi-join is DUAL-PATH, auto-selected by the
+  customer table's row count (the curate.py ``ID_BROADCAST_MAX``
+  recipe): dimension-sized customer tables broadcast the filtered key
+  set once (``ray.put`` + per-actor fetch + vectorized ``pc.is_in``
+  probe — no exchange at all), unbounded ones take a tagged-union hash
+  exchange on custkey carrying only (key, orderkey, orderdate).  The
+  orderkey stage is always an exchange: it joins the qualified orders
+  to PER-BATCH revenue partials of the filtered lineitems (one row per
+  (batch, orderkey) — lineitem rows themselves never shuffle), folds
   revenue per order, and emits only each partition's top-10, so the
   driver sees <= 10 x partitions candidate rows.
 
@@ -104,11 +107,40 @@ def fold_topk_block(t: pa.Table) -> pa.Table:
                      "revenue_micro": pa.array(rv[top])})
 
 
-def q_q3_revenue_topk(sf_dir: str):
+# customer/orders tables up to this many rows run the exchange-free plan
+# (filtered key sets broadcast via ray.put, revenue folded from partials);
+# beyond it the keyed exchanges take over — same dual-path contract as
+# curate.curate_to_parquet's ID_BROADCAST_MAX
+_BROADCAST_MAX = 5_000_000
+
+
+def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
     """TPC-H Q3 shape: top-10 orders by shipped revenue among BUILDING-
-    segment customers' pre-cutoff orders — two hash exchanges, partial
-    revenue combiners, per-partition top-10, no broadcast."""
+    segment customers' pre-cutoff orders.  Dual physical plan:
+
+    * ``broadcast`` (both customer AND orders parquet row counts <=
+      ``_BROADCAST_MAX``): the filtered custkey set broadcasts once; the
+      qualified (orderkey, orderdate) rows — bounded by the same gate —
+      collect once and their key set broadcasts to the lineitem pass,
+      which emits one revenue partial per (batch, qualified order); the
+      driver folds partials with one reduceat.  No shuffle anywhere.
+    * ``exchange`` (either side unbounded): the tagged-union custkey
+      exchange semi-join, then the orderkey exchange folding per-batch
+      lineitem revenue partials with a per-partition top-10 — fully
+      scalable, nothing broadcast, nothing driver-resident beyond
+      10 x partitions candidate rows.
+
+    ``auto`` picks by parquet metadata row counts.  Both plans are
+    pinned equal in tests/test_relational.py."""
+    import ray
+
+    from engine.pipeline import collect_tables
     from engine.stages import hash_group_exchange
+
+    if method == "auto":
+        small = max(_nrows(sf_dir, "customer"),
+                    _nrows(sf_dir, "orders")) <= _BROADCAST_MAX
+        method = "broadcast" if small else "exchange"
 
     def cust_side(t: pa.Table) -> pa.Table:
         keys = pc.cast(t.filter(pc.equal(t["c_mktsegment"],
@@ -158,6 +190,91 @@ def q_q3_revenue_topk(sf_dir: str):
             .map_batches(order_side, batch_format="pyarrow")
         return cust.union(orders)
 
+    _empty = pa.schema([("o_orderkey", pa.int64()),
+                        ("odate_us", pa.int64()),
+                        ("revenue_micro", pa.int64())])
+
+    if method == "broadcast":
+        def cust_keys(t: pa.Table) -> pa.Table:
+            return pa.table({"key": pc.cast(
+                t.filter(pc.equal(t["c_mktsegment"],
+                                  Q3_SEGMENT))["c_custkey"], pa.int64())})
+
+        keys_ds = _table(sf_dir, "customer") \
+            .select_columns(["c_custkey", "c_mktsegment"]) \
+            .map_batches(cust_keys, batch_format="pyarrow")
+        tabs = [t for t in collect_tables(keys_ds) if t.num_columns]
+        keys = (pc.unique(pa.concat_tables(tabs)["key"].combine_chunks())
+                if tabs else pa.array([], pa.int64()))
+        keys_ref = ray.put(keys)
+
+        def probe_orders(t: pa.Table) -> pa.Table:
+            kept = order_side(t)     # date filter + (key=custkey, okey, ...)
+            mask = pc.is_in(kept["key"],
+                            value_set=ray.get(keys_ref))  # local plasma hit
+            kept = kept.filter(mask)
+            return pa.table({"okey": kept["okey"],
+                             "odate_us": kept["odate_us"]})
+
+        q_tabs = [t for t in collect_tables(
+            _table(sf_dir, "orders")
+            .select_columns(["o_custkey", "o_orderkey", "o_orderdate"])
+            .map_batches(probe_orders, batch_format="pyarrow"))
+            if t.num_columns]
+        qt = pa.concat_tables(q_tabs) if q_tabs else None
+        if qt is None or qt.num_rows == 0:
+            return _empty.empty_table().to_pandas()
+        okey = qt["okey"].to_numpy(zero_copy_only=False)
+        odate = qt["odate_us"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okey)
+        okey, odate = okey[order], odate[order]
+        okey_ref = ray.put(pa.array(okey, pa.int64()))
+
+        def line_probe_partial(t: pa.Table) -> pa.Table:
+            sd = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            kept = t.filter(pa.array(sd > _CUTOFF_US))
+            kept = kept.filter(pc.is_in(
+                pc.cast(kept["l_orderkey"], pa.int64()),
+                value_set=ray.get(okey_ref)))
+            cents = _cents(kept["l_extendedprice"])
+            pct = 100 - np.floor(
+                kept["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+                + 0.5).astype(np.int64)
+            g = pa.TableGroupBy(pa.table({
+                "key": pc.cast(kept["l_orderkey"], pa.int64()),
+                "rev": pa.array(cents * pct)}), ["key"]) \
+                .aggregate([("rev", "sum")])
+            return pa.table({"key": g["key"],
+                             "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+        p_tabs = [t for t in collect_tables(
+            _table(sf_dir, "lineitem").select_columns(
+                ["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+            .map_batches(line_probe_partial, batch_format="pyarrow",
+                         batch_size=None)) if t.num_columns]
+        pt = pa.concat_tables(p_tabs) if p_tabs else None
+        if pt is None or pt.num_rows == 0:
+            return _empty.empty_table().to_pandas()
+        k = pt["key"].to_numpy(zero_copy_only=False)
+        r = pt["rev"].to_numpy(zero_copy_only=False)
+        o2 = np.argsort(k, kind="stable")
+        k, r = k[o2], r[o2]
+        new_g = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new_g)
+        gk = k[starts]
+        gr = np.add.reduceat(r, starts)
+        top = np.lexsort((gk, -gr))[:10]
+        gk, gr = gk[top], gr[top]
+        gdate = odate[np.searchsorted(okey, gk)]
+        import pandas as pd
+        return pd.DataFrame({"o_orderkey": gk.astype("int64"),
+                             "odate_us": gdate.astype("int64"),
+                             "revenue_micro": gr.astype("int64")}) \
+            .sort_values(["revenue_micro", "o_orderkey"],
+                         ascending=[False, True], ignore_index=True)
+
     qualified = hash_group_exchange(
         stage1, ["key"], semi_block, collect=False,
         rows_hint=_nrows(sf_dir, "customer") + _nrows(sf_dir, "orders"))
@@ -173,10 +290,7 @@ def q_q3_revenue_topk(sf_dir: str):
         stage2, ["key"], fold_topk_block, collect=True,
         rows_hint=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
     if df.empty:      # all partitions empty -> schema-less column-less frame
-        return pa.schema([("o_orderkey", pa.int64()),
-                          ("odate_us", pa.int64()),
-                          ("revenue_micro", pa.int64())]) \
-            .empty_table().to_pandas()
+        return _empty.empty_table().to_pandas()
     df = df.sort_values(["revenue_micro", "o_orderkey"],
                         ascending=[False, True], ignore_index=True).head(10)
     return df.astype({"o_orderkey": "int64", "odate_us": "int64",

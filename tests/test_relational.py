@@ -51,6 +51,19 @@ def test_q3_inner_join_and_filters(ray_session, micro_dir):
     assert out["revenue_micro"].tolist() == [10000 * 95 + 5000 * 100]
 
 
+def test_q3_broadcast_and_exchange_paths_agree(ray_session, micro_dir):
+    """The dual-path custkey semi-join: broadcast probe and keyed
+    exchange produce the identical top-k table (micro corpus + the
+    sf0.001 testdata)."""
+    import pandas as pd
+
+    from engine.relational import q_q3_revenue_topk
+    for d in (micro_dir, "/root/testdata/sf0.001"):
+        a = q_q3_revenue_topk(d, method="broadcast")
+        b = q_q3_revenue_topk(d, method="exchange")
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_q3_empty_result(ray_session, micro_dir):
     """No BUILDING customers at all: the semi-join empties the plan and
     the fold returns a typed empty frame."""
