@@ -514,3 +514,125 @@ SELECT doc_id, tf_total,
 FROM tf WHERE nterms = {len(_SEARCH_TERMS)}
 QUALIFY rank <= {_SEARCH_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF ranked retrieval (gated)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TERMS = ("dup", "merge", "scan")
+_TFIDF_K = 20
+_TFIDF_SCALE = 1_000_000
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Disjunctive TF-IDF retrieval: top ``_TFIDF_K`` docs by
+    ``sum_t tf(t, doc) * idf(t)`` over ``_TFIDF_TERMS``, where
+    ``idf(t) = (N * 1e6) // df(t)`` in exact integer arithmetic (no
+    float log — the value-hash gate stays deterministic; the idf
+    ORDERING matches log-idf since x -> N//x is monotone).
+
+    Two linear passes, no shuffle: pass 1 folds per-batch document-
+    frequency partials (one row per term per batch) into the tiny global
+    df vector; pass 2 re-scans with the idf weights inlined, scores each
+    doc vectorized (one ``pc.equal`` + segment-sum per term) and forwards
+    only a per-batch top-K, so the driver folds <= K x blocks id-sized
+    rows.  At repeated-query scale, build the inverted index once (the
+    ``q_simsearch_lsh`` partitioned layout) and score postings instead.
+    """
+    import pyarrow.parquet as _pq
+
+    from engine.pipeline import collect_tables
+    from engine.text import _segment_sums, _split_tokens
+    terms = _TFIDF_TERMS
+    k = _TFIDF_K
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        dfs = np.empty(len(terms), dtype=np.int64)
+        for i, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            dfs[i] = int((_segment_sums(hit.astype(np.int64), offs) > 0)
+                         .sum())
+        return pa.table({"term_idx": pa.array(np.arange(len(terms),
+                                                        dtype=np.int64)),
+                         "df": pa.array(dfs)})
+
+    parts = [b for b in collect_tables(
+        _docs(sf_dir, ["text"]).map_batches(
+            df_partial, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    df_vec = np.zeros(len(terms), dtype=np.int64)
+    for b in parts:
+        df_vec[b["term_idx"].to_numpy(zero_copy_only=False)] += \
+            b["df"].to_numpy(zero_copy_only=False)
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    idf = np.where(df_vec > 0,
+                   (n_docs * _TFIDF_SCALE) // np.maximum(df_vec, 1),
+                   0).astype(np.int64)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.zeros(t.num_rows, dtype=np.int64)
+        for i, term in enumerate(terms):
+            if idf[i] == 0:
+                continue
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            score += _segment_sums(hit.astype(np.int64), offs) * idf[i]
+        m = score > 0
+        ids, sc = ids[m], score[m]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(sc[order])})
+
+    tabs = [b for b in collect_tables(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            score_topk, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    ct = pa.concat_tables(tabs)
+    ids = ct["doc_id"].to_numpy(zero_copy_only=False)
+    sc = ct["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "score": pa.array(sc[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+_TFIDF_TERMS_SQL = ", ".join(f"'{t}'" for t in _TFIDF_TERMS)
+
+SQL_TFIDF_TOPK = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS word
+  FROM documents
+), d AS (
+  SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM w
+  WHERE word IN ({_TFIDF_TERMS_SQL}) GROUP BY 1
+), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+idf AS (SELECT word, (n.n * {_TFIDF_SCALE}) // d.df AS idf FROM d, n),
+tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM w
+  WHERE word IN ({_TFIDF_TERMS_SQL}) GROUP BY 1, 2
+), s AS (
+  SELECT tf.doc_id, sum(tf.tf * idf.idf)::BIGINT AS score
+  FROM tf JOIN idf USING (word) GROUP BY 1
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM s
+QUALIFY rank <= {_TFIDF_K}
+"""

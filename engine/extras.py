@@ -28,6 +28,8 @@ EXTRA_QUERIES = {
     "orders_above_customer_avg": analytics.q_orders_above_customer_avg,
     # fact-to-fact join plans
     "q3_revenue_topk": relational.q_q3_revenue_topk,
+    "q18_big_orders": relational.q_q18_big_orders,
+    "q4_priority_counts": relational.q_q4_priority_counts,
     # edit-distance near-dup family
     "edit_distance_pairs": editsim.q_edit_distance_pairs,
     # text analysis
@@ -68,6 +70,7 @@ EXTRA_QUERIES = {
     "shuffle_shards": corpus.q_shuffle_shards,
     "source_cap": corpus.q_source_cap,
     "keyword_search": corpus.q_keyword_search,
+    "tfidf_topk": corpus.q_tfidf_topk,
     "cross_corpus_dedup": decontam.q_cross_corpus_dedup,
     "knn_join": simsearch.q_knn_join,
     "knn_join_ivf": simsearch.q_knn_join_ivf,
@@ -113,6 +116,8 @@ EXTRA_ORACLE_SQL = {
     "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
     "orders_above_customer_avg": analytics.SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "q3_revenue_topk": relational.SQL_Q3_REVENUE_TOPK,
+    "q18_big_orders": relational.SQL_Q18_BIG_ORDERS,
+    "q4_priority_counts": relational.SQL_Q4_PRIORITY_COUNTS,
     "edit_distance_pairs": editsim.SQL_EDIT_DISTANCE_PAIRS,
     "text_stats": text.SQL_TEXT_STATS,
     "token_counts": text.SQL_TOKEN_COUNTS,
@@ -136,6 +141,7 @@ EXTRA_ORACLE_SQL = {
     "shuffle_shards": corpus.SQL_SHUFFLE_SHARDS,
     "source_cap": corpus.SQL_SOURCE_CAP,
     "keyword_search": corpus.SQL_KEYWORD_SEARCH,
+    "tfidf_topk": corpus.SQL_TFIDF_TOPK,
     "cross_corpus_dedup": decontam.SQL_CROSS_CORPUS_DEDUP,
     "knn_join": simsearch.SQL_KNN_JOIN,
     "curate_corpus": curate.SQL_CURATE_CORPUS,

@@ -297,6 +297,216 @@ def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
                       "revenue_micro": "int64"})
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (grouped HAVING -> join back)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 250
+
+
+def q_q18_big_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``_Q18_MIN_QTY``, with the order's custkey / date / price attached.
+
+    ONE orderkey hash exchange, nothing broadcast: lineitem rows reduce
+    to per-(batch, orderkey) quantity partials before the exchange (the
+    rows themselves never shuffle), order rows ride the same tagged
+    union, and each partition folds its whole key groups in one
+    lexsort + reduceat pass, emitting only the orders past the HAVING
+    gate — the driver sees just the qualifying rows, which the HAVING
+    threshold bounds by construction.  Quantities are integral in the
+    corpus; both sides sum exact int64 units so the value-hash gate is
+    deterministic."""
+    from engine.stages import hash_group_exchange
+
+    def order_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        n = t.num_rows
+        return pa.table({"key": pc.cast(t["o_orderkey"], pa.int64()),
+                         "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "odate_us": pa.array(od),
+                         "aux": _cents(t["o_totalprice"]),
+                         "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        qty = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                       + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "qty": pa.array(qty)}), ["key"]).aggregate([("qty", "sum")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "custkey": pa.nulls(m, pa.int64()),
+                         "odate_us": pa.nulls(m, pa.int64()),
+                         "aux": pc.cast(g["qty_sum"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def having_block(t: pa.Table) -> pa.Table:
+        empty = pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+            ("odate_us", pa.int64()), ("price_cents", pa.int64()),
+            ("total_qty", pa.int64())]).empty_table()
+        n = t.num_rows
+        if n == 0:
+            return empty
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        aux = t["aux"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))          # order row leads its group
+        key, side, aux = key[order], side[order], aux[order]
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new_g)
+        qty = np.add.reduceat(np.where(side == 1, aux, 0), starts)
+        keep = (side[starts] == 0) & (qty > _Q18_MIN_QTY)
+        if not keep.any():
+            return empty
+        lead = starts[keep]                      # the order rows
+        ck = t["custkey"].to_numpy(zero_copy_only=False)[order][lead]
+        od = t["odate_us"].to_numpy(zero_copy_only=False)[order][lead]
+        return pa.table({"o_orderkey": pa.array(key[lead]),
+                         "o_custkey": pa.array(ck.astype(np.int64)),
+                         "odate_us": pa.array(od.astype(np.int64)),
+                         "price_cents": pa.array(aux[lead]),
+                         "total_qty": pa.array(qty[keep])})
+
+    def stage():
+        orders = _table(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+            .map_batches(order_side, batch_format="pyarrow")
+        lines = _table(sf_dir, "lineitem") \
+            .select_columns(["l_orderkey", "l_quantity"]) \
+            .map_batches(line_partial, batch_format="pyarrow",
+                         batch_size=None)
+        return orders.union(lines)
+
+    df = hash_group_exchange(
+        stage, ["key"], having_block, collect=True,
+        rows_hint=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
+    cols = ["o_orderkey", "o_custkey", "odate_us", "price_cents",
+            "total_qty"]
+    if df.empty:
+        return pa.schema([(c, pa.int64()) for c in cols]).empty_table() \
+            .to_pandas()
+    return df.sort_values("o_orderkey", ignore_index=True) \
+        .astype({c: "int64" for c in cols})[cols]
+
+
+SQL_Q18_BIG_ORDERS = f"""
+WITH q AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > {_Q18_MIN_QTY})
+SELECT o.o_orderkey::BIGINT AS o_orderkey,
+       o.o_custkey::BIGINT AS o_custkey,
+       epoch_us(o.o_orderdate)::BIGINT AS odate_us,
+       CAST(floor(o.o_totalprice*100.0 + 0.5) AS BIGINT) AS price_cents,
+       q.total_qty
+FROM orders o JOIN q ON q.l_orderkey = o.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join -> priority counts
+# ---------------------------------------------------------------------------
+
+_Q4_LO = np.datetime64("1996-01-01T00:00:00", "us")
+_Q4_HI = np.datetime64("1996-07-01T00:00:00", "us")
+_Q4_MIN_QTY = 45.0
+
+
+def q_q4_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape: count orders per priority in a half-year window
+    where EXISTS a lineitem with quantity > 45.
+
+    ONE orderkey hash exchange: the lineitem side collapses to per-batch
+    DISTINCT qualifying orderkeys before the exchange (dedup partials —
+    raw matches never shuffle), the date-filtered order rows carry only
+    (key, priority), and each partition semi-joins its whole key groups
+    in one isin pass, emitting (priority, count) partials — at most 5
+    rows per partition cross to the driver fold."""
+    from engine.stages import hash_group_exchange
+
+    lo = int(_Q4_LO.astype(np.int64))
+    hi = int(_Q4_HI.astype(np.int64))
+
+    def order_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        kept = t.filter(pa.array((od >= lo) & (od < hi)))
+        n = kept.num_rows
+        return pa.table({"key": pc.cast(kept["o_orderkey"], pa.int64()),
+                         "prio": kept["o_orderpriority"],
+                         "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def line_distinct(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keys = pc.cast(t["l_orderkey"], pa.int64()) \
+            .filter(pa.array(qty > _Q4_MIN_QTY))
+        u = pc.unique(keys)
+        n = len(u)
+        return pa.table({"key": u,
+                         "prio": pa.nulls(n, pa.string()),
+                         "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def count_block(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("o_orderpriority", pa.string()),
+                           ("order_count", pa.int64())]).empty_table()
+        if t.num_rows == 0:
+            return empty
+        key = t["key"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        hits = key[side == 1]
+        orders = t.filter(pa.array(side == 0))
+        if orders.num_rows == 0 or len(hits) == 0:
+            return empty
+        ok = np.isin(orders["key"].to_numpy(zero_copy_only=False), hits)
+        kept = orders.filter(pa.array(ok))
+        if kept.num_rows == 0:
+            return empty
+        g = pa.TableGroupBy(pa.table({"prio": kept["prio"]}), ["prio"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g["prio"],
+                         "order_count": pc.cast(g["count_all"], pa.int64())})
+
+    def stage():
+        orders = _table(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .map_batches(order_side, batch_format="pyarrow")
+        lines = _table(sf_dir, "lineitem") \
+            .select_columns(["l_orderkey", "l_quantity"]) \
+            .map_batches(line_distinct, batch_format="pyarrow",
+                         batch_size=None)
+        return orders.union(lines)
+
+    df = hash_group_exchange(
+        stage, ["key"], count_block, collect=True,
+        rows_hint=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
+    if df.empty:
+        return pa.schema([("o_orderpriority", pa.string()),
+                          ("order_count", pa.int64())]).empty_table() \
+            .to_pandas()
+    out = df.groupby("o_orderpriority", as_index=False, dropna=False) \
+        ["order_count"].sum() \
+        .sort_values("o_orderpriority", ignore_index=True)
+    out["order_count"] = out["order_count"].astype("int64")
+    return out
+
+
+SQL_Q4_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 SQL_Q3_REVENUE_TOPK = """
 WITH rev AS (
   SELECT l_orderkey,

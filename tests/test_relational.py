@@ -125,3 +125,55 @@ def test_above_avg_block_ties_and_singletons():
     })
     out = above_avg_block(t)
     assert out["o_orderkey"].to_pylist() == [12]
+
+
+# ---------------------------------------------------------------------------
+# Q18 / Q4 block kernels (unit level — the sf-corpus gate mirror covers the
+# end-to-end plans; these isolate the per-partition group folds)
+# ---------------------------------------------------------------------------
+
+def test_q18_q4_micro_end_to_end(ray_session, tmp_path):
+    """Micro corpus through the real exchange plans: inner-join drops,
+    HAVING boundary (= threshold excluded), EXISTS dedup (two qualifying
+    lineitems count the order once)."""
+    import pandas as pd
+
+    from engine.relational import (_Q4_LO, _Q18_MIN_QTY, q_q4_priority_counts,
+                                   q_q18_big_orders)
+    tmp = str(tmp_path)
+    inside = _Q4_LO + np.timedelta64(5, "D")
+    _write(tmp, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], pa.int64()),
+        "o_orderdate": pa.array([inside, inside, inside]),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"],
+    }))
+    _write(tmp, "lineitem", pa.table({
+        # order 1: total qty exactly at threshold (excluded) but TWO
+        # qty>45 rows (counted once by EXISTS); order 2: passes HAVING
+        # via six small rows, none qty>45; order 3: no lineitems at all
+        "l_orderkey": pa.array([1, 1] + [2] * 6, pa.int64()),
+        "l_quantity": pa.array([200.0, 50.0] + [44.0] * 6),
+    }))
+    big = q_q18_big_orders(tmp)
+    assert list(big["o_orderkey"]) == [2]
+    assert list(big["total_qty"]) == [264]
+    prio = q_q4_priority_counts(tmp)
+    assert prio.to_dict("records") == [
+        {"o_orderpriority": "1-URGENT", "order_count": 1}]
+    assert isinstance(prio, pd.DataFrame)
+
+
+def test_tfidf_zero_df_term_contributes_nothing(ray_session, tmp_path):
+    import engine.corpus as corpus
+    tmp = str(tmp_path)
+    _write(tmp, "documents", pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["dup dup merge", "merge", "plain words only"],
+    }))
+    out = corpus.q_tfidf_topk(tmp).to_pandas()
+    # df: dup=1, merge=2, scan=0 -> idf 3e6, 1.5e6, skipped
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["score"]) == [2 * 3_000_000 + 1_500_000, 1_500_000]
+    assert list(out["rank"]) == [1, 2]
