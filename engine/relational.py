@@ -304,6 +304,37 @@ def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
 _Q18_MIN_QTY = 250
 
 
+def q18_having_block(t: pa.Table) -> pa.Table:
+    empty = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("odate_us", pa.int64()), ("price_cents", pa.int64()),
+        ("total_qty", pa.int64())]).empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    key = t["key"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    aux = t["aux"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, key))          # order row leads its group
+    key, side, aux = key[order], side[order], aux[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_g)
+    qty = np.add.reduceat(np.where(side == 1, aux, 0), starts)
+    keep = (side[starts] == 0) & (qty > _Q18_MIN_QTY)
+    if not keep.any():
+        return empty
+    lead = starts[keep]                      # the order rows
+    ck = t["custkey"].to_numpy(zero_copy_only=False)[order][lead]
+    od = t["odate_us"].to_numpy(zero_copy_only=False)[order][lead]
+    return pa.table({"o_orderkey": pa.array(key[lead]),
+                     "o_custkey": pa.array(ck.astype(np.int64)),
+                     "odate_us": pa.array(od.astype(np.int64)),
+                     "price_cents": pa.array(aux[lead]),
+                     "total_qty": pa.array(qty[keep])})
+
+
 def q_q18_big_orders(sf_dir: str):
     """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
     ``_Q18_MIN_QTY``, with the order's custkey / date / price attached.
@@ -342,36 +373,6 @@ def q_q18_big_orders(sf_dir: str):
                          "aux": pc.cast(g["qty_sum"], pa.int64()),
                          "side": pa.array(np.ones(m, dtype=np.int8))})
 
-    def having_block(t: pa.Table) -> pa.Table:
-        empty = pa.schema([
-            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
-            ("odate_us", pa.int64()), ("price_cents", pa.int64()),
-            ("total_qty", pa.int64())]).empty_table()
-        n = t.num_rows
-        if n == 0:
-            return empty
-        key = t["key"].to_numpy(zero_copy_only=False)
-        side = t["side"].to_numpy(zero_copy_only=False)
-        aux = t["aux"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, key))          # order row leads its group
-        key, side, aux = key[order], side[order], aux[order]
-        new_g = np.empty(n, dtype=bool)
-        new_g[0] = True
-        new_g[1:] = key[1:] != key[:-1]
-        starts = np.flatnonzero(new_g)
-        qty = np.add.reduceat(np.where(side == 1, aux, 0), starts)
-        keep = (side[starts] == 0) & (qty > _Q18_MIN_QTY)
-        if not keep.any():
-            return empty
-        lead = starts[keep]                      # the order rows
-        ck = t["custkey"].to_numpy(zero_copy_only=False)[order][lead]
-        od = t["odate_us"].to_numpy(zero_copy_only=False)[order][lead]
-        return pa.table({"o_orderkey": pa.array(key[lead]),
-                         "o_custkey": pa.array(ck.astype(np.int64)),
-                         "odate_us": pa.array(od.astype(np.int64)),
-                         "price_cents": pa.array(aux[lead]),
-                         "total_qty": pa.array(qty[keep])})
-
     def stage():
         orders = _table(sf_dir, "orders").select_columns(
             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
@@ -383,7 +384,7 @@ def q_q18_big_orders(sf_dir: str):
         return orders.union(lines)
 
     df = hash_group_exchange(
-        stage, ["key"], having_block, collect=True,
+        stage, ["key"], q18_having_block, collect=True,
         rows_hint=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
     cols = ["o_orderkey", "o_custkey", "odate_us", "price_cents",
             "total_qty"]
@@ -416,6 +417,27 @@ ORDER BY o_orderkey
 _Q4_LO = np.datetime64("1996-01-01T00:00:00", "us")
 _Q4_HI = np.datetime64("1996-07-01T00:00:00", "us")
 _Q4_MIN_QTY = 45.0
+
+
+def q4_count_block(t: pa.Table) -> pa.Table:
+    empty = pa.schema([("o_orderpriority", pa.string()),
+                       ("order_count", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    key = t["key"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    hits = key[side == 1]
+    orders = t.filter(pa.array(side == 0))
+    if orders.num_rows == 0 or len(hits) == 0:
+        return empty
+    ok = np.isin(orders["key"].to_numpy(zero_copy_only=False), hits)
+    kept = orders.filter(pa.array(ok))
+    if kept.num_rows == 0:
+        return empty
+    g = pa.TableGroupBy(pa.table({"prio": kept["prio"]}), ["prio"]) \
+        .aggregate([([], "count_all")])
+    return pa.table({"o_orderpriority": g["prio"],
+                     "order_count": pc.cast(g["count_all"], pa.int64())})
 
 
 def q_q4_priority_counts(sf_dir: str):
@@ -452,26 +474,6 @@ def q_q4_priority_counts(sf_dir: str):
                          "prio": pa.nulls(n, pa.string()),
                          "side": pa.array(np.ones(n, dtype=np.int8))})
 
-    def count_block(t: pa.Table) -> pa.Table:
-        empty = pa.schema([("o_orderpriority", pa.string()),
-                           ("order_count", pa.int64())]).empty_table()
-        if t.num_rows == 0:
-            return empty
-        key = t["key"].to_numpy(zero_copy_only=False)
-        side = t["side"].to_numpy(zero_copy_only=False)
-        hits = key[side == 1]
-        orders = t.filter(pa.array(side == 0))
-        if orders.num_rows == 0 or len(hits) == 0:
-            return empty
-        ok = np.isin(orders["key"].to_numpy(zero_copy_only=False), hits)
-        kept = orders.filter(pa.array(ok))
-        if kept.num_rows == 0:
-            return empty
-        g = pa.TableGroupBy(pa.table({"prio": kept["prio"]}), ["prio"]) \
-            .aggregate([([], "count_all")])
-        return pa.table({"o_orderpriority": g["prio"],
-                         "order_count": pc.cast(g["count_all"], pa.int64())})
-
     def stage():
         orders = _table(sf_dir, "orders").select_columns(
             ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
@@ -483,7 +485,7 @@ def q_q4_priority_counts(sf_dir: str):
         return orders.union(lines)
 
     df = hash_group_exchange(
-        stage, ["key"], count_block, collect=True,
+        stage, ["key"], q4_count_block, collect=True,
         rows_hint=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
     if df.empty:
         return pa.schema([("o_orderpriority", pa.string()),

@@ -177,3 +177,74 @@ def test_tfidf_zero_df_term_contributes_nothing(ray_session, tmp_path):
     assert list(out["doc_id"]) == [1, 2]
     assert list(out["score"]) == [2 * 3_000_000 + 1_500_000, 1_500_000]
     assert list(out["rank"]) == [1, 2]
+
+
+def test_q18_having_block_random_vs_pandas():
+    """Property: q18_having_block == pandas groupby HAVING on random
+    tagged-union partitions.  Pure kernel — no Ray."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.relational import _Q18_MIN_QTY, q18_having_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        okeys = data.draw(st.lists(st.integers(0, 9), max_size=6,
+                                   unique=True))   # order rows, unique key
+        nl = data.draw(st.integers(min_value=0, max_value=40))
+        lkey = data.draw(st.lists(st.integers(0, 9), min_size=nl,
+                                  max_size=nl))    # quantity partials
+        lqty = data.draw(st.lists(
+            st.integers(0, _Q18_MIN_QTY), min_size=nl, max_size=nl))
+        rows = [(k, 100 + k, 1000 + k, 77 + k, 0) for k in okeys] + \
+               [(k, None, None, q, 1) for k, q in zip(lkey, lqty)]
+        t = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "odate_us": pa.array([r[2] for r in rows], pa.int64()),
+            "aux": pa.array([r[3] for r in rows], pa.int64()),
+            "side": pa.array([r[4] for r in rows], pa.int8()),
+        })
+        got = q18_having_block(t).to_pandas() \
+            .sort_values("o_orderkey", ignore_index=True)
+        want = []
+        for k in sorted(okeys):
+            qty = sum(q for kk, q in zip(lkey, lqty) if kk == k)
+            if qty > _Q18_MIN_QTY:
+                want.append((k, 100 + k, 1000 + k, 77 + k, qty))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    prop()
+
+
+def test_q4_count_block_random_vs_pandas():
+    """Property: q4_count_block == python semi-join + Counter on random
+    partitions (duplicate probe keys across batches included)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from engine.relational import q4_count_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        okeys = data.draw(st.lists(st.integers(0, 9), max_size=6,
+                                   unique=True))
+        prios = data.draw(st.lists(st.sampled_from(["1-URGENT", "5-LOW"]),
+                                   min_size=len(okeys),
+                                   max_size=len(okeys)))
+        hits = data.draw(st.lists(st.integers(0, 9), max_size=12))  # dupes ok
+        rows = [(k, p, 0) for k, p in zip(okeys, prios)] + \
+               [(k, None, 1) for k in hits]
+        t = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "prio": pa.array([r[1] for r in rows], pa.string()),
+            "side": pa.array([r[2] for r in rows], pa.int8()),
+        })
+        got = q4_count_block(t).to_pandas()
+        got = dict(zip(got["o_orderpriority"], got["order_count"]))
+        want = dict(Counter(p for k, p in zip(okeys, prios) if k in set(hits)))
+        assert got == want
+
+    prop()
