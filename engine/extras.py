@@ -98,6 +98,7 @@ EXTRA_QUERIES = {
     "source_mixture_sample_fast": decontam.q_source_mixture_sample_fast,
     # sketches / corpus profiling
     "kmv_distinct": sketch.q_kmv_distinct,
+    "heavy_hitters": sketch.q_heavy_hitters,
     "kmv_distinct_fast": sketch.q_kmv_distinct_fast,
     "token_quantiles": sketch.q_token_quantiles,
     "stratified_sample": sketch.q_stratified_sample,
@@ -157,6 +158,7 @@ EXTRA_ORACLE_SQL = {
     "decontaminate_fast": decontam.SQL_DECONTAMINATE,
     "source_mixture_sample": decontam.SQL_SOURCE_MIXTURE,
     "kmv_distinct": sketch.SQL_KMV_DISTINCT,
+    "heavy_hitters": sketch.SQL_HEAVY_HITTERS,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
     "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,
 }

@@ -282,3 +282,155 @@ SELECT doc_id, lang, hv,
 FROM h
 QUALIFY rank <= {_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters with exact verify (gated)
+# ---------------------------------------------------------------------------
+
+_MG_K = 512           # summary capacity per batch; MUST exceed _HH_DENOM
+_HH_DENOM = 200       # heavy hitter = word with count >= total_words // 200
+# the candidate prune only has teeth when slack n/(k+1) < threshold n/denom,
+# i.e. k+1 > denom; it also bounds |candidates| <= 1/(1/denom - 1/(k+1))
+assert _MG_K + 1 > _HH_DENOM
+
+
+def mg_compress(words: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction: keep at most ``k`` entries, decrementing
+    every count by the (k+1)-th largest so the survivors' counts are
+    UNDER-estimates with per-summary error <= n_batch/(k+1).  Vectorized:
+    one argsort, no per-item loop."""
+    if len(words) <= k:
+        return words, counts
+    order = np.argsort(-counts, kind="stable")
+    dec = counts[order[k]]                    # the (k+1)-th largest count
+    keep = order[:k]
+    kept_c = counts[keep] - dec
+    m = kept_c > 0
+    return words[keep][m], kept_c[m]
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT corpus heavy hitters (words with count >= total//_HH_DENOM)
+    in two linear passes with Misra-Gries-bounded state.
+
+    Pass 1: each batch computes exact in-batch word counts, compresses
+    them to a <= ``_MG_K``-entry Misra-Gries summary (undercount <=
+    n_batch/(k+1)) and emits it with the batch's token total — at most
+    k+1 tiny rows per batch cross to the driver regardless of vocabulary
+    size.  The driver folds summaries by word; MG's merge guarantee
+    (total undercount <= total_words/(k+1)) means every TRUE heavy
+    hitter survives the fold with
+    folded_count >= true_count - total/(k+1), so the candidate filter
+    ``folded + total//(k+1) >= threshold`` can never drop one (no false
+    negatives; proven adversarially in tests).  Pass 2 broadcasts the
+    <= k-word candidate list and counts ONLY those words exactly,
+    discarding MG's false positives — the output is therefore exact and
+    deterministic, equal to DuckDB's plain GROUP BY/HAVING at any block
+    partitioning.  At 10^12 tokens the exchange volume is k rows per
+    batch (pass 1) and |candidates| rows per batch (pass 2); the full
+    (word, count) table never materializes anywhere."""
+    from engine.text import _segment_sums, _split_tokens
+
+    def summary(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, _ = _split_tokens(pc.utf8_lower(txt))
+        # drop the zero-length artifact token empty docs produce
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        n_b = len(flat)
+        if n_b == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        vc = pc.value_counts(flat)
+        words = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        words, counts = mg_compress(words, counts, _MG_K)
+        # the batch token total rides a dedicated zero-length-word marker
+        # row (impossible as a real token — artifacts were filtered above),
+        # so it survives even when equal-count batches compress to nothing
+        m = len(words) + 1
+        n_col = np.zeros(m, dtype=np.int64)
+        n_col[0] = n_b
+        return pa.table({
+            "word": pa.array([""] + list(words), pa.string()),
+            "cnt": pa.array(np.concatenate([[0], counts]).astype(np.int64)),
+            "n_tok": pa.array(n_col)})
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["text"]) \
+        .map_batches(summary, batch_format="pyarrow", batch_size=None)
+    tabs = [b for b in collect_tables(ds) if b.num_columns]
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if not tabs:
+        return empty
+    folded = pa.concat_tables(tabs)
+    total = int(pc.sum(folded["n_tok"]).as_py() or 0)
+    if total == 0:
+        return empty
+    g = pa.TableGroupBy(folded.select(["word", "cnt"]), ["word"]) \
+        .aggregate([("cnt", "sum")])
+    thresh = total // _HH_DENOM
+    slack = total // (_MG_K + 1)
+    if thresh > slack:
+        cand = g.filter(pc.greater_equal(pc.add(g["cnt_sum"], slack),
+                                         pa.scalar(thresh)))
+        cand_words = pc.unique(cand["word"].combine_chunks())
+        if len(cand_words) == 0:
+            return empty
+    else:
+        # degenerate sub-denominator corpus (thresh rounds to <= slack):
+        # the no-false-negative guarantee needs thresh > slack, so verify
+        # every word exactly — only reachable when total < ~_HH_DENOM**2 /
+        # (_MG_K + 1 - _HH_DENOM) tokens, i.e. never at scale
+        cand_words = None
+
+    import ray
+    cand_ref = ray.put(cand_words)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, _ = _split_tokens(pc.utf8_lower(txt))
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        cset = ray.get(cand_ref)
+        hits = flat if cset is None else \
+            pc.drop_null(flat.filter(pc.is_in(flat, value_set=cset)))
+        if len(hits) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(hits)
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    ds2 = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"]) \
+        .map_batches(exact_counts, batch_format="pyarrow", batch_size=None)
+    tabs2 = [b for b in collect_tables(ds2) if b.num_columns]
+    if not tabs2:
+        return empty
+    g2 = pa.TableGroupBy(pa.concat_tables(tabs2), ["word"]) \
+        .aggregate([("cnt", "sum")])
+    out = g2.filter(pc.greater_equal(g2["cnt_sum"], pa.scalar(thresh)))
+    order = pc.sort_indices(out, sort_keys=[("word", "ascending")])
+    out = out.take(order)
+    return pa.table({"word": out["word"],
+                     "cnt": pc.cast(out["cnt_sum"], pa.int64())})
+
+
+SQL_HEAVY_HITTERS = rf"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+'))
+    AS word
+  FROM documents
+), n AS (SELECT count(*)::BIGINT AS n FROM w)
+SELECT word, count(*)::BIGINT AS cnt
+FROM w GROUP BY 1
+HAVING count(*) >= (SELECT n FROM n) // {_HH_DENOM}
+ORDER BY word
+"""

@@ -459,3 +459,82 @@ def test_cross_corpus_dedup_planted_duplicates(ray_session, tmp_path):
     assert not bool(df.loc[incoming_ids[1], "is_dup"])
     assert df.loc[incoming_ids[2], "n_existing_matches"] == 1
     _assert_matches_oracle(str(d), "cross_corpus_dedup")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_mg_compress_bound_property():
+    """MG reduction invariants on random count vectors: <= k survivors,
+    every survivor undercounts by <= n/(k+1), and any word with true
+    count > n/(k+1) survives."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.sketch import mg_compress
+
+    @settings(max_examples=100, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        m = data.draw(st.integers(min_value=0, max_value=80))
+        counts = np.array(
+            data.draw(st.lists(st.integers(1, 500), min_size=m, max_size=m)),
+            dtype=np.int64)
+        k = data.draw(st.integers(min_value=1, max_value=20))
+        words = np.array([f"w{i}" for i in range(m)], dtype=object)
+        kept_w, kept_c = mg_compress(words, counts, k)
+        n = int(counts.sum())
+        assert len(kept_w) <= k
+        true = dict(zip(words, counts))
+        for w, c in zip(kept_w, kept_c):
+            assert 0 < c <= true[w]
+            assert true[w] - c <= n // (k + 1)
+        kept = set(kept_w)
+        for w, c in true.items():
+            if c > n // (k + 1):
+                assert w in kept
+
+    prop()
+
+
+def test_heavy_hitters_compression_path_exact(ray_session, tmp_path,
+                                              monkeypatch):
+    """End-to-end with the summary ACTUALLY compressing (vocab >> k) and
+    the candidate prune active (thresh > slack): output equals the exact
+    GROUP BY/HAVING on a skewed synthetic corpus."""
+    from collections import Counter
+
+    import engine.sketch as sketch
+
+    monkeypatch.setattr(sketch, "_MG_K", 16)
+    monkeypatch.setattr(sketch, "_HH_DENOM", 4)
+    rng = np.random.default_rng(20260818)
+    # two genuinely heavy words + a 300-word tail
+    stream = (["hot"] * 2000 + ["warm"] * 900 +
+              [f"tail{i}" for i in rng.integers(0, 300, size=1100)])
+    rng.shuffle(stream)
+    docs = [" ".join(stream[i:i + 40]) for i in range(0, len(stream), 40)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    }), str(tmp_path / "documents.parquet"))
+    out = sketch.q_heavy_hitters(str(tmp_path)).to_pandas()
+    c = Counter(stream)
+    thresh = len(stream) // 4
+    want = sorted((w, n) for w, n in c.items() if n >= thresh)
+    assert list(map(tuple, out[["word", "cnt"]].itertuples(index=False))) \
+        == want
+    assert want and want[0][0] == "hot"      # the planted hitter is found
+
+
+def test_heavy_hitters_degenerate_tiny_corpus(ray_session, tmp_path):
+    """total < _HH_DENOM makes thresh 0 <= slack: the exact fallback
+    counts every word, matching HAVING count >= 0 (all vocab)."""
+    import engine.sketch as sketch
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b a", ""]),
+    }), str(tmp_path / "documents.parquet"))
+    out = sketch.q_heavy_hitters(str(tmp_path)).to_pandas()
+    assert list(map(tuple, out[["word", "cnt"]].itertuples(index=False))) \
+        == [("a", 2), ("b", 1)]
