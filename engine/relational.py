@@ -113,6 +113,43 @@ def fold_topk_block(t: pa.Table) -> pa.Table:
 # curate.curate_to_parquet's ID_BROADCAST_MAX
 _BROADCAST_MAX = 5_000_000
 
+# runtime bloom pushdown for the exchange plan: 2^26 bits (8 MiB packed),
+# two splitmix64-derived probes per key.  Driver-RESIDENT memory is the
+# fixed bitmap (vs the unbounded key set the broadcast plan holds), while
+# false positives only let useless rows ride the exchange — the semi-join
+# re-verifies exactly, so correctness never depends on the filter
+_BLOOM_BITS = 1 << 26
+
+
+def _bloom_positions(keys: np.ndarray):
+    """Two bit positions per int64 key (independent slices of one
+    splitmix64 mix)."""
+    h = np.ascontiguousarray(keys).astype(np.uint64)
+    from engine.dedup import _mix64
+    h = _mix64(h)
+    mask = np.uint64(_BLOOM_BITS - 1)
+    return ((h & mask).astype(np.int64),
+            ((h >> np.uint64(26)) & mask).astype(np.int64))
+
+
+def bloom_fold(pos_tables) -> np.ndarray:
+    """OR per-batch set-bit positions into one packed uint64 bitmap."""
+    bloom = np.zeros(_BLOOM_BITS >> 6, dtype=np.uint64)
+    for t in pos_tables:
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(bloom, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+    return bloom
+
+
+def bloom_test(bloom: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Membership mask; guaranteed True for every inserted key."""
+    h1, h2 = _bloom_positions(keys)
+    one = np.uint64(1)
+    b1 = (bloom[h1 >> 6] >> (h1 & 63).astype(np.uint64)) & one
+    b2 = (bloom[h2 >> 6] >> (h2 & 63).astype(np.uint64)) & one
+    return (b1 & b2).astype(bool)
+
 
 def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
     """TPC-H Q3 shape: top-10 orders by shipped revenue among BUILDING-
@@ -127,8 +164,12 @@ def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
     * ``exchange`` (either side unbounded): the tagged-union custkey
       exchange semi-join, then the orderkey exchange folding per-batch
       lineitem revenue partials with a per-partition top-10 — fully
-      scalable, nothing broadcast, nothing driver-resident beyond
-      10 x partitions candidate rows.
+      scalable, nothing driver-resident beyond 10 x partitions candidate
+      rows plus the fixed 8 MiB runtime bloom of filtered custkeys that
+      prefilters order rows BEFORE they shuffle (at TPC-H selectivity
+      ~4/5 of order rows never ride the exchange; the semi-join
+      re-verifies exactly, so bloom false positives cost bandwidth, never
+      correctness).
 
     ``auto`` picks by parquet metadata row counts.  Both plans are
     pinned equal in tests/test_relational.py."""
@@ -180,15 +221,6 @@ def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
                          "odate_us": pa.nulls(m, pa.int64()),
                          "rev_micro": pc.cast(g["rev_sum"], pa.int64()),
                          "side": pa.array(np.ones(m, dtype=np.int8))})
-
-    def stage1():
-        cust = _table(sf_dir, "customer") \
-            .select_columns(["c_custkey", "c_mktsegment"]) \
-            .map_batches(cust_side, batch_format="pyarrow")
-        orders = _table(sf_dir, "orders") \
-            .select_columns(["o_custkey", "o_orderkey", "o_orderdate"]) \
-            .map_batches(order_side, batch_format="pyarrow")
-        return cust.union(orders)
 
     _empty = pa.schema([("o_orderkey", pa.int64()),
                         ("odate_us", pa.int64()),
@@ -275,8 +307,45 @@ def q_q3_revenue_topk(sf_dir: str, method: str = "auto"):
             .sort_values(["revenue_micro", "o_orderkey"],
                          ascending=[False, True], ignore_index=True)
 
+    # exchange plan, with runtime bloom pushdown: one extra linear pass
+    # over the (already-scanned) customer columns folds the filtered
+    # custkeys into a fixed 8 MiB bitmap, and order rows that cannot match
+    # are dropped BEFORE the custkey exchange — at TPC-H selectivity ~4/5
+    # of order rows never shuffle.  No false negatives (bloom_test is
+    # guaranteed True for inserted keys); false positives just ride the
+    # exchange and die in semi_block's exact np.isin
+    def cust_keys_pos(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.filter(pc.equal(t["c_mktsegment"],
+                                         Q3_SEGMENT))["c_custkey"],
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        h1, h2 = _bloom_positions(keys)
+        return pa.table({"pos": pa.array(
+            np.unique(np.concatenate([h1, h2])))})
+
+    pos_tabs = [t for t in collect_tables(
+        _table(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_mktsegment"])
+        .map_batches(cust_keys_pos, batch_format="pyarrow"))
+        if t.num_columns]
+    bloom_ref = ray.put(bloom_fold(pos_tabs))
+
+    def order_side_bloom(t: pa.Table) -> pa.Table:
+        kept = order_side(t)
+        mask = bloom_test(ray.get(bloom_ref),
+                          kept["key"].to_numpy(zero_copy_only=False))
+        return kept.filter(pa.array(mask))
+
+    def stage1_bloom():
+        cust = _table(sf_dir, "customer") \
+            .select_columns(["c_custkey", "c_mktsegment"]) \
+            .map_batches(cust_side, batch_format="pyarrow")
+        orders = _table(sf_dir, "orders") \
+            .select_columns(["o_custkey", "o_orderkey", "o_orderdate"]) \
+            .map_batches(order_side_bloom, batch_format="pyarrow")
+        return cust.union(orders)
+
     qualified = hash_group_exchange(
-        stage1, ["key"], semi_block, collect=False,
+        stage1_bloom, ["key"], semi_block, collect=False,
         rows_hint=_nrows(sf_dir, "customer") + _nrows(sf_dir, "orders"))
 
     def stage2():

@@ -248,3 +248,32 @@ def test_q4_count_block_random_vs_pandas():
         assert got == want
 
     prop()
+
+
+def test_bloom_no_false_negatives_property():
+    """Every inserted key tests True regardless of collisions; random
+    probe keys measure (and bound) the false-positive side."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.relational import _bloom_positions, bloom_fold, bloom_test
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        keys = np.array(data.draw(st.lists(
+            st.integers(-2**62, 2**62), max_size=200)), dtype=np.int64)
+        h1, h2 = _bloom_positions(keys)
+        bloom = bloom_fold([pa.table({"pos": pa.array(
+            np.concatenate([h1, h2]))})]) if len(keys) else \
+            bloom_fold([])
+        if len(keys):
+            assert bloom_test(bloom, keys).all()
+        probes = np.array(data.draw(st.lists(
+            st.integers(-2**62, 2**62), max_size=50)), dtype=np.int64)
+        misses = probes[~np.isin(probes, keys)]
+        if len(misses):
+            # 200 keys x 2 bits in 2^26 slots: fp ~ (400/2^26)^2 — a hit
+            # on a miss here would indicate broken hashing, not bad luck
+            assert not bloom_test(bloom, misses).any()
+
+    prop()
