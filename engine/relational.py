@@ -92,7 +92,6 @@ def fold_topk_block(t: pa.Table) -> pa.Table:
     new_g[0] = True
     new_g[1:] = key[1:] != key[:-1]
     starts = np.flatnonzero(new_g)
-    counts = np.diff(np.append(starts, n))
     has_order = side[starts] == 0            # an order row sorts first
     has_rev = (np.add.reduceat((side == 1).astype(np.int64), starts)
                > 0)
