@@ -447,7 +447,22 @@ _NG_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
 _NG_B = np.array([0xD6E8FEB86659FD93, 0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
                   0x8EBC6AF09C88C6E3, 0x589965CC75374CC3], dtype=np.uint64)
 _DUP_BROADCAST_MAX = 5_000_000   # duplicated n-grams; beyond -> semi-join
-_JOIN_PARTITIONS = 16
+
+
+def _join_partitions(sf_dir: str) -> int:
+    """Partition count for the semijoin-regime native joins, sized by DATA
+    (the hash_group_exchange lesson: aggregator actors are the fixed cost
+    and scale with partition count, so small corpora must not pay for
+    partitions they can't fill).  The joined side is the distinct
+    (doc, n-gram) table — roughly docs x tokens-per-doc rows — targeted
+    at ~500k rows/partition via a ~128-token/doc estimate, clamped to
+    [16, 4096]."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    n_docs = _pq.read_metadata(
+        _os.path.join(sf_dir, "documents.parquet")).num_rows
+    return int(min(4096, max(16, (n_docs * 128) // 500_000)))
 
 #: observability for the flood tests: how the last dup-ngram query moved
 #: the duplicated set ("broadcast" = one sorted packed array via ray.put,
@@ -674,8 +689,9 @@ def _dup_ngram_stats_semijoin(sf_dir: str, dup_ds):
         dup_ds, pa.schema([("h1", pa.int64()), ("h2", pa.int64())]))
     side = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(doc_side, batch_format="pyarrow", batch_size=None)
+    nparts = _join_partitions(sf_dir)
     hits = side.join(dup_clean, join_type="inner",
-                     num_partitions=_JOIN_PARTITIONS, on=("h1", "h2"))
+                     num_partitions=nparts, on=("h1", "h2"))
     agg = hits.groupby("doc_id").aggregate(
         Sum("npos", alias_name="n_dup_pos"),
         Count("npos", alias_name="n_dup_ngrams"))
@@ -685,7 +701,7 @@ def _dup_ngram_stats_semijoin(sf_dir: str, dup_ds):
     tot = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(totals, batch_format="pyarrow", batch_size=None)
     out = tot.join(agg_clean, join_type="left_outer",
-                   num_partitions=_JOIN_PARTITIONS, on=("doc_id",))
+                   num_partitions=nparts, on=("doc_id",))
 
     def finalize(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -866,8 +882,9 @@ def _dup_span_removal_semijoin(sf_dir: str, dup_ds):
         dup_ds, pa.schema([("h1", pa.int64()), ("h2", pa.int64())]))
     pos = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(pos_rows, batch_format="pyarrow", batch_size=None)
+    nparts = _join_partitions(sf_dir)
     hits = pos.join(dup_clean, join_type="inner",
-                    num_partitions=_JOIN_PARTITIONS, on=("h1", "h2")) \
+                    num_partitions=nparts, on=("h1", "h2")) \
         .select_columns(["doc_id", "start"])
     from engine.stages import hash_group_exchange
     spans = hash_group_exchange(hits, ["doc_id"], fold_spans_block,
@@ -877,7 +894,7 @@ def _dup_span_removal_semijoin(sf_dir: str, dup_ds):
                           ("starts_bin", pa.binary())]))
     out = _docs(sf_dir, ["doc_id", "text"]) \
         .join(spans_clean, join_type="left_outer",
-              num_partitions=_JOIN_PARTITIONS, on=("doc_id",))
+              num_partitions=nparts, on=("doc_id",))
 
     def rewrite(t: pa.Table) -> pa.Table:
         flat, offs = _split_tokens(t["text"])
