@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from engine import (analytics, asof, bpe, classify, corpus, curate, decontam,
                     dedup, editsim, filters, multimodal, relational,
-                    simsearch, sketch, text)
+                    simsearch, sketch, streaming, text)
 
 EXTRA_QUERIES = {
     # as-of / range joins (point-in-time attribution)
@@ -99,6 +99,7 @@ EXTRA_QUERIES = {
     # sketches / corpus profiling
     "kmv_distinct": sketch.q_kmv_distinct,
     "heavy_hitters": sketch.q_heavy_hitters,
+    "late_data_watermark": streaming.q_late_data_watermark,
     "kmv_distinct_fast": sketch.q_kmv_distinct_fast,
     "token_quantiles": sketch.q_token_quantiles,
     "stratified_sample": sketch.q_stratified_sample,
@@ -159,6 +160,7 @@ EXTRA_ORACLE_SQL = {
     "source_mixture_sample": decontam.SQL_SOURCE_MIXTURE,
     "kmv_distinct": sketch.SQL_KMV_DISTINCT,
     "heavy_hitters": sketch.SQL_HEAVY_HITTERS,
+    "late_data_watermark": streaming.SQL_LATE_DATA_WATERMARK,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
     "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,
 }

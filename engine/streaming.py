@@ -129,3 +129,186 @@ SELECT user_id::BIGINT AS user_id,
        sum(CAST(floor(value*1000.0) AS BIGINT))::BIGINT AS sum_value_milli
 FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark / allowed-lateness late-data detection (gated)
+# ---------------------------------------------------------------------------
+
+_WM_JITTER_US = 2 * 3600 * 1_000_000     # arrival = ts + md5(event_id) % 2h
+_WM_LATENESS_US = 30 * 60 * 1_000_000    # allowed lateness 30 min
+_NO_WM = np.iinfo(np.int64).min          # "no watermark yet" sentinel
+
+
+def wm_scan_block(t: pa.Table) -> pa.Table:
+    """Per-partition kernel: whole arrival-range groups arrive co-located;
+    sort by (part, arrival, event_id), seed each part run with its
+    exclusive cross-partition carry (rides every row as ``carry``), and
+    compute the running exclusive max event time — the WATERMARK — in one
+    ``np.maximum.accumulate`` per run.  A row is late when its event time
+    has fallen more than the allowed lateness behind the watermark."""
+    empty = pa.schema([("event_id", pa.int64()), ("arrival_us", pa.int64()),
+                       ("ts_us", pa.int64()), ("late", pa.int64())]) \
+        .empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    part = t["part"].to_numpy(zero_copy_only=False)
+    arr = t["arrival_us"].to_numpy(zero_copy_only=False)
+    tsu = t["ts_us"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    carry = t["carry"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, arr, part))
+    part, arr, tsu, eid, carry = (part[order], arr[order], tsu[order],
+                                  eid[order], carry[order])
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = part[1:] != part[:-1]
+    starts = np.flatnonzero(new_g)
+    bounds = np.append(starts, n)
+    late = np.zeros(n, dtype=np.int64)
+    for i in range(len(starts)):             # few, large arrival ranges
+        s, e = bounds[i], bounds[i + 1]
+        prev = np.empty(e - s, dtype=np.int64)
+        prev[0] = carry[s]
+        if e - s > 1:
+            np.maximum.accumulate(tsu[s:e - 1], out=prev[1:])
+            np.maximum(prev[1:], carry[s], out=prev[1:])
+        has_wm = prev != _NO_WM
+        late[s:e] = (has_wm &
+                     (tsu[s:e] < prev - _WM_LATENESS_US)).astype(np.int64)
+    return pa.table({"event_id": pa.array(eid),
+                     "arrival_us": pa.array(arr),
+                     "ts_us": pa.array(tsu),
+                     "late": pa.array(late)})
+
+
+def q_late_data_watermark(sf_dir: str):
+    """Event-time watermark with allowed lateness over an out-of-order
+    arrival stream — flag every event that arrives after the watermark
+    (the running max event time seen so far) has passed it by more than
+    ``_WM_LATENESS_US`` (such events would miss their finalized window).
+
+    Arrival order is the event-id-keyed md5 jitter of the event time
+    (deterministic on both sides of the gate; a real deployment reads an
+    arrival-log column instead).  The computation is a GLOBAL ordered
+    prefix scan, distributed as a range partition over arrival time:
+
+    * partition id = (arrival - lo) // width is computable PER ROW from
+      parquet-statistics bounds — no global pass, no sort;
+    * pass 1 folds per-batch (partition, max event time) partials into
+      the tiny per-partition exclusive prefix-max carry vector (the only
+      driver state, one int64 per partition);
+    * one keyed exchange co-locates each arrival range whole, and
+      ``wm_scan_block`` finishes with one vectorized accumulate per
+      range — event rows ride exactly one exchange, the same budget as
+      a distributed sort, which a global order statistic inherently
+      needs.
+
+    At 10^12 rows the md5 jitter would swap for the splitmix64 fast twin
+    (the fingerprint_rolling_fast precedent); md5 is kept here because it
+    is the digest the DuckDB oracle shares."""
+    import pyarrow.parquet as _pq
+
+    from engine.pipeline import collect_tables
+    from engine.sketch import _md5_60
+    from engine.stages import hash_group_exchange
+
+    path = os.path.join(sf_dir, "events.parquet")
+    md = _pq.read_metadata(path)
+    n_rows = md.num_rows
+    lo_us = None
+    hi_us = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema == "ts" and c.statistics is not None \
+                    and c.statistics.has_min_max:
+                mn = int(np.datetime64(c.statistics.min, "us").astype(np.int64))
+                mx = int(np.datetime64(c.statistics.max, "us").astype(np.int64))
+                lo_us = mn if lo_us is None else min(lo_us, mn)
+                hi_us = mx if hi_us is None else max(hi_us, mx)
+    empty = pa.schema([("event_id", pa.int64()), ("arrival_us", pa.int64()),
+                       ("ts_us", pa.int64()), ("late", pa.int64())]) \
+        .empty_table()
+    if lo_us is None or n_rows == 0:
+        return empty
+    hi_us += _WM_JITTER_US                  # arrival upper bound
+    n_parts = max(8, n_rows // 500_000)
+    width = max(1, (hi_us - lo_us + n_parts) // n_parts)
+
+    from engine.io import read_parquet_clean
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tsu = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        arr = tsu + _md5_60(eid) % _WM_JITTER_US
+        return pa.table({"event_id": pa.array(eid),
+                         "ts_us": pa.array(tsu),
+                         "arrival_us": pa.array(arr),
+                         "part": pa.array((arr - lo_us) // width)})
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["part", "ts_us"]), ["part"]) \
+            .aggregate([("ts_us", "max")])
+        return pa.table({"part": g["part"],
+                         "mx": pc.cast(g["ts_us_max"], pa.int64())})
+
+    base = read_parquet_clean(path, columns=["event_id", "ts"]) \
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+    parts = [b for b in collect_tables(
+        base.map_batches(max_partial, batch_format="pyarrow"))
+        if b.num_columns]
+    per_part = np.full(n_parts + 1, _NO_WM, dtype=np.int64)
+    for b in parts:
+        p = b["part"].to_numpy(zero_copy_only=False)
+        m = b["mx"].to_numpy(zero_copy_only=False)
+        np.maximum.at(per_part, p, m)
+    # exclusive prefix max: carry[p] = max ts over all partitions < p
+    carries = np.full(n_parts + 1, _NO_WM, dtype=np.int64)
+    if n_parts:
+        np.maximum.accumulate(per_part[:-1], out=carries[1:])
+
+    import ray
+    carries_ref = ray.put(carries)
+
+    def attach_carry(t: pa.Table) -> pa.Table:
+        p = t["part"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "carry", pa.array(ray.get(carries_ref)[p]))
+
+    def stage():
+        return read_parquet_clean(path, columns=["event_id", "ts"]) \
+            .map_batches(derive, batch_format="pyarrow", batch_size=None) \
+            .map_batches(attach_carry, batch_format="pyarrow")
+
+    df = hash_group_exchange(stage, ["part"], wm_scan_block, collect=True,
+                             rows_hint=n_rows)
+    if df.empty:
+        return empty
+    cols = ["event_id", "arrival_us", "ts_us", "late"]
+    return df.sort_values("event_id", ignore_index=True) \
+        .astype({c: "int64" for c in cols})[cols]
+
+
+SQL_LATE_DATA_WATERMARK = f"""
+WITH a AS (
+  SELECT event_id::BIGINT AS event_id,
+         epoch_us(ts)::BIGINT AS ts_us,
+         (epoch_us(ts)
+          + ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+            % {_WM_JITTER_US})::BIGINT AS arrival_us
+  FROM events
+), m AS (
+  SELECT *, max(ts_us) OVER (ORDER BY arrival_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a
+)
+SELECT event_id, arrival_us, ts_us,
+       (CASE WHEN wm IS NOT NULL AND ts_us < wm - {_WM_LATENESS_US}
+             THEN 1 ELSE 0 END)::BIGINT AS late
+FROM m ORDER BY event_id
+"""

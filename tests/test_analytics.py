@@ -170,3 +170,85 @@ def test_quantiles_match_duckdb_rank_rule(ray_session, tmp_path):
     # group b (n=5, sorted 100..500): p25=200, p50=300, p75=400
     assert out.loc["b", ["p25_milli", "p50_milli", "p75_milli"]].tolist() \
         == [200, 300, 400]
+
+
+# ---------------------------------------------------------------------------
+# watermark / allowed-lateness late data
+# ---------------------------------------------------------------------------
+
+def test_wm_scan_block_random_vs_scalar():
+    """Property: wm_scan_block == a scalar running-max walk on random
+    partitioned streams (including NO_WM carries and sentinel parts)."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.streaming import _NO_WM, _WM_LATENESS_US, wm_scan_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        n = data.draw(st.integers(min_value=0, max_value=60))
+        part = data.draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+        arr = data.draw(st.lists(st.integers(0, 10**12), min_size=n,
+                                 max_size=n))
+        tsu = data.draw(st.lists(st.integers(0, 10**12), min_size=n,
+                                 max_size=n))
+        carry_by_part = {p: data.draw(st.sampled_from(
+            [_NO_WM, 0, 5 * 10**11, 10**12])) for p in set(part)}
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "part": pa.array(part, pa.int64()),
+            "arrival_us": pa.array(arr, pa.int64()),
+            "ts_us": pa.array(tsu, pa.int64()),
+            "carry": pa.array([carry_by_part[p] for p in part], pa.int64()),
+        })
+        got = wm_scan_block(t).to_pandas().set_index("event_id")["late"]
+        rows = sorted(zip(part, arr, range(n)))
+        wm = dict(carry_by_part)
+        for p, a, i in rows:
+            prev = wm[p]
+            want = int(prev != _NO_WM and tsu[i] < prev - _WM_LATENESS_US)
+            assert int(got.loc[i]) == want, (p, a, i)
+            wm[p] = max(prev, tsu[i])
+
+    prop()
+
+
+def test_late_data_watermark_micro_stream(ray_session, tmp_path):
+    """Crafted stream: an event arriving after a much-later event is late
+    only when the gap exceeds the allowed lateness; the first arrival
+    never is."""
+    import pyarrow.parquet as pq
+
+    import engine.streaming as streaming
+    L = streaming._WM_LATENESS_US
+    J = streaming._WM_JITTER_US
+    from engine.sketch import _md5_60
+    # choose event times so that, AFTER the deterministic md5 jitter,
+    # event B arrives first with a ts far ahead of A's (late) and C's
+    # (inside lateness): solve for ts via the known jitter values
+    jits = _md5_60(np.arange(100, dtype=np.int64)) % J
+    # pick ids whose fixed md5 jitters force arrival order B < A, B < C:
+    # jit_B + L + 1s < jit_A, jit_C  (B = watermark setter arrives first)
+    id_b = int(np.argmin(jits))
+    big = np.flatnonzero(jits > jits[id_b] + L + 2_000_000)
+    assert len(big) >= 2, "fixed md5 draw lacks two large jitters"
+    id_a, id_c = int(big[0]), int(big[1])
+    base = 1_700_000_000_000_000
+    ts_by_id = {id_b: base,                        # B: the watermark setter
+                id_a: base - L - 1_000_000,        # A: late by 1s past L
+                id_c: base - L + 1_000_000}        # C: within lateness
+    ids = sorted(ts_by_id)
+    ts = np.array([ts_by_id[i] for i in ids], dtype=np.int64)
+    arr_chk = {i: ts_by_id[i] + int(jits[i]) for i in ids}
+    assert arr_chk[id_b] < arr_chk[id_a] and arr_chk[id_b] < arr_chk[id_c]
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    }), str(tmp_path / "events.parquet"))
+    out = streaming.q_late_data_watermark(str(tmp_path)) \
+        .set_index("event_id")
+    arr = out["arrival_us"]
+    assert arr.loc[id_b] < arr.loc[id_a] and arr.loc[id_b] < arr.loc[id_c]
+    assert out["late"].loc[id_b] == 0              # first arrival: no wm
+    assert out["late"].loc[id_a] == 1              # past allowed lateness
+    assert out["late"].loc[id_c] == 0              # inside allowed lateness
