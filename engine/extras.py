@@ -100,6 +100,7 @@ EXTRA_QUERIES = {
     "kmv_distinct": sketch.q_kmv_distinct,
     "heavy_hitters": sketch.q_heavy_hitters,
     "late_data_watermark": streaming.q_late_data_watermark,
+    "window_finalize": streaming.q_window_finalize,
     "kmv_distinct_fast": sketch.q_kmv_distinct_fast,
     "token_quantiles": sketch.q_token_quantiles,
     "stratified_sample": sketch.q_stratified_sample,
@@ -161,6 +162,7 @@ EXTRA_ORACLE_SQL = {
     "kmv_distinct": sketch.SQL_KMV_DISTINCT,
     "heavy_hitters": sketch.SQL_HEAVY_HITTERS,
     "late_data_watermark": streaming.SQL_LATE_DATA_WATERMARK,
+    "window_finalize": streaming.SQL_WINDOW_FINALIZE,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
     "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,
 }

@@ -208,6 +208,23 @@ def q_late_data_watermark(sf_dir: str):
     At 10^12 rows the md5 jitter would swap for the splitmix64 fast twin
     (the fingerprint_rolling_fast precedent); md5 is kept here because it
     is the digest the DuckDB oracle shares."""
+    empty = pa.schema([("event_id", pa.int64()), ("arrival_us", pa.int64()),
+                       ("ts_us", pa.int64()), ("late", pa.int64())]) \
+        .empty_table()
+    df = _watermark_exchange(sf_dir, wm_scan_block)
+    if df is None or df.empty:
+        return empty
+    cols = ["event_id", "arrival_us", "ts_us", "late"]
+    return df.sort_values("event_id", ignore_index=True) \
+        .astype({c: "int64" for c in cols})[cols]
+
+
+def _watermark_exchange(sf_dir: str, block_fn):
+    """Shared watermark plan: derive jittered arrivals + range partitions,
+    fold the per-partition exclusive prefix-max carry vector, run ONE
+    keyed exchange with ``block_fn`` (wm_scan_block for event-level
+    output, wm_window_block for in-block window aggregation).  Returns
+    the collected DataFrame, or None when the table is empty."""
     import pyarrow.parquet as _pq
 
     from engine.pipeline import collect_tables
@@ -229,11 +246,8 @@ def q_late_data_watermark(sf_dir: str):
                 mx = int(np.datetime64(c.statistics.max, "us").astype(np.int64))
                 lo_us = mn if lo_us is None else min(lo_us, mn)
                 hi_us = mx if hi_us is None else max(hi_us, mx)
-    empty = pa.schema([("event_id", pa.int64()), ("arrival_us", pa.int64()),
-                       ("ts_us", pa.int64()), ("late", pa.int64())]) \
-        .empty_table()
     if lo_us is None or n_rows == 0:
-        return empty
+        return None
     hi_us += _WM_JITTER_US                  # arrival upper bound
     n_parts = max(8, n_rows // 500_000)
     width = max(1, (hi_us - lo_us + n_parts) // n_parts)
@@ -285,13 +299,8 @@ def q_late_data_watermark(sf_dir: str):
             .map_batches(derive, batch_format="pyarrow", batch_size=None) \
             .map_batches(attach_carry, batch_format="pyarrow")
 
-    df = hash_group_exchange(stage, ["part"], wm_scan_block, collect=True,
-                             rows_hint=n_rows)
-    if df.empty:
-        return empty
-    cols = ["event_id", "arrival_us", "ts_us", "late"]
-    return df.sort_values("event_id", ignore_index=True) \
-        .astype({c: "int64" for c in cols})[cols]
+    return hash_group_exchange(stage, ["part"], block_fn, collect=True,
+                               rows_hint=n_rows)
 
 
 SQL_LATE_DATA_WATERMARK = f"""
@@ -311,4 +320,68 @@ SELECT event_id, arrival_us, ts_us,
        (CASE WHEN wm IS NOT NULL AND ts_us < wm - {_WM_LATENESS_US}
              THEN 1 ELSE 0 END)::BIGINT AS late
 FROM m ORDER BY event_id
+"""
+
+
+def wm_window_block(t: pa.Table) -> pa.Table:
+    """Prefix-scan + in-block window aggregate: same watermark walk as
+    ``wm_scan_block`` but emitting per-(hour-window) on-time/late count
+    partials — one tiny row per window per partition crosses back."""
+    empty = pa.schema([("window", pa.int64()), ("n_on_time", pa.int64()),
+                       ("n_late", pa.int64())]).empty_table()
+    scanned = wm_scan_block(t)
+    if scanned.num_rows == 0:
+        return empty
+    win = scanned["ts_us"].to_numpy(zero_copy_only=False) // 3_600_000_000
+    late = scanned["late"].to_numpy(zero_copy_only=False)
+    g = pa.TableGroupBy(pa.table({
+        "window": pa.array(win),
+        "n_late": pa.array(late),
+        "n_on_time": pa.array(1 - late)}), ["window"]) \
+        .aggregate([("n_on_time", "sum"), ("n_late", "sum")])
+    return pa.table({"window": g["window"],
+                     "n_on_time": pc.cast(g["n_on_time_sum"], pa.int64()),
+                     "n_late": pc.cast(g["n_late_sum"], pa.int64())})
+
+
+def q_window_finalize(sf_dir: str):
+    """Allowed-lateness window emission: per tumbling hour window, how
+    many events arrived on time (counted in the finalized window) vs
+    late (would need a retraction / side output).  Same range-partitioned
+    prefix-scan plan as :func:`q_late_data_watermark`, but the block
+    kernel aggregates in place, so the exchange returns one row per
+    (window, partition) instead of per event — at 10^12 rows the driver
+    folds O(windows x partitions) int64 triples."""
+    df = _watermark_exchange(sf_dir, wm_window_block)
+    if df is None or df.empty:
+        return pa.schema([("window", pa.int64()), ("n_on_time", pa.int64()),
+                          ("n_late", pa.int64())]).empty_table().to_pandas()
+    out = df.groupby("window", as_index=False)[["n_on_time", "n_late"]] \
+        .sum().sort_values("window", ignore_index=True)
+    return out.astype({"window": "int64", "n_on_time": "int64",
+                       "n_late": "int64"})
+
+
+SQL_WINDOW_FINALIZE = f"""
+WITH a AS (
+  SELECT event_id::BIGINT AS event_id,
+         epoch_us(ts)::BIGINT AS ts_us,
+         (epoch_us(ts)
+          + ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+            % {_WM_JITTER_US})::BIGINT AS arrival_us
+  FROM events
+), m AS (
+  SELECT *, max(ts_us) OVER (ORDER BY arrival_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a
+), f AS (
+  SELECT ts_us // 3600000000 AS win,
+         (CASE WHEN wm IS NOT NULL AND ts_us < wm - {_WM_LATENESS_US}
+               THEN 1 ELSE 0 END) AS late
+  FROM m
+)
+SELECT win::BIGINT AS window,
+       sum(1 - late)::BIGINT AS n_on_time,
+       sum(late)::BIGINT AS n_late
+FROM f GROUP BY 1 ORDER BY 1
 """
