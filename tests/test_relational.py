@@ -277,3 +277,65 @@ def test_bloom_no_false_negatives_property():
             assert not bloom_test(bloom, misses).any()
 
     prop()
+
+
+def test_q18_q4_random_tables_vs_duckdb(ray_session, tmp_path):
+    """Fuzz the exchange plans against in-process DuckDB on random micro
+    corpora: orders without lineitems, lineitems without orders, HAVING
+    and date boundaries, duplicate qualifying rows."""
+    import duckdb
+    import pandas as pd
+
+    from engine.relational import (_Q4_LO, _Q4_HI, q_q4_priority_counts,
+                                   q_q18_big_orders)
+
+    rng = np.random.default_rng(20260818)
+    lo = _Q4_LO.astype("datetime64[us]").astype(np.int64)
+    hi = _Q4_HI.astype("datetime64[us]").astype(np.int64)
+    span = hi - lo
+    for trial in range(6):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        n_o = int(rng.integers(0, 30))
+        n_l = int(rng.integers(0, 120))
+        okeys = rng.choice(np.arange(1, 40), size=n_o, replace=False) \
+            if n_o else np.array([], dtype=np.int64)
+        odates = (lo + rng.integers(-span, 2 * span, size=n_o)) \
+            .astype("datetime64[us]")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(okeys.astype(np.int64)),
+            "o_custkey": pa.array(rng.integers(1, 10, size=n_o)
+                                  .astype(np.int64)),
+            "o_orderdate": pa.array(odates),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1, 9999, size=n_o), 2)),
+            "o_orderpriority": pa.array(
+                rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"], size=n_o)),
+        }), str(d / "orders.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(rng.integers(1, 45, size=n_l)
+                                   .astype(np.int64)),
+            "l_quantity": pa.array(rng.integers(1, 51, size=n_l)
+                                   .astype(np.float64)),
+        }), str(d / "lineitem.parquet"))
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        import __ray_entry__ as e
+        for name, fn in (("q18_big_orders", q_q18_big_orders),
+                         ("q4_priority_counts", q_q4_priority_counts)):
+            got = fn(str(d))
+            got = got.to_pandas() if hasattr(got, "to_pandas") else got
+            want = con.sql(e.oracle_sql()[name]).df()
+            got = got[sorted(got.columns)] \
+                .sort_values(by=sorted(got.columns), ignore_index=True)
+            want = want[sorted(want.columns)] \
+                .sort_values(by=sorted(want.columns), ignore_index=True)
+            for c in got.columns:
+                if pd.api.types.is_integer_dtype(got[c]):
+                    got[c] = got[c].astype("Int64")
+                if pd.api.types.is_integer_dtype(want[c]):
+                    want[c] = want[c].astype("Int64")
+            pd.testing.assert_frame_equal(got, want, check_dtype=False), \
+                (name, trial)
