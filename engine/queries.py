@@ -679,6 +679,186 @@ def q_order_revenue_bucketed_join(sf_dir: str, buckets: int = 8):
     return _finalize(out)
 
 
+#: observability for the skew tests: how the last skew join split the work
+LAST_SKEW_JOIN = {"hot_keys": 0, "hot_rows": 0, "cold_rows": 0}
+
+
+def q_order_revenue_skew_join(sf_dir: str):
+    """Both-sides-large join, SKEW-AWARE path: identical output to
+    ``q_order_revenue_native_join`` (same SQL oracle), but hot join keys
+    never enter the exchange.
+
+    1. A Misra-Gries pass over the probe side's key column (one <= 64-row
+       summary per batch — ``sketch.mg_compress`` reuse) nominates hot
+       keys: folded estimate above ``max(1024, rows // 1024)``.  MG's
+       undercount bound means a truly dominant key cannot hide; a false
+       nomination merely moves a small key to the (exact) map-side path.
+    2. The build side's rows for hot keys — one row per key, orders keys
+       are unique — broadcast once; hot probe rows join MAP-SIDE via one
+       searchsorted per batch and collapse to per-batch (priority, sum,
+       count) partials.  The hot key's row flood never crosses the wire.
+    3. Cold rows take the ordinary hash-partitioned ``Dataset.join``.
+
+    On uniform corpora the hot set is empty and the plan degenerates to
+    the native join (gate fixtures take that path); the planted-hot-key
+    equality + observability test lives in tests/test_skew.py."""
+    import ray
+
+    from engine.pipeline import collect_tables
+    from engine.sketch import mg_compress
+
+    li_cols = ["l_orderkey", "l_extendedprice", "l_discount"]
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["l_orderkey"], pa.int64())
+        vc = pc.value_counts(keys)
+        k = vc.field("values").to_numpy(zero_copy_only=False)
+        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c = mg_compress(k, c, 64)
+        return pa.table({"key": pa.array(k), "cnt": pa.array(c)})
+
+    parts = [b for b in collect_tables(
+        _table(sf_dir, "lineitem").select_columns(["l_orderkey"])
+        .map_batches(mg_partial, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    total = pq.read_metadata(
+        os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    if parts:
+        folded = pa.concat_tables(parts)
+        g = pa.TableGroupBy(folded.select(["key", "cnt"]), ["key"]) \
+            .aggregate([("cnt", "sum")])
+        thresh = max(1024, total // 1024)
+        hot = g.filter(pc.greater_equal(g["cnt_sum"], pa.scalar(thresh)))
+        hot_keys = np.sort(hot["key"].to_numpy(zero_copy_only=False))
+    else:
+        hot_keys = np.zeros(0, dtype=np.int64)
+    LAST_SKEW_JOIN["hot_keys"] = int(len(hot_keys))
+
+    from ray.data.aggregate import Sum
+
+    if len(hot_keys) == 0:
+        LAST_SKEW_JOIN["hot_rows"] = 0
+        LAST_SKEW_JOIN["cold_rows"] = -1      # not tracked on this path
+        return q_order_revenue_native_join(sf_dir)
+
+    hot_set = pa.array(hot_keys, pa.int64())
+
+    # build side for hot keys: one row per key (orders keys are unique)
+    def od_hot(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["o_orderkey"], pa.int64())
+        kept = t.filter(pc.is_in(keys, value_set=hot_set))
+        return pa.table({"key": pc.cast(kept["o_orderkey"], pa.int64()),
+                         "priority": kept["o_orderpriority"]})
+
+    bt = [b for b in collect_tables(
+        _table(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_orderpriority"])
+        .map_batches(od_hot, batch_format="pyarrow")) if b.num_columns]
+    build = pa.concat_tables(bt) if bt else \
+        pa.table({"key": pa.array([], pa.int64()),
+                  "priority": pa.array([], pa.string())})
+    bk = build["key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bk)
+    bk = bk[order]
+    bprio = build["priority"].to_numpy(zero_copy_only=False)[order]
+    build_ref = ray.put((bk, bprio))
+
+    def li_hot_partial(t: pa.Table) -> pa.Table:
+        r = _rev_cents(t)
+        m = pc.is_in(r["key"], value_set=hot_set)
+        kept = r.filter(m)
+        n = kept.num_rows
+        if n == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "hot_rows": pa.array([], pa.int64())})
+        keys, prio_k = ray.get(build_ref)
+        kk = kept["key"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, kk)
+        ok = (idx < len(keys))
+        idx = np.minimum(idx, max(len(keys) - 1, 0))
+        ok &= (keys[idx] == kk) if len(keys) else False
+        kept = kept.filter(pa.array(ok))          # inner-join semantics
+        if kept.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "hot_rows": pa.array([], pa.int64())})
+        prio = prio_k[idx[ok]]
+        g = pa.TableGroupBy(pa.table({
+            "o_orderpriority": pa.array(prio),
+            "revenue_cents": kept["revenue_cents"]}), ["o_orderpriority"]) \
+            .aggregate([("revenue_cents", "sum"),
+                        ("revenue_cents", "count")])
+        m_ = len(g)
+        hr = np.zeros(m_, dtype=np.int64)
+        hr[0] = kept.num_rows
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "revenue_cents": pc.cast(g["revenue_cents_sum"],
+                                                  pa.int64()),
+                         "n_items": pc.cast(g["revenue_cents_count"],
+                                            pa.int64()),
+                         "hot_rows": pa.array(hr)})
+
+    ht = [b for b in collect_tables(
+        _table(sf_dir, "lineitem").select_columns(li_cols)
+        .map_batches(li_hot_partial, batch_format="pyarrow",
+                     batch_size=None)) if b.num_columns]
+    hot_tab = pa.concat_tables(ht) if ht else None
+    LAST_SKEW_JOIN["hot_rows"] = \
+        int(pc.sum(hot_tab["hot_rows"]).as_py() or 0) if hot_tab is not None \
+        and hot_tab.num_rows else 0
+
+    # cold tail: the ordinary hash-partitioned native join
+    def li_cold(t: pa.Table) -> pa.Table:
+        r = _rev_cents(t)
+        return r.filter(pc.invert(pc.is_in(r["key"], value_set=hot_set)))
+
+    def od_cold(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["o_orderkey"], pa.int64())
+        return t.filter(pc.invert(pc.is_in(keys, value_set=hot_set)))
+
+    li = _table(sf_dir, "lineitem").select_columns(li_cols) \
+        .map_batches(li_cold, batch_format="pyarrow")
+    od = _table(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_orderpriority"]) \
+        .map_batches(od_cold, batch_format="pyarrow")
+    joined = li.join(od, join_type="inner", num_partitions=8,
+                     on=("key",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_orderpriority", "revenue_cents"]),
+                            "o_orderpriority").aggregate(
+            [("revenue_cents", "sum"), ("revenue_cents", "count")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "revenue_cents": g["revenue_cents_sum"],
+                         "n_items": pc.cast(g["revenue_cents_count"],
+                                            pa.int64())})
+
+    cold = [b for b in collect_tables(
+        joined.map_batches(partial, batch_format="pyarrow"))
+        if b.num_columns]
+    LAST_SKEW_JOIN["cold_rows"] = int(sum(
+        pc.sum(b["n_items"]).as_py() or 0 for b in cold))
+    tabs = cold + ([hot_tab.select(
+        ["o_orderpriority", "revenue_cents", "n_items"])]
+        if hot_tab is not None and hot_tab.num_rows else [])
+    if not tabs:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "revenue_cents": pa.array([], pa.int64()),
+                         "n_items": pa.array([], pa.int64())})
+    allp = pa.concat_tables(tabs)
+    g = pa.TableGroupBy(allp, ["o_orderpriority"]).aggregate(
+        [("revenue_cents", "sum"), ("n_items", "sum")])
+    out = pa.table({"o_orderpriority": g["o_orderpriority"],
+                    "revenue_cents": pc.cast(g["revenue_cents_sum"],
+                                             pa.int64()),
+                    "n_items": pc.cast(g["n_items_sum"], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("o_orderpriority", "ascending")])
+    return out.take(idx)
+
+
 SQL_ORDER_REVENUE = """
 SELECT o.o_orderpriority AS o_orderpriority,
        sum(CAST(floor(l.l_extendedprice*(1.0 - l.l_discount)*100.0 + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
@@ -804,6 +984,7 @@ QUERIES = {
     "tumbling_window_actors": _streaming.tumbling_window_counts,
     "order_revenue_native_join": q_order_revenue_native_join,
     "order_revenue_bucketed_join": q_order_revenue_bucketed_join,
+    "order_revenue_skew_join": q_order_revenue_skew_join,
     "distinct_source_lang": q_distinct_source_lang,
     "revision_logcode_join": q_revision_logcode_join,
     "agg_rows_by_revision": q_agg_rows_by_revision,
@@ -831,6 +1012,7 @@ ORACLE_SQL = {
     "tumbling_window_actors": _streaming.SQL_TUMBLING_WINDOW,
     "order_revenue_native_join": SQL_ORDER_REVENUE,
     "order_revenue_bucketed_join": SQL_ORDER_REVENUE,
+    "order_revenue_skew_join": SQL_ORDER_REVENUE,
     "distinct_source_lang": SQL_DISTINCT_SOURCE_LANG,
     "revision_logcode_join": SQL_REVISION_LOGCODE_JOIN,
     "agg_rows_by_revision": SQL_AGG_ROWS_BY_REVISION,

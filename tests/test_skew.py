@@ -186,3 +186,50 @@ def test_hash_exchange_empty_input(ray_session):
     out = hash_group_exchange(lambda: ray.data.from_arrow(t), ["k"], f,
                               num_partitions=4)
     assert len(out) == 0
+
+
+def test_skew_join_planted_hot_key(ray_session, tmp_path):
+    """A key holding ~half the probe rows must be detected by the MG pass
+    and joined map-side; output equals the native join bit-for-bit."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine import queries as q
+
+    rng = np.random.default_rng(7)
+    n_cold = 8000
+    hot_key = 99_999
+    lkey = np.concatenate([np.full(8000, hot_key, dtype=np.int64),
+                           rng.integers(1, 2000, size=n_cold)])
+    rng.shuffle(lkey)
+    n = len(lkey)
+    li = pa.table({
+        "l_orderkey": pa.array(lkey),
+        "l_extendedprice": pa.array(np.round(
+            rng.uniform(1, 1000, size=n), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, size=n), 2)),
+    })
+    okeys = np.unique(np.concatenate([[hot_key],
+                                      np.arange(1, 2000, dtype=np.int64)]))
+    od = pa.table({
+        "o_orderkey": pa.array(okeys),
+        "o_orderpriority": pa.array(
+            rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"], size=len(okeys))),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(od, str(tmp_path / "orders.parquet"))
+
+    skew = q.q_order_revenue_skew_join(str(tmp_path))
+    skew = skew.to_pandas() if hasattr(skew, "to_pandas") else skew
+    assert q.LAST_SKEW_JOIN["hot_keys"] >= 1
+    assert q.LAST_SKEW_JOIN["hot_rows"] == 8000   # the flood stayed map-side
+    assert 0 <= q.LAST_SKEW_JOIN["cold_rows"] <= n_cold
+
+    native = q.q_order_revenue_native_join(str(tmp_path))
+    native = native.to_pandas() if hasattr(native, "to_pandas") else native
+
+    def canon(df):
+        return df.sort_values("o_orderpriority", ignore_index=True) \
+            .astype({"revenue_cents": "int64", "n_items": "int64"})
+    pd.testing.assert_frame_equal(canon(skew), canon(native))
