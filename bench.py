@@ -143,7 +143,7 @@ def run_bench() -> dict:
                 res.to_pandas()
 
         for name in ("dedup_minhash_lsh", "simsearch_topk",
-                     "q3_revenue_topk"):
+                     "q3_revenue_topk", "late_data_watermark"):
             fn = extras.EXTRA_QUERIES.get(name) or extras.ROWS_ONLY_QUERIES.get(name)
             if fn is None:
                 continue
