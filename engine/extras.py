@@ -70,6 +70,7 @@ EXTRA_QUERIES = {
     "shuffle_shards": corpus.q_shuffle_shards,
     "source_cap": corpus.q_source_cap,
     "keyword_search": corpus.q_keyword_search,
+    "keyword_search_indexed": corpus.q_keyword_search_indexed,
     "tfidf_topk": corpus.q_tfidf_topk,
     "cross_corpus_dedup": decontam.q_cross_corpus_dedup,
     "knn_join": simsearch.q_knn_join,
@@ -144,6 +145,7 @@ EXTRA_ORACLE_SQL = {
     "shuffle_shards": corpus.SQL_SHUFFLE_SHARDS,
     "source_cap": corpus.SQL_SOURCE_CAP,
     "keyword_search": corpus.SQL_KEYWORD_SEARCH,
+    "keyword_search_indexed": corpus.SQL_KEYWORD_SEARCH,
     "tfidf_topk": corpus.SQL_TFIDF_TOPK,
     "cross_corpus_dedup": decontam.SQL_CROSS_CORPUS_DEDUP,
     "knn_join": simsearch.SQL_KNN_JOIN,

@@ -538,3 +538,20 @@ def test_heavy_hitters_degenerate_tiny_corpus(ray_session, tmp_path):
     out = sketch.q_heavy_hitters(str(tmp_path)).to_pandas()
     assert list(map(tuple, out[["word", "cnt"]].itertuples(index=False))) \
         == [("a", 2), ("b", 1)]
+
+
+def test_keyword_search_indexed_matches_scan_and_prunes(ray_session):
+    """The partitioned inverted index returns the identical top-k table
+    as the full-text scan while reading only the terms' bucket
+    partitions."""
+    import engine.corpus as corpus
+    sf = "/root/testdata/sf0.001"
+    a = corpus.q_keyword_search(sf).to_pandas()
+    b = corpus.q_keyword_search_indexed(sf).to_pandas()
+    assert a.equals(b)
+    scan = corpus.LAST_KEYWORD_SCAN
+    assert 0 < scan["rows_read"] < scan["rows_total"] * 0.35
+    # second call hits the cached index (same _SUCCESS marker)
+    d1 = corpus.inverted_index_dir(sf)
+    d2 = corpus.inverted_index_dir(sf)
+    assert d1 == d2
