@@ -763,3 +763,52 @@ def q_keyword_search_indexed(sf_dir: str):
         "tf_total": pa.array(tft[order]),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+def q_tfidf_topk_indexed(sf_dir: str):
+    """TF-IDF retrieval over the partitioned inverted index — identical
+    contract (and SQL oracle) to :func:`q_tfidf_topk`, zero corpus-text
+    reads at query time: document frequencies fall out of the postings
+    themselves (they are distinct per (word, doc)), and the score fold
+    touches only the terms' bucket partitions."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pqt
+
+    terms = _TFIDF_TERMS
+    k = _TFIDF_K
+    idx = inverted_index_dir(sf_dir)
+    files = []
+    for b in sorted(set(_word_bucket(terms).tolist())):
+        files += _glob.glob(os.path.join(idx, f"bucket={b}", "*.parquet"))
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64())})
+    if not files:
+        return empty
+    t = pads.dataset(files).to_table(columns=["word", "doc_id", "tf"])
+    t = t.filter(pc.is_in(t["word"], value_set=pa.array(list(terms))))
+    if t.num_rows == 0:
+        return empty
+    n_docs = _pqt.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    words = t["word"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    tf = t["tf"].to_numpy(zero_copy_only=False)
+    idf_by_term = {}
+    for term in terms:
+        df = int((words == term).sum())     # postings are distinct per doc
+        idf_by_term[term] = (n_docs * _TFIDF_SCALE) // df if df else 0
+    idf_row = np.array([idf_by_term[w] for w in words], dtype=np.int64)
+    uid, inv = np.unique(ids, return_inverse=True)
+    score = np.zeros(len(uid), dtype=np.int64)
+    np.add.at(score, inv, tf * idf_row)
+    m = score > 0
+    uid, score = uid[m], score[m]
+    order = np.lexsort((uid, -score))[:k]
+    return pa.table({
+        "doc_id": pa.array(uid[order]),
+        "score": pa.array(score[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

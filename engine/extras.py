@@ -72,6 +72,7 @@ EXTRA_QUERIES = {
     "keyword_search": corpus.q_keyword_search,
     "keyword_search_indexed": corpus.q_keyword_search_indexed,
     "tfidf_topk": corpus.q_tfidf_topk,
+    "tfidf_topk_indexed": corpus.q_tfidf_topk_indexed,
     "cross_corpus_dedup": decontam.q_cross_corpus_dedup,
     "knn_join": simsearch.q_knn_join,
     "knn_join_ivf": simsearch.q_knn_join_ivf,
@@ -147,6 +148,7 @@ EXTRA_ORACLE_SQL = {
     "keyword_search": corpus.SQL_KEYWORD_SEARCH,
     "keyword_search_indexed": corpus.SQL_KEYWORD_SEARCH,
     "tfidf_topk": corpus.SQL_TFIDF_TOPK,
+    "tfidf_topk_indexed": corpus.SQL_TFIDF_TOPK,
     "cross_corpus_dedup": decontam.SQL_CROSS_CORPUS_DEDUP,
     "knn_join": simsearch.SQL_KNN_JOIN,
     "curate_corpus": curate.SQL_CURATE_CORPUS,
