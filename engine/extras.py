@@ -8,7 +8,7 @@ check (LSH / sketches / stubs are not SQL-expressible).
 from __future__ import annotations
 
 from engine import (analytics, asof, bpe, classify, corpus, curate, decontam,
-                    dedup, editsim, filters, multimodal, relational,
+                    dedup, editsim, filters, multimodal, relational, robust,
                     simsearch, sketch, streaming, text)
 
 EXTRA_QUERIES = {
@@ -106,6 +106,11 @@ EXTRA_QUERIES = {
     "kmv_distinct_fast": sketch.q_kmv_distinct_fast,
     "token_quantiles": sketch.q_token_quantiles,
     "stratified_sample": sketch.q_stratified_sample,
+    # robust / behavioral statistics
+    "median_value_by_type": robust.q_median_value_by_type,
+    "user_funnel": robust.q_user_funnel,
+    "value_outliers": robust.q_value_outliers,
+    "doc_length_histogram": robust.q_doc_length_histogram,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -169,6 +174,10 @@ EXTRA_ORACLE_SQL = {
     "window_finalize": streaming.SQL_WINDOW_FINALIZE,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
     "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,
+    "median_value_by_type": robust.SQL_MEDIAN_VALUE_BY_TYPE,
+    "user_funnel": robust.SQL_USER_FUNNEL,
+    "value_outliers": robust.SQL_VALUE_OUTLIERS,
+    "doc_length_histogram": robust.SQL_DOC_LENGTH_HISTOGRAM,
 }
 
 ROWS_ONLY_QUERIES = {k: v for k, v in EXTRA_QUERIES.items()

@@ -1,0 +1,414 @@
+"""Robust / behavioral statistics over the event log and corpus.
+
+Four operator families a production training-data pipeline profiles its
+inputs with, each expressed Ray-Data-first and integer-exact so the
+driver's DuckDB value-hash gate is deterministic (the reference's
+aggregate layer — src/parser.py summary counts — has no analogue; these
+extend the engine's profiling family alongside engine/sketch.py):
+
+* ``q_median_value_by_type`` — EXACT distributed median per group via
+  two-pass histogram refinement.  Unlike ``q_value_quantiles_by_type``
+  (which co-locates whole groups and therefore assumes one group fits a
+  worker heap) this never ships a group anywhere: pass 1 folds coarse
+  32-cent-bucket histograms (driver state = O(types x domain/32), data
+  transfer = one small groupby), the driver locates the bucket holding
+  each median rank, and pass 2 re-scans only rows inside those target
+  buckets to count exact values (<= 32 distinct cents per type return).
+  Hot groups cost nothing extra — the scan is embarrassingly parallel
+  both passes.  For 64-bit value domains the same refinement nests
+  (radix 2^21 x 3 passes); the rank arithmetic is unchanged.
+* ``q_user_funnel`` — ordered-funnel conversion counts (first view <
+  first click < first purchase per user): per-batch conditional-min
+  partials collapse each batch to <= 3 rows per active user, ONE
+  hash exchange co-locates users, and each partition returns a single
+  3-int row of stage counts.  The driver folds O(partitions) rows.
+* ``q_value_outliers`` — per-type 3-sigma outliers with NO float math
+  anywhere: per-batch (n, sum, sum-of-squares) int64 partials fold on
+  the driver in arbitrary-precision Python ints (immune to the int64
+  overflow a 10^12-row sum-of-squares would hit), the sigma test
+  ``|n*v - s1| > 3*sigma*n`` is rearranged to the integer comparison
+  ``(n*v - s1)^2 > 9*(n*s2 - s1^2)`` and solved once per type for
+  integer cutoffs via ``math.isqrt`` (exact: for integers, |d| > isqrt(D)
+  <=> d^2 > D), so pass 2 is a stateless broadcast-cutoff filter map.
+  The SQL oracle states the same quadratic over HUGEINTs — identical
+  predicate, no division or sqrt on either side.
+* ``q_doc_length_histogram`` — log2-bucketed corpus length profile per
+  language.  Buckets come from ``np.frexp`` exponents (floor(log2(n))
+  computed exactly — no libm log whose 1-ulp wobble could cross an
+  integer at powers of two); the oracle mirrors it bit-exactly with
+  ``length(printf('%b', n)) - 1``.
+
+Scale notes: every pass here is a pure ``map_batches`` over a
+column-pruned read plus at most one SMALL groupby of partial rows; no
+operator materializes, sorts, or co-locates the raw table.  Driver state
+is bounded by (types x buckets), never by rows.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.io import read_parquet_clean
+from engine.pipeline import collect_tables
+
+
+def _events(sf_dir: str, columns):
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=columns)
+
+
+def _cents(col) -> np.ndarray:
+    v = col.to_numpy(zero_copy_only=False)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# exact distributed median: two-pass histogram refinement
+# ---------------------------------------------------------------------------
+
+_MED_SHIFT = 5          # pass-1 bucket = cents >> 5 (32-cent coarse bins)
+
+
+def _median_pass1(t: pa.Table) -> pa.Table:
+    cents = _cents(t["value"])
+    g = pa.TableGroupBy(
+        pa.table({"event_type": t["event_type"],
+                  "bucket": pa.array(cents >> _MED_SHIFT)}),
+        ["event_type", "bucket"]).aggregate([([], "count_all")])
+    return pa.table({"event_type": g["event_type"], "bucket": g["bucket"],
+                     "cnt": pc.cast(g["count_all"], pa.int64())})
+
+
+def _fold_partials(ds, keys: list) -> pa.Table | None:
+    """Combiner fold (the :func:`engine.stages.pre_aggregated` pattern):
+    collect per-batch partial tables and sum every non-key int column per
+    key on the driver — O(keys x batches) driver input, and no Ray hash
+    aggregate (whose empty-schema output partitions at tiny key counts
+    spam schema-unify warnings).  At key cardinalities where the fold
+    input outgrows the driver, swap for ``ds.groupby(keys).aggregate``
+    over the identical partials schema."""
+    tabs = [b for b in collect_tables(ds) if b.num_columns]
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs)
+    vals = [c for c in t.column_names if c not in keys]
+    g = pa.TableGroupBy(t, keys).aggregate([(c, "sum") for c in vals])
+    return pa.table({**{k: g[k] for k in keys},
+                     **{c: g[f"{c}_sum"] for c in vals}})
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact per-event-type median of ``value`` (as ``2*median`` in cents
+    so even-count interpolation stays integer), via two scans and O(1)
+    driver state per coarse bucket — see the module docstring."""
+    folded = _fold_partials(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(_median_pass1, batch_format="pyarrow",
+                     batch_size=None), ["event_type", "bucket"])
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "med2_cents": pa.array([], type=pa.int64())})
+    if folded is None:
+        return empty
+    hist = folded.to_pandas() \
+        .sort_values(["event_type", "bucket"], ignore_index=True)
+
+    # per type: the two 0-indexed median ranks and, for each, the coarse
+    # bucket holding it plus the count of rows in buckets strictly below
+    targets: dict[str, dict[int, list[tuple[int, int]]]] = {}
+    totals: dict[str, int] = {}
+    for etype, gdf in hist.groupby("event_type", sort=True, dropna=False):
+        cnt = gdf["cnt"].to_numpy()
+        buckets = gdf["bucket"].to_numpy()
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        totals[etype] = n
+        per_bucket = targets.setdefault(etype, {})
+        for rank in ((n - 1) // 2, n // 2):
+            i = int(np.searchsorted(cum, rank + 1))
+            below = int(cum[i - 1]) if i else 0
+            per_bucket.setdefault(int(buckets[i]), []).append(
+                (rank, rank - below))
+
+    # pass 2: count exact cents inside the <= 2 target buckets per type
+    def pass2(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(cents), dtype=bool)
+        bkt = cents >> _MED_SHIFT
+        for etype, per_bucket in targets.items():
+            mask |= (et == etype) & np.isin(bkt, list(per_bucket))
+        sub = pa.table({"event_type": pa.array(et[mask], type=pa.string()),
+                        "cents": pa.array(cents[mask])})
+        g = pa.TableGroupBy(sub, ["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "cents": g["cents"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    folded2 = _fold_partials(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(pass2, batch_format="pyarrow", batch_size=None),
+        ["event_type", "cents"])
+    fine = folded2.to_pandas() \
+        .sort_values(["event_type", "cents"], ignore_index=True)
+
+    out_t, out_n, out_m = [], [], []
+    for etype in sorted(targets):
+        picked: dict[int, int] = {}
+        gdf = fine[fine["event_type"] == etype]
+        cents_v = gdf["cents"].to_numpy()
+        bkt = cents_v >> _MED_SHIFT
+        cnt = gdf["cnt"].to_numpy()
+        for b, ranks in targets[etype].items():
+            in_b = bkt == b
+            vals, cums = cents_v[in_b], cnt[in_b].cumsum()
+            for rank, local in ranks:
+                picked[rank] = int(vals[np.searchsorted(cums, local + 1)])
+        n = totals[etype]
+        out_t.append(etype)
+        out_n.append(n)
+        out_m.append(picked[(n - 1) // 2] + picked[n // 2])
+    return pa.table({"event_type": pa.array(out_t, type=pa.string()),
+                     "n": pa.array(out_n, type=pa.int64()),
+                     "med2_cents": pa.array(out_m, type=pa.int64())})
+
+
+SQL_MEDIAN_VALUE_BY_TYPE = """
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(2 * median(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS med2_cents
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordered-funnel conversion counts
+# ---------------------------------------------------------------------------
+
+FUNNEL = ("view", "click", "purchase")
+_TS_MAX = np.iinfo(np.int64).max
+
+
+def funnel_partial(t: pa.Table) -> pa.Table:
+    """Per-batch conditional-min partial: <= len(FUNNEL) rows per user
+    seen in the batch (user_id, stage, min ts).  Module-level for tests."""
+    parts = []
+    for idx, stage in enumerate(FUNNEL):
+        sub = t.filter(pc.equal(t["event_type"], stage))
+        if sub.num_rows == 0:
+            continue
+        g = pa.TableGroupBy(
+            pa.table({"key": pc.cast(sub["user_id"], pa.int64()),
+                      "ts_us": pc.cast(sub["ts"], pa.int64())}),
+            ["key"]).aggregate([("ts_us", "min")])
+        parts.append(pa.table({
+            "key": g["key"],
+            "stage": pa.array(np.full(g.num_rows, idx, dtype=np.int64)),
+            "ts_us": pc.cast(g["ts_us_min"], pa.int64())}))
+    if not parts:
+        return pa.schema([("key", pa.int64()), ("stage", pa.int64()),
+                          ("ts_us", pa.int64())]).empty_table()
+    return pa.concat_tables(parts)
+
+
+def funnel_block(t: pa.Table) -> pa.Table:
+    """Per-partition kernel: fold (user, stage) mins, then count users
+    passing each ordered stage — one 3-int row per partition."""
+    if t.num_rows == 0:
+        return pa.table({"n_view": pa.array([0], type=pa.int64()),
+                         "n_view_click": pa.array([0], type=pa.int64()),
+                         "n_funnel": pa.array([0], type=pa.int64())})
+    key = t["key"].to_numpy(zero_copy_only=False)
+    stage = t["stage"].to_numpy(zero_copy_only=False)
+    ts = t["ts_us"].to_numpy(zero_copy_only=False)
+    users, uinv = np.unique(key, return_inverse=True)
+    mat = np.full((len(users), len(FUNNEL)), _TS_MAX, dtype=np.int64)
+    np.minimum.at(mat, (uinv, stage), ts)
+    n_view = int(np.count_nonzero(mat[:, 0] < _TS_MAX))
+    # a missing stage holds the _TS_MAX sentinel: `tv < tc` must then be
+    # FALSE (SQL's `tv < NULL` is NULL), so every comparison also requires
+    # the later stage to be present — fixtures never exercise this (all
+    # users hit all types); the strictness unit test does
+    vc = (mat[:, 0] < mat[:, 1]) & (mat[:, 1] < _TS_MAX)
+    full = vc & (mat[:, 1] < mat[:, 2]) & (mat[:, 2] < _TS_MAX)
+    return pa.table({
+        "n_view": pa.array([n_view], type=pa.int64()),
+        "n_view_click": pa.array([int(np.count_nonzero(vc))],
+                                 type=pa.int64()),
+        "n_funnel": pa.array([int(np.count_nonzero(full))],
+                             type=pa.int64())})
+
+
+def q_user_funnel(sf_dir: str):
+    """Conversion funnel over the event log (first 'view' before first
+    'click' before first 'purchase', per user): conditional-min partials,
+    one user-keyed exchange, scalar partials back — see module docstring."""
+    import pyarrow.parquet as pq
+
+    from engine.stages import hash_group_exchange
+
+    nrows = pq.read_metadata(
+        os.path.join(sf_dir, "events.parquet")).num_rows
+    parts = hash_group_exchange(
+        lambda: _events(sf_dir, ["user_id", "event_type", "ts"])
+        .map_batches(funnel_partial, batch_format="pyarrow",
+                     batch_size=None),
+        ["key"], funnel_block, rows_hint=nrows)   # pandas, 1 row/partition
+    return pa.table({
+        c: pa.array([int(parts[c].sum()) if len(parts) else 0],
+                    type=pa.int64())
+        for c in ("n_view", "n_view_click", "n_funnel")})
+
+
+SQL_USER_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view')     AS tv,
+         min(ts) FILTER (WHERE event_type = 'click')    AS tc,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+  FROM events GROUP BY user_id)
+SELECT count(*) FILTER (WHERE tv IS NOT NULL)::BIGINT       AS n_view,
+       count(*) FILTER (WHERE tv < tc)::BIGINT              AS n_view_click,
+       count(*) FILTER (WHERE tv < tc AND tc < tp)::BIGINT  AS n_funnel
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# integer-exact 3-sigma outliers per event type
+# ---------------------------------------------------------------------------
+
+def _moments_partial(t: pa.Table) -> pa.Table:
+    cents = _cents(t["value"])
+    g = pa.TableGroupBy(
+        pa.table({"event_type": t["event_type"], "c": pa.array(cents),
+                  "c2": pa.array(cents * cents)}),
+        ["event_type"]).aggregate([([], "count_all"), ("c", "sum"),
+                                   ("c2", "sum")])
+    return pa.table({"event_type": g["event_type"],
+                     "n": pc.cast(g["count_all"], pa.int64()),
+                     "s1": pc.cast(g["c_sum"], pa.int64()),
+                     "s2": pc.cast(g["c2_sum"], pa.int64())})
+
+
+def sigma_cutoffs(moments: dict) -> dict:
+    """{type: (n, s1, s2)} -> {type: (lo_max, hi_min)} such that cents is
+    a 3-sigma outlier iff cents <= lo_max or cents >= hi_min.  Exact over
+    Python bigints: |n*v - s1| > t where t = isqrt(9*(n*s2 - s1^2)) is,
+    for integers, equivalent to (n*v - s1)^2 > 9*(n*s2 - s1^2).
+    Module-level for the hypothesis property test."""
+    cut = {}
+    for etype, (n, s1, s2) in moments.items():
+        disc = 9 * (n * s2 - s1 * s1)
+        t = math.isqrt(disc) if disc > 0 else 0
+        hi_min = (s1 + t) // n + 1          # smallest c with n*c - s1 > t
+        lo_max = (s1 - t - 1) // n          # largest  c with s1 - n*c > t
+        cut[etype] = (lo_max, hi_min)
+    return cut
+
+
+def q_value_outliers(sf_dir: str):
+    """Events whose value deviates from their type's mean by more than 3
+    standard deviations — two passes, zero float math (module docstring).
+    The per-batch moment partials are int64-safe (262k-row batches x
+    cents^2 < 2^62); the DRIVER fold runs in Python bigints so a
+    10^12-row corpus cannot overflow the global sum of squares."""
+    partials = _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(_moments_partial, batch_format="pyarrow",
+                     batch_size=None)
+    moments: dict = {}
+    for b in collect_tables(partials):
+        if not b.num_columns:
+            continue
+        for r in b.to_pylist():
+            # int() lifts to bigint; partial sums merge exactly
+            prev = moments.get(r["event_type"], (0, 0, 0))
+            moments[r["event_type"]] = (prev[0] + int(r["n"]),
+                                        prev[1] + int(r["s1"]),
+                                        prev[2] + int(r["s2"]))
+    cut = sigma_cutoffs(moments)
+
+    def flag(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(cents), dtype=bool)
+        for etype, (lo_max, hi_min) in cut.items():
+            mask |= (et == etype) & ((cents <= lo_max) | (cents >= hi_min))
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64())
+            .filter(pa.array(mask)),
+            "event_type": pa.array(et[mask], type=pa.string()),
+            "cents": pa.array(cents[mask])})
+
+    return _events(sf_dir, ["event_id", "event_type", "value"]) \
+        .map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH c AS (
+  SELECT event_id::BIGINT AS event_id, event_type,
+         CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS s1,
+         sum(cents::HUGEINT * cents::HUGEINT) AS s2
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN m USING (event_type)
+WHERE (m.n*c.cents - m.s1)*(m.n*c.cents - m.s1) > 9*(m.n*m.s2 - m.s1*m.s1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# log2-bucketed corpus length histogram
+# ---------------------------------------------------------------------------
+
+def length_buckets(n_chars: np.ndarray) -> np.ndarray:
+    """floor(log2(n)) computed EXACTLY via frexp exponents (n = m * 2^e,
+    0.5 <= m < 1  =>  floor(log2 n) = e - 1); n <= 0 maps to bucket 0,
+    matching the oracle's length(printf('%b', n)) - 1 which renders 0 as
+    the single digit '0'.  Module-level for tests."""
+    _, e = np.frexp(n_chars.astype(np.float64))
+    return np.where(n_chars <= 0, 0, e.astype(np.int64) - 1)
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Per-language log2 histogram of document lengths (count + total
+    chars per bucket): one pure map of partials, one combiner fold."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"lang": t["lang"],
+                      "bucket": pa.array(length_buckets(n_chars)),
+                      "n_chars": pa.array(n_chars)}),
+            ["lang", "bucket"]).aggregate([([], "count_all"),
+                                           ("n_chars", "sum")])
+        return pa.table({"lang": g["lang"], "bucket": g["bucket"],
+                         "n_docs": pc.cast(g["count_all"], pa.int64()),
+                         "sum_chars": pc.cast(g["n_chars_sum"], pa.int64())})
+
+    folded = _fold_partials(
+        read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["lang", "bucket"])
+    if folded is None:
+        return pa.table({"lang": pa.array([], type=pa.string()),
+                         "bucket": pa.array([], type=pa.int64()),
+                         "n_docs": pa.array([], type=pa.int64()),
+                         "sum_chars": pa.array([], type=pa.int64())})
+    return folded.sort_by([("lang", "ascending"), ("bucket", "ascending")])
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT lang, (length(printf('%b', n_chars)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang, bucket
+"""

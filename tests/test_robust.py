@@ -1,0 +1,151 @@
+"""Robust/behavioral statistics: property tests for the integer-exact
+kernels plus adversarial end-to-end checks the fixture gate can't hit
+(median ties straddling refinement buckets, empty funnel stages).
+
+The DuckDB value-hash gate itself runs via tests/test_queries.py's
+auto-parametrization (median_value_by_type, user_funnel, value_outliers,
+doc_length_histogram are all in EXTRA_ORACLE_SQL).
+"""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine import robust
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sigma_cutoffs: the integer cutoff pair must reproduce the quadratic
+# predicate exactly for every integer value
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=2, max_size=40))
+def test_sigma_cutoffs_match_quadratic(vals):
+    n = len(vals)
+    s1 = sum(vals)
+    s2 = sum(v * v for v in vals)
+    lo_max, hi_min = robust.sigma_cutoffs({"t": (n, s1, s2)})["t"]
+    disc = 9 * (n * s2 - s1 * s1)
+    for v in range(min(vals) - 3, max(vals) + 4):
+        quad = (n * v - s1) ** 2 > disc
+        cutoff = v <= lo_max or v >= hi_min
+        assert quad == cutoff, (v, n, s1, s2, lo_max, hi_min)
+
+
+# ---------------------------------------------------------------------------
+# length_buckets: frexp exponent == floor(log2) == the printf('%b') oracle
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=1, max_size=50))
+def test_length_buckets_exact(ns):
+    arr = np.array(ns, dtype=np.int64)
+    got = robust.length_buckets(arr)
+    want = [len(format(n, "b")) - 1 if n > 0 else 0 for n in ns]
+    assert got.tolist() == want
+
+
+# ---------------------------------------------------------------------------
+# funnel kernels: partial + block over a hand-built log
+# ---------------------------------------------------------------------------
+
+def test_funnel_block_strictness():
+    # user 1: full ordered funnel; user 2: click before view (stops at
+    # stage 1); user 3: view only; user 4: view==click tie (strict <
+    # fails); user 5: view+click ordered, purchase missing
+    rows = [(1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            (2, "click", 5), (2, "view", 6), (2, "purchase", 7),
+            (3, "view", 1),
+            (4, "view", 8), (4, "click", 8),
+            (5, "view", 2), (5, "click", 4)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], type=pa.int64())})
+    out = robust.funnel_block(robust.funnel_partial(t))
+    assert out["n_view"][0].as_py() == 5
+    assert out["n_view_click"][0].as_py() == 2    # users 1 and 5 only
+    assert out["n_funnel"][0].as_py() == 1        # user 1 only
+
+
+def test_funnel_partial_merges_across_batches():
+    # the same user split across two batches: partial mins must fold to
+    # the global min through the exchange block
+    b1 = pa.table({"user_id": pa.array([9], type=pa.int64()),
+                   "event_type": pa.array(["click"]),
+                   "ts": pa.array([50], type=pa.int64())})
+    b2 = pa.table({"user_id": pa.array([9, 9], type=pa.int64()),
+                   "event_type": pa.array(["view", "purchase"]),
+                   "ts": pa.array([40, 60], type=pa.int64())})
+    merged = pa.concat_tables([robust.funnel_partial(b1),
+                               robust.funnel_partial(b2)])
+    out = robust.funnel_block(merged)
+    assert out["n_funnel"][0].as_py() == 1        # 40 < 50 < 60
+
+
+# ---------------------------------------------------------------------------
+# median refinement: adversarial ties straddling the 32-cent buckets
+# ---------------------------------------------------------------------------
+
+def test_median_refinement_ties_and_parity(ray_session, tmp_path):
+    """Values massed exactly on bucket boundaries (cents = k*32) with both
+    even and odd group sizes; compare against numpy's exact median."""
+    rng = np.random.default_rng(7)
+    d = tmp_path / "ev"
+    os.makedirs(d, exist_ok=True)
+    types, vals = [], []
+    for etype, n in (("a", 101), ("b", 100), ("c", 3)):
+        # half on exact 32-cent boundaries, half arbitrary
+        cents = np.concatenate([
+            rng.integers(0, 40, n // 2) * 32,
+            rng.integers(0, 1280, n - n // 2)])
+        types += [etype] * n
+        vals.append(cents)
+    cents_all = np.concatenate(vals)
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(types)), type=pa.int64()),
+        "ts": pa.array(np.arange(len(types)), type=pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(len(types)), type=pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(cents_all / 100.0, type=pa.float64()),
+        "props": pa.array([""] * len(types))})
+    pq.write_table(t, str(d / "events.parquet"))
+    out = robust.q_median_value_by_type(str(d)).to_pandas() \
+        .set_index("event_type")
+    for etype in ("a", "b", "c"):
+        grp = np.sort(cents_all[np.array(types) == etype])
+        n = len(grp)
+        want = int(grp[(n - 1) // 2] + grp[n // 2])
+        assert int(out.loc[etype, "med2_cents"]) == want, etype
+        assert int(out.loc[etype, "n"]) == n
+
+
+def test_value_outliers_bigint_fold(ray_session):
+    """The sf0.001 corpus end-to-end: the outlier set must equal a direct
+    numpy recomputation from the raw table (validating the two-pass
+    broadcast-cutoff plan, not just the cutoff algebra)."""
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                      columns=["event_id", "event_type", "value"])
+    cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    ids = t["event_id"].to_numpy()
+    want = set()
+    for etype in np.unique(et):
+        m = et == etype
+        v = cents[m]
+        n, s1, s2 = len(v), int(v.sum()), int((v * v).sum())
+        disc = 9 * (n * s2 - s1 * s1)
+        sel = (n * v.astype(object) - s1) ** 2 > disc
+        want.update(ids[m][sel.astype(bool)].tolist())
+    got = robust.q_value_outliers(SF_DIR).to_pandas()
+    assert set(got["event_id"].tolist()) == want
