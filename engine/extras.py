@@ -106,6 +106,9 @@ EXTRA_QUERIES = {
     "kmv_distinct_fast": sketch.q_kmv_distinct_fast,
     "token_quantiles": sketch.q_token_quantiles,
     "stratified_sample": sketch.q_stratified_sample,
+    # star-schema dimension joins over the previously untouched tables
+    "promo_revenue": relational.q_promo_revenue,
+    "nation_revenue": relational.q_nation_revenue,
     # robust / behavioral statistics
     "median_value_by_type": robust.q_median_value_by_type,
     "user_funnel": robust.q_user_funnel,
@@ -174,6 +177,8 @@ EXTRA_ORACLE_SQL = {
     "window_finalize": streaming.SQL_WINDOW_FINALIZE,
     "token_quantiles": sketch.SQL_TOKEN_QUANTILES,
     "stratified_sample": sketch.SQL_STRATIFIED_SAMPLE,
+    "promo_revenue": relational.SQL_PROMO_REVENUE,
+    "nation_revenue": relational.SQL_NATION_REVENUE,
     "median_value_by_type": robust.SQL_MEDIAN_VALUE_BY_TYPE,
     "user_funnel": robust.SQL_USER_FUNNEL,
     "value_outliers": robust.SQL_VALUE_OUTLIERS,

@@ -595,3 +595,260 @@ WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
 ORDER BY r.revenue_micro DESC, o.o_orderkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (lineitem ⋈ part on partkey)
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "PROMO"
+
+
+def _line_rev_micro(t: pa.Table) -> np.ndarray:
+    cents = _cents(t["l_extendedprice"])
+    pct = 100 - np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+    return cents * pct
+
+
+def promo_fold_block(t: pa.Table) -> pa.Table:
+    """Exchange kernel: within one partkey-partition, tag each per-batch
+    revenue partial with its part's promo flag (part row sorts first per
+    key) and return ONE (promo_rev, total_rev) row.  Inner-join
+    semantics: partials whose key has no part row are dropped."""
+    empty = pa.table({"promo_rev_micro": pa.array([0], type=pa.int64()),
+                      "total_rev_micro": pa.array([0], type=pa.int64())})
+    n = t.num_rows
+    if n == 0:
+        return empty
+    key = t["key"].to_numpy(zero_copy_only=False)
+    rev = t["rev_micro"].to_numpy(zero_copy_only=False)
+    promo = t["promo"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, key))           # per key: part row first
+    key, rev, promo, side = key[order], rev[order], promo[order], side[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    grp = np.cumsum(new_g) - 1
+    starts = np.flatnonzero(new_g)
+    has_part = side[starts] == 0
+    g_promo = promo[starts]                   # valid where has_part
+    keep = (side == 1) & has_part[grp]
+    total = int(rev[keep].sum())
+    prm = int(rev[keep & (g_promo[grp] == 1)].sum())
+    return pa.table({"promo_rev_micro": pa.array([prm], type=pa.int64()),
+                     "total_rev_micro": pa.array([total], type=pa.int64())})
+
+
+def q_promo_revenue(sf_dir: str, method: str = "auto"):
+    """TPC-H Q14 shape: the PROMO-type share of shipped revenue,
+    integer-exact (micros; share as permille by integer division).
+
+    Dual physical plan, auto-selected by the part table's parquet row
+    count (the Q3/curate ``_BROADCAST_MAX`` contract):
+
+    * ``broadcast`` — the (sorted partkey, promo flag) arrays ship once
+      via ``ray.put``; each lineitem batch probes by ``searchsorted`` and
+      emits ONE (promo, total) partial row.  No shuffle at all.
+    * ``exchange`` — at warehouse scale part is a fact table (SF x 200k
+      rows), so the join is a tagged-union hash exchange on partkey
+      carrying per-BATCH revenue partials (one row per distinct partkey
+      per batch — lineitem rows never shuffle) against (partkey, flag)
+      part rows; each partition folds to one scalar row.
+
+    Driver fold is over scalar partials in Python bigints (the int64
+    bound inside a partition — ~500k partials x <=2.6e12 each — is
+    asserted by construction at gate scale; the documented swap is a
+    micro->centi rescale, not a plan change)."""
+    import ray
+
+    from engine.pipeline import collect_tables
+    from engine.stages import hash_group_exchange
+
+    if method == "auto":
+        method = ("broadcast"
+                  if _nrows(sf_dir, "part") <= _BROADCAST_MAX
+                  else "exchange")
+
+    def line_partial_rows(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(t["l_partkey"], pa.int64()),
+            "rev": pa.array(_line_rev_micro(t))}), ["key"]) \
+            .aggregate([("rev", "sum")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "rev_micro": pc.cast(g["rev_sum"], pa.int64()),
+                         "promo": pa.array(np.zeros(m, dtype=np.int8)),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    li_cols = ["l_partkey", "l_extendedprice", "l_discount"]
+
+    if method == "broadcast":
+        from engine.io import read_parquet_clean as _rpc
+        part = pa.concat_tables(
+            [x.select(["p_partkey", "p_type"]) for x in collect_tables(
+                _rpc(os.path.join(sf_dir, "part.parquet"),
+                     columns=["p_partkey", "p_type"])) if x.num_columns])
+        pk = pc.cast(part["p_partkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flag = pc.equal(part["p_type"], PROMO_TYPE) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        pk_ref = ray.put(pk[order])
+        flag_ref = ray.put(flag[order])
+
+        def partial(t: pa.Table) -> pa.Table:
+            pk_s, fl_s = ray.get(pk_ref), ray.get(flag_ref)
+            key = pc.cast(t["l_partkey"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(pk_s, key)
+            pos_c = np.minimum(pos, len(pk_s) - 1)
+            hit = pk_s[pos_c] == key          # inner-join semantics
+            rev = _line_rev_micro(t)[hit]
+            prm = fl_s[pos_c[hit]]
+            return pa.table({
+                "promo_rev_micro": pa.array([int(rev[prm].sum())],
+                                            type=pa.int64()),
+                "total_rev_micro": pa.array([int(rev.sum())],
+                                            type=pa.int64())})
+
+        parts = [x for x in collect_tables(
+            _table(sf_dir, "lineitem").select_columns(li_cols)
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)) if x.num_columns]
+        df = pa.concat_tables(parts).to_pandas() if parts else None
+    else:
+        def part_side(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "key": pc.cast(t["p_partkey"], pa.int64()),
+                "rev_micro": pa.array(np.zeros(n, dtype=np.int64)),
+                "promo": pc.cast(pc.equal(t["p_type"], PROMO_TYPE),
+                                 pa.int8()),
+                "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+        def union_ds():
+            import ray.data
+            part = _table(sf_dir, "part") \
+                .select_columns(["p_partkey", "p_type"]) \
+                .map_batches(part_side, batch_format="pyarrow")
+            li = _table(sf_dir, "lineitem").select_columns(li_cols) \
+                .map_batches(line_partial_rows, batch_format="pyarrow",
+                             batch_size=None)
+            return part.union(li)
+
+        df = hash_group_exchange(
+            union_ds, ["key"], promo_fold_block,
+            rows_hint=_nrows(sf_dir, "part")
+            + max(1, _nrows(sf_dir, "lineitem") // 64))
+
+    if df is None or df.empty:
+        prm = total = 0
+    else:  # Python-int fold: immune to int64 overflow across partials
+        prm = sum(int(v) for v in df["promo_rev_micro"])
+        total = sum(int(v) for v in df["total_rev_micro"])
+    permille = (1000 * prm) // total if total else 0
+    return pa.table({
+        "promo_rev_micro": pa.array([prm], type=pa.int64()),
+        "total_rev_micro": pa.array([total], type=pa.int64()),
+        "promo_permille": pa.array([permille], type=pa.int64())})
+
+
+SQL_PROMO_REVENUE = f"""
+WITH r AS (
+  SELECT CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)) AS rev,
+         (p_type = '{PROMO_TYPE}') AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT coalesce(sum(rev) FILTER (WHERE is_promo), 0)::BIGINT
+           AS promo_rev_micro,
+       coalesce(sum(rev), 0)::BIGINT AS total_rev_micro,
+       CASE WHEN coalesce(sum(rev), 0) = 0 THEN 0
+            ELSE (1000 * coalesce(sum(rev) FILTER (WHERE is_promo), 0))
+                 // sum(rev) END::BIGINT AS promo_permille
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: revenue by supplier nation (lineitem ⋈ supplier ⋈ nation)
+# ---------------------------------------------------------------------------
+
+def q_nation_revenue(sf_dir: str):
+    """Shipped revenue per SUPPLIER nation: the two dimension maps
+    (suppkey -> nationkey -> name) fold into ONE sorted probe array that
+    broadcasts once; each lineitem batch emits <= |nations| partial rows
+    and the driver folds in Python bigints.  supplier is dimension-sized
+    here (``_BROADCAST_MAX`` asserted); past that bound the swap is
+    :func:`q_promo_revenue`'s tagged-union exchange with nationkey riding
+    the part side — same kernel, different flag column."""
+    import ray
+
+    from engine.pipeline import collect_tables
+
+    assert _nrows(sf_dir, "supplier") <= _BROADCAST_MAX, \
+        "supplier outgrew the broadcast regime: use the exchange plan"
+    from engine.io import read_parquet_clean as _rpc
+    supp = pa.concat_tables(
+        [x.select(["s_suppkey", "s_nationkey"]) for x in collect_tables(
+            _rpc(os.path.join(sf_dir, "supplier.parquet"),
+                 columns=["s_suppkey", "s_nationkey"])) if x.num_columns])
+    nat = pa.concat_tables(
+        [x.select(["n_nationkey", "n_name"]) for x in collect_tables(
+            _rpc(os.path.join(sf_dir, "nation.parquet"),
+                 columns=["n_nationkey", "n_name"])) if x.num_columns])
+    sk = pc.cast(supp["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    snk = pc.cast(supp["s_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    order = np.argsort(sk)
+    sk_ref = ray.put(sk[order])
+    snk_ref = ray.put(snk[order])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk_s, snk_s = ray.get(sk_ref), ray.get(snk_ref)
+        key = pc.cast(t["l_suppkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_s, key)
+        pos_c = np.minimum(pos, len(sk_s) - 1)
+        hit = sk_s[pos_c] == key              # inner-join semantics
+        nkey = snk_s[pos_c[hit]]
+        rev = _line_rev_micro(t)[hit]
+        g = pa.TableGroupBy(pa.table({
+            "nkey": pa.array(nkey), "rev": pa.array(rev)}), ["nkey"]) \
+            .aggregate([([], "count_all"), ("rev", "sum")])
+        return pa.table({"nkey": g["nkey"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    parts = [x for x in collect_tables(
+        _table(sf_dir, "lineitem").select_columns(
+            ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None)) if x.num_columns]
+    name_of = dict(zip(
+        pc.cast(nat["n_nationkey"], pa.int64()).to_pylist(),
+        nat["n_name"].to_pylist()))
+    acc: dict = {}
+    for t in parts:
+        for r in t.to_pylist():               # <= |nations| rows per batch
+            prev = acc.get(r["nkey"], (0, 0))
+            acc[r["nkey"]] = (prev[0] + int(r["rev"]), prev[1] + int(r["n"]))
+    rows = sorted((name_of[k], v[0], v[1]) for k, v in acc.items())
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], type=pa.string()),
+        "revenue_micro": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_items": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)))
+           ::BIGINT AS revenue_micro,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name ORDER BY n_name
+"""

@@ -339,3 +339,53 @@ def test_q18_q4_random_tables_vs_duckdb(ray_session, tmp_path):
                     want[c] = want[c].astype("Int64")
             pd.testing.assert_frame_equal(got, want, check_dtype=False), \
                 (name, trial)
+
+
+# ---------------------------------------------------------------------------
+# Q14 promo share + nation revenue (star joins over part/supplier/nation)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def star_dir(tmp_path):
+    tmp = str(tmp_path)
+    _write(tmp, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_type": ["PROMO", "ECONOMY", "PROMO"],
+    }))
+    _write(tmp, "supplier", pa.table({
+        "s_suppkey": pa.array([7, 8], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+    }))
+    _write(tmp, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": ["ALGERIA", "BRAZIL"],
+    }))
+    _write(tmp, "lineitem", pa.table({
+        # partkey 9 has NO part row (inner-join drop); supp 9 likewise
+        "l_partkey": pa.array([1, 2, 3, 9], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 9], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 25.0, 10.0]),
+        "l_discount": pa.array([0.05, 0.00, 0.10, 0.0]),
+    }))
+    return tmp
+
+
+def test_promo_revenue_paths_agree_and_exact(ray_session, star_dir):
+    from engine.relational import q_promo_revenue
+    b = q_promo_revenue(star_dir, method="broadcast").to_pandas()
+    x = q_promo_revenue(star_dir, method="exchange").to_pandas()
+    assert b.equals(x)
+    promo = 10000 * 95 + 2500 * 90          # parts 1 and 3
+    total = promo + 5000 * 100              # + part 2; partkey 9 dropped
+    assert b["promo_rev_micro"].tolist() == [promo]
+    assert b["total_rev_micro"].tolist() == [total]
+    assert b["promo_permille"].tolist() == [(1000 * promo) // total]
+
+
+def test_nation_revenue_inner_join_drop(ray_session, star_dir):
+    from engine.relational import q_nation_revenue
+    out = q_nation_revenue(star_dir).to_pandas()
+    assert out["n_name"].tolist() == ["ALGERIA", "BRAZIL"]
+    assert out["revenue_micro"].tolist() == [10000 * 95 + 5000 * 100,
+                                             2500 * 90]
+    assert out["n_items"].tolist() == [2, 1]
