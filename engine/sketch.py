@@ -434,3 +434,99 @@ FROM w GROUP BY 1
 HAVING count(*) >= (SELECT n FROM n) // {_HH_DENOM}
 ORDER BY word
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (gated — the estimate itself)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256          # 2^8 buckets: top 8 bits of the 60-bit md5 prefix
+_HLL_REM_BITS = 52    # remaining bits scanned for the leading 1
+#: alpha_256 = 0.7213 / (1 + 1.079/256), floored to parts-per-million —
+#: a shared CONSTANT on both sides, so the fixed-point estimate is exact
+_HLL_ALPHA_PPM = 718_272
+
+
+def hll_rho(rem: np.ndarray) -> np.ndarray:
+    """Position of the first 1-bit in the 52-bit remainder (1-indexed
+    from the top): rho = 53 - bit_length(rem); rem == 0 -> 53.
+    bit_length via frexp exponents — exact for n < 2^53 (the robust.py
+    log2-bucket trick).  Module-level for tests."""
+    _, e = np.frexp(rem.astype(np.float64))
+    return (_HLL_REM_BITS + 1) - e.astype(np.int64)
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approximate distinct ``user_id`` count via HyperLogLog
+    (Flajolet et al. 2007), the register-fixed complement of the KMV
+    sketch above: per-batch partials are <= 256 (bucket, max rho) rows,
+    the driver fold is a 256-cell max — state is CONSTANT in corpus size
+    where KMV's merge is k rows per block.
+
+    Everything is integer, so the SQL oracle reproduces the ESTIMATE:
+    the harmonic mean's 2^-Mj terms are scaled by 2^64 (sum fits HUGEINT:
+    <= 256 * 2^64 < 2^73), alpha is the shared ppm constant, and the
+    division is integer floor on both sides.  The raw estimator is
+    reported without the small-range linear-counting correction (that
+    needs ln(); consumers holding n_buckets_zero can apply it) — raw,
+    but identical on both sides, which is what the gate checks."""
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(pc.cast(t["user_id"], pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        hv = _md5_60(u)
+        bucket = hv >> _HLL_REM_BITS
+        rho = hll_rho(hv & ((1 << _HLL_REM_BITS) - 1))
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({"bucket": pa.array(nz),
+                         "rho": pa.array(regs[nz])})
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    for t in collect_tables(ds):
+        if not t.num_columns:
+            continue
+        np.maximum.at(regs, t["bucket"].to_numpy(zero_copy_only=False),
+                      t["rho"].to_numpy(zero_copy_only=False))
+    used = int(np.count_nonzero(regs))
+    # Python bigints: S = sum over all m buckets of 2^(64 - Mj), Mj=0 empty
+    s = sum(1 << (64 - int(r)) for r in regs)
+    est = (_HLL_ALPHA_PPM * _HLL_M * _HLL_M * (1 << 64)) \
+        // (s * 1_000_000)
+    return pa.table({
+        "n_buckets_used": pa.array([used], type=pa.int64()),
+        "n_buckets_zero": pa.array([_HLL_M - used], type=pa.int64()),
+        "est_raw": pa.array([est], type=pa.int64())})
+
+
+SQL_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+         AS hv
+  FROM events
+), b AS (
+  SELECT hv >> {_HLL_REM_BITS} AS bucket,
+         CASE WHEN (hv & ((1::BIGINT << {_HLL_REM_BITS}) - 1)) = 0
+              THEN {_HLL_REM_BITS + 1}
+              ELSE {_HLL_REM_BITS + 1} - length(printf('%b',
+                   hv & ((1::BIGINT << {_HLL_REM_BITS}) - 1)))
+         END AS rho
+  FROM h
+), m AS (
+  SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket
+), s AS (
+  SELECT count(*)::BIGINT AS used,
+         coalesce(sum(1::HUGEINT << (64 - mj)), 0::HUGEINT) AS s_present
+  FROM m
+)
+SELECT used AS n_buckets_used,
+       ({_HLL_M} - used)::BIGINT AS n_buckets_zero,
+       (({_HLL_ALPHA_PPM}::HUGEINT * {_HLL_M} * {_HLL_M}
+         * (1::HUGEINT << 64))
+        // ((s_present + ({_HLL_M} - used)::HUGEINT * (1::HUGEINT << 64))
+            * 1000000))::BIGINT AS est_raw
+FROM s
+"""

