@@ -635,3 +635,215 @@ WITH c AS (
 SELECT o_orderkey, o_custkey, price_cents
 FROM c WHERE price_cents * n > s
 """
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL ranking: row_number / dense_rank / ntile over per-user spend
+# ---------------------------------------------------------------------------
+
+_NTILE_K = 4
+
+
+def ntile_exact(rn: np.ndarray, n: int, k: int = _NTILE_K) -> np.ndarray:
+    """SQL ntile(): the first n%k buckets take ceil(n/k) rows, the rest
+    floor(n/k) — NOT the uniform 1 + k*(rn-1)//n approximation, whose
+    bucket sizes interleave differently.  rn is 1-indexed."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)           # rows covered by the size-(q+1) buckets
+    i = rn - 1
+    return np.where(i < big, i // (q + 1) if q + 1 else 0,
+                    r + (i - big) // max(q, 1)) + 1
+
+
+def spend_fold_block(t: pa.Table) -> pa.Table:
+    """Exchange-1 kernel: fold per-batch (user, cents) partials to one
+    row per user (each user lands whole in exactly one partition)."""
+    if t.num_rows == 0:
+        return pa.schema([("user_id", pa.int64()),
+                          ("spend_cents", pa.int64())]).empty_table()
+    g = pa.TableGroupBy(t, ["user_id"]).aggregate([("cents", "sum")])
+    return pa.table({"user_id": g["user_id"],
+                     "spend_cents": pc.cast(g["cents_sum"], pa.int64())})
+
+
+def rank_block(t: pa.Table) -> pa.Table:
+    """Exchange-2 kernel: within one spend-range partition, order by
+    (spend DESC, user_id ASC) and add the driver's carry offsets.  The
+    range key is a FUNCTION of spend, so a tied spend value never
+    straddles partitions and the dense counter is safely local."""
+    if t.num_rows == 0:
+        return pa.schema([("user_id", pa.int64()),
+                          ("spend_cents", pa.int64()),
+                          ("rn", pa.int64()),
+                          ("dr", pa.int64()),
+                          ("quartile", pa.int64())]).empty_table()
+    n = t.num_rows
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    sp = t["spend_cents"].to_numpy(zero_copy_only=False)
+    part = t["part"].to_numpy(zero_copy_only=False)
+    ra = t["rows_above"].to_numpy(zero_copy_only=False)
+    da = t["dist_above"].to_numpy(zero_copy_only=False)
+    n_total = int(t["n_total"][0].as_py())
+    # one hash partition may hold SEVERAL range keys — group by part,
+    # then order each range by (spend DESC, user_id ASC)
+    order = np.lexsort((uid, -sp, part))
+    uid, sp, part = uid[order], sp[order], part[order]
+    ra, da = ra[order], da[order]
+    new_p = np.empty(n, dtype=bool)
+    new_p[0] = True
+    new_p[1:] = part[1:] != part[:-1]
+    starts = np.flatnonzero(new_p)
+    grp = np.cumsum(new_p) - 1
+    pos = np.arange(n, dtype=np.int64) - starts[grp]   # 0-based in-part
+    new_v = np.empty(n, dtype=bool)
+    new_v[0] = True
+    new_v[1:] = (sp[1:] != sp[:-1]) | new_p[1:]
+    dcum = np.cumsum(new_v)
+    rn = ra + pos + 1
+    dr = da + dcum - (dcum[starts] - 1)[grp]
+    return pa.table({"user_id": pa.array(uid),
+                     "spend_cents": pa.array(sp),
+                     "rn": pa.array(rn),
+                     "dr": pa.array(dr),
+                     "quartile": pa.array(ntile_exact(rn, n_total))})
+
+
+def q_user_spend_ranks(sf_dir: str):
+    """GLOBAL window functions — row_number, dense_rank and ntile(4)
+    over every user's total spend — without a global sort of the user
+    table through one reducer.  The watermark prefix-scan plan applied
+    to ranking:
+
+    * exchange 1 folds per-batch (user, cents) partials to one row per
+      user (combiner: only distinct users per batch ride the exchange);
+    * per-partition (min, max) spend partials give the driver the value
+      range; partition id = (hi - spend) // width is then a pure
+      function of the VALUE, so ties never straddle partitions and
+      partition order IS descending rank order;
+    * per-partition (rows, distinct) partials prefix-sum on the driver
+      into carry vectors (rows_above / dist_above — one int per
+      partition, the only driver state);
+    * exchange 2 co-locates each spend range; ``rank_block`` lexsorts
+      once per PARTITION and writes final ranks.
+
+    Equal-width ranges skew under heavy value concentration; the
+    documented swap is sampled quantile split points feeding the same
+    carry arithmetic (partition id from searchsorted instead of a
+    division) — kernels unchanged.  Ties order ntile/row_number by
+    user_id, so every output column is deterministic and the DuckDB
+    window oracle reproduces the table exactly."""
+    import ray
+
+    from engine.pipeline import collect_tables
+    from engine.stages import hash_group_exchange
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                      "cents": pa.array(cents)}),
+            ["user_id"]).aggregate([("cents", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    n_events = _nrows(sf_dir, "events")
+    empty = pa.schema([("user_id", pa.int64()), ("spend_cents", pa.int64()),
+                       ("rn", pa.int64()), ("dr", pa.int64()),
+                       ("quartile", pa.int64())]).empty_table()
+    if n_events == 0:
+        return empty
+    users = hash_group_exchange(
+        lambda: _table(sf_dir, "events")
+        .select_columns(["user_id", "value"])
+        .map_batches(cents_partial, batch_format="pyarrow",
+                     batch_size=None),
+        ["user_id"], spend_fold_block, collect=False,
+        rows_hint=n_events).materialize()
+    n_users = users.count()                 # free on a materialized set
+
+    def minmax(t: pa.Table) -> pa.Table:
+        sp = t["spend_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(sp.min())], type=pa.int64()),
+                         "hi": pa.array([int(sp.max())], type=pa.int64())})
+
+    mm = [b for b in collect_tables(
+        users.map_batches(minmax, batch_format="pyarrow"))
+        if b.num_columns and b.num_rows]
+    if not mm:
+        return empty
+    lo = min(int(t["lo"][0].as_py()) for t in mm)
+    hi = max(int(t["hi"][0].as_py()) for t in mm)
+    n_parts = max(8, n_users // 500_000)    # ranked rows = users, not events
+    width = max(1, (hi - lo + n_parts) // n_parts)
+
+    def assign(t: pa.Table) -> pa.Table:
+        sp = t["spend_cents"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((hi - sp) // width))
+
+    assigned = users.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+    # per-batch distinct counts could overcount a value split across
+    # blocks of the same partition — fold distinct (part, sp) PAIRS, then
+    # count rows/distincts per partition exactly:
+    pair_parts = [b for b in collect_tables(
+        assigned.map_batches(
+            lambda t: pa.TableGroupBy(
+                pa.table({"part": t["part"], "sp": t["spend_cents"]}),
+                ["part", "sp"]).aggregate([([], "count_all")])
+            .rename_columns(["part", "sp", "cnt"]),
+            batch_format="pyarrow", batch_size=None)) if b.num_columns]
+    pairs = pa.concat_tables(pair_parts)
+    gp = pa.TableGroupBy(pairs, ["part", "sp"]).aggregate([("cnt", "sum")])
+    gfin = pa.TableGroupBy(
+        pa.table({"part": gp["part"],
+                  "n": pc.cast(gp["cnt_sum"], pa.int64()),
+                  "d": pa.array(np.ones(len(gp), dtype=np.int64))}),
+        ["part"]).aggregate([("n", "sum"), ("d", "sum")])
+    parts_idx = gfin["part"].to_numpy(zero_copy_only=False)
+    n_arr = np.zeros(n_parts + 2, dtype=np.int64)
+    d_arr = np.zeros(n_parts + 2, dtype=np.int64)
+    n_arr[parts_idx] = pc.cast(gfin["n_sum"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    d_arr[parts_idx] = pc.cast(gfin["d_sum"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    rows_above = np.zeros_like(n_arr)
+    dist_above = np.zeros_like(d_arr)
+    np.cumsum(n_arr[:-1], out=rows_above[1:])
+    np.cumsum(d_arr[:-1], out=dist_above[1:])
+    n_total = int(n_arr.sum())
+    ra_ref = ray.put(rows_above)
+    da_ref = ray.put(dist_above)
+
+    def attach(t: pa.Table) -> pa.Table:
+        p = t["part"].to_numpy(zero_copy_only=False)
+        m = len(p)
+        return t.append_column(
+            "rows_above", pa.array(ray.get(ra_ref)[p])) \
+            .append_column("dist_above", pa.array(ray.get(da_ref)[p])) \
+            .append_column("n_total",
+                           pa.array(np.full(m, n_total, dtype=np.int64)))
+
+    df = hash_group_exchange(
+        lambda: assigned.map_batches(attach, batch_format="pyarrow",
+                                     batch_size=None),
+        ["part"], rank_block, rows_hint=max(1, n_users))
+    cols = ["user_id", "spend_cents", "rn", "dr", "quartile"]
+    return df.sort_values("user_id", ignore_index=True) \
+        .astype({c: "int64" for c in cols})[cols]
+
+
+SQL_USER_SPEND_RANKS = """
+WITH s AS (
+  SELECT user_id,
+         sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))::BIGINT
+             AS spend_cents
+  FROM events GROUP BY user_id)
+SELECT user_id, spend_cents,
+       row_number() OVER (ORDER BY spend_cents DESC, user_id)::BIGINT AS rn,
+       dense_rank() OVER (ORDER BY spend_cents DESC)::BIGINT AS dr,
+       ntile(4) OVER (ORDER BY spend_cents DESC, user_id)::BIGINT
+           AS quartile
+FROM s ORDER BY user_id
+"""

@@ -149,3 +149,41 @@ def test_value_outliers_bigint_fold(ray_session):
         want.update(ids[m][sel.astype(bool)].tolist())
     got = robust.q_value_outliers(SF_DIR).to_pandas()
     assert set(got["event_id"].tolist()) == want
+
+
+# ---------------------------------------------------------------------------
+# global ranking: ntile bucket-size exactness + tie handling across parts
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=200))
+def test_ntile_exact_matches_sql_semantics(n):
+    from engine.analytics import ntile_exact
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    got = ntile_exact(rn, n, 4)
+    q, r = divmod(n, 4)
+    sizes = [q + 1] * r + [q] * (4 - r)
+    want, b = [], 1
+    for s in sizes:
+        want += [b] * s
+        b += 1
+    assert got.tolist() == want[:n]
+
+
+def test_rank_block_multiple_parts_one_block():
+    from engine.analytics import rank_block
+    # two range parts in one hash block, with a tie inside part 0
+    t = pa.table({
+        "user_id": pa.array([5, 3, 9, 1], type=pa.int64()),
+        "spend_cents": pa.array([100, 100, 90, 10], type=pa.int64()),
+        "part": pa.array([0, 0, 0, 7], type=pa.int64()),
+        "rows_above": pa.array([0, 0, 0, 3], type=pa.int64()),
+        "dist_above": pa.array([0, 0, 0, 2], type=pa.int64()),
+        "n_total": pa.array([4, 4, 4, 4], type=pa.int64())})
+    out = rank_block(t).to_pandas().sort_values("user_id",
+                                                ignore_index=True)
+    by_user = out.set_index("user_id")
+    assert by_user.loc[3, "rn"] == 1 and by_user.loc[5, "rn"] == 2
+    assert by_user.loc[3, "dr"] == 1 and by_user.loc[5, "dr"] == 1
+    assert by_user.loc[9, "dr"] == 2
+    assert by_user.loc[1, "rn"] == 4 and by_user.loc[1, "dr"] == 3
