@@ -812,3 +812,99 @@ def q_tfidf_topk_indexed(sf_dir: str):
         "score": pa.array(score[order]),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# fixed-size token chunking with stride (gated)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16
+_CHUNK_STRIDE = 8
+
+
+def chunk_ranges(counts: np.ndarray, size: int, stride: int):
+    """Per-doc token counts -> (doc index, chunk id, start, length) arrays
+    for every stride window (starts 0, stride, 2*stride, ... < count;
+    zero-token docs emit nothing).  Pure offset arithmetic — no Python
+    per doc.  Module-level for the hypothesis property test."""
+    k = np.where(counts > 0, (counts + stride - 1) // stride, 0)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), k)
+    kcum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(k, out=kcum[1:])
+    chunk_id = np.arange(int(k.sum()), dtype=np.int64) - kcum[doc_idx]
+    start = chunk_id * stride
+    length = np.minimum(start + size, counts[doc_idx]) - start
+    return doc_idx, chunk_id, start, length
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window training chunks: each document's whitespace tokens
+    re-joined into windows of ``_CHUNK_TOKENS`` tokens every
+    ``_CHUNK_STRIDE`` (the HF ``return_overflowing_tokens`` shape; the
+    final window of a doc runs short rather than re-reading backwards).
+
+    Pure per-batch map — chunking is embarrassingly parallel, nothing
+    shuffles and nothing reaches the driver; output rows ~ 2x input
+    tokens with this overlap, which is the operator's cost everywhere,
+    not a plan artifact.  The window text is rebuilt from one ragged
+    ``take`` + Arrow list re-offset + ``binary_join`` (the
+    dup_span_removal rebuild recipe) so the kernel is loop-free."""
+    from engine.text import _split_tokens
+
+    def chunk(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(txt)
+        counts = offs[1:] - offs[:-1]
+        # whitespace-only/empty docs produce ONE zero-length artifact
+        # token; treat them as zero-token (the '\S+' oracle sees [])
+        flat_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        artifact = np.zeros(len(counts), dtype=np.int64)
+        one_tok = counts == 1
+        if one_tok.any():
+            artifact[one_tok] = flat_len[offs[:-1][one_tok]] == 0
+        counts = counts - artifact
+        doc_idx, chunk_id, start, length = chunk_ranges(
+            counts, _CHUNK_TOKENS, _CHUNK_STRIDE)
+        tot = int(length.sum())
+        lcum = np.zeros(len(length) + 1, dtype=np.int64)
+        np.cumsum(length, out=lcum[1:])
+        take = (np.arange(tot, dtype=np.int64)
+                - np.repeat(lcum[:-1], length)
+                + np.repeat(offs[:-1][doc_idx] + start, length))
+        toks = flat.take(pa.array(take))
+        chunks = pa.ListArray.from_arrays(pa.array(lcum, type=pa.int32()
+                                                   if tot < 2**31
+                                                   else pa.int64()), toks)
+        text_out = pc.binary_join(chunks, " ")
+        ids = pc.cast(t["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx]),
+            "chunk_id": pa.array(chunk_id),
+            "n_tokens": pa.array(length),
+            "chunk_text": text_out})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(chunk, batch_format="pyarrow", batch_size=None) \
+        .sort(["doc_id", "chunk_id"])
+
+
+SQL_CHUNK_DOCUMENTS = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, len(w) - 1, {_CHUNK_STRIDE})) AS start0
+  FROM tok WHERE len(w) > 0
+)
+SELECT doc_id, (start0 // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+       (least(start0 + {_CHUNK_TOKENS}, len(w)) - start0)::BIGINT
+           AS n_tokens,
+       array_to_string(list_slice(w, start0 + 1,
+                                  least(start0 + {_CHUNK_TOKENS}, len(w))),
+                       ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""

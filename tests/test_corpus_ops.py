@@ -1,0 +1,31 @@
+"""Corpus-preparation kernels: chunking-with-stride offset arithmetic
+pinned against a scalar rebuild (the gate only sees fixed-shape docs).
+"""
+
+
+def test_chunk_ranges_matches_scalar():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.corpus import chunk_ranges
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=60), min_size=1,
+                    max_size=20),
+           st.integers(min_value=1, max_value=12),
+           st.integers(min_value=1, max_value=12))
+    def check(counts, size, stride):
+        arr = np.array(counts, dtype=np.int64)
+        di, ci, st_, ln = chunk_ranges(arr, size, stride)
+        want = []
+        for d, n in enumerate(counts):
+            j = 0
+            while j * stride < n:
+                s = j * stride
+                want.append((d, j, s, min(s + size, n) - s))
+                j += 1
+        assert list(zip(di.tolist(), ci.tolist(), st_.tolist(),
+                        ln.tolist())) == want
+
+    check()
