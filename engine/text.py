@@ -475,3 +475,63 @@ SELECT doc_id, n_words,
         * 1000 + 0.5)::BIGINT AS quality_milli
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# canonical text normalization (gated): ASCII casefold + whitespace collapse
+# ---------------------------------------------------------------------------
+# Scope is chosen for CROSS-IMPLEMENTATION byte-exactness, measured, not
+# assumed: full Unicode lower() diverges between this Arrow (utf8proc) and
+# DuckDB on 7/27571 BMP+SMP codepoints (newer case mappings, e.g. Vithkuqi),
+# and NFC diverges on ~1/3000 random combining-mark sequences (canonical
+# reordering) — and pyarrow 16.1's utf8_normalize returns NFD regardless of
+# the form argument, so NFC normalization here would be a per-row Python
+# fallback anyway.  ASCII casefold (translate on 26 chars) and the RE2
+# whitespace class are identical everywhere, so the gate holds on ANY
+# input, not just ASCII fixtures.
+
+_WS_RUN = "[\t\n\f\r ]+"
+
+
+def normalize_text(txt) -> pa.Array:
+    """ASCII-lowercase, collapse RE2-whitespace runs to one space, trim.
+    Nulls normalize to ''.  Module-level for tests."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    x = pc.ascii_lower(pc.fill_null(txt, ""))
+    x = pc.replace_substring_regex(x, _WS_RUN, " ")
+    return pc.utf8_trim(x, " ")
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical-form text column: one pure vectorized map (no shuffle,
+    no driver bytes), emitting the normalized text plus a changed flag —
+    the preprocessing front of the exact-dedup family (normalized
+    collisions catch case/whitespace near-dups that byte-exact dedup
+    misses)."""
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        norm = normalize_text(txt)
+        changed = pc.cast(pc.not_equal(norm, pc.fill_null(txt, "")),
+                          pa.int64())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "norm_text": norm, "changed": changed})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None) \
+        .sort("doc_id")
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(translate(coalesce(text, ''),
+                'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+            '[\t\n\f\r ]+', ' ', 'g'), ' ') AS norm_text,
+       (trim(regexp_replace(translate(coalesce(text, ''),
+                'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+            '[\t\n\f\r ]+', ' ', 'g'), ' ') <> coalesce(text, ''))::BIGINT
+           AS changed
+FROM documents ORDER BY doc_id
+"""

@@ -138,3 +138,39 @@ def test_gated_query_on_unicode_corpus(ray_session, unicode_corpus, name):
         if not eq:
             merged = got.compare(want, result_names=("ray", "duckdb"))
             raise AssertionError(f"{name}: value mismatch\n{merged.head(20)}")
+
+
+def test_normalize_text_adversarial(ray_session, tmp_path):
+    """Engine normalization == oracle on NBSP / vertical-tab / mixed-case
+    / null / leading-trailing-run documents (the classes where Unicode
+    kernels silently diverge — this op is byte-exact by construction)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.text import SQL_TEXT_NORMALIZE, q_text_normalize
+    docs = ["  Hello\t\tWORLD \n", "a b", "x\x0by", None, "",
+            "MiXeD  CaSe", "\r\r lead trail \f\f", "Ꟙß İ"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+        "n_chars": pa.array([len(d or "") for d in docs], type=pa.int64())})
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = q_text_normalize(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(SQL_TEXT_NORMALIZE).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # NBSP is NOT whitespace here (RE2 class), vertical tab either
+    by_id = got.set_index("doc_id")["norm_text"]
+    assert by_id[1] == "a b"
+    assert by_id[2] == "x\x0by"
+    assert by_id[0] == "hello world"
+    assert by_id[7] == "Ꟙß İ"   # non-ASCII untouched on both sides
