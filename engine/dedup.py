@@ -1044,3 +1044,39 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                      "doc_b": pa.array(df["doc_b"].astype(np.int64)),
                      "jaccard_milli": pa.array(df["jaccard_milli"].astype(np.int64)),
                      "capped": pa.array(df["capped"].astype(bool))})
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Normalization-aware exact dedup: :func:`q_dedup_exact` keyed on the
+    canonical form from :func:`engine.text.normalize_text` (ASCII
+    casefold + whitespace collapse), so case/whitespace-only variants
+    collapse to one survivor.  Same plan and bounds as the byte-exact
+    variant — the normalization is a free rider inside the partial map;
+    the 2^-64 hash-collision trade and min-id-wins rule are identical."""
+    from engine.text import normalize_text
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        norm = normalize_text(t["text"])
+        h = pd.util.hash_pandas_object(
+            pd.Series(norm.to_pandas()), index=False).to_numpy()
+        g = pa.TableGroupBy(pa.table({
+            "h": pa.array(h.view(np.int64)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64())}), "h") \
+            .aggregate([("doc_id", "min")])
+        return pa.table({"h": g["h"], "doc_id": g["doc_id_min"]})
+
+    from ray.data.aggregate import Min
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
+SQL_DEDUP_NORMALIZED = r"""
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+GROUP BY trim(regexp_replace(translate(coalesce(text, ''),
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+         '[\t\n\f\r ]+', ' ', 'g'), ' ')
+"""

@@ -29,3 +29,26 @@ def test_chunk_ranges_matches_scalar():
                         ln.tolist())) == want
 
     check()
+
+
+def test_dedup_normalized_collapses_variants(ray_session, tmp_path):
+    """Case/whitespace-only variants collapse to the min-id survivor;
+    genuinely different docs survive."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.dedup import q_dedup_normalized
+    docs = ["Hello  World", "hello world", "\thello   WORLD \n",
+            "other doc", "hello worlds"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+        "n_chars": pa.array([len(d) for d in docs], type=pa.int64())})
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q_dedup_normalized(d).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3, 4]
