@@ -908,3 +908,176 @@ SELECT doc_id, (start0 // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
                        ' ') AS chunk_text
 FROM c ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval with an integer-exact saturation term (gated)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "merge")
+_BM25_K = 10
+# k1 = 6/5, b = 3/4 folded into one integer fraction (x10 both sides):
+#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/SUMDL)
+#   = 22*tf*SUMDL / (10*tf*SUMDL + 3*SUMDL + 9*dl*N)
+# The per-term saturation is kept in MILLI resolution (x1000) before the
+# idf multiply, so every intermediate is a plain integer and the DuckDB
+# oracle states the identical nested floor divisions — the gate checks
+# the SCORE itself, not a float approximation of it.
+_BM25_SAT_SCALE = 22_000
+
+
+def bm25_scores(tf: np.ndarray, dl: np.ndarray, idf: int, n_docs: int,
+                sumdl: int) -> np.ndarray:
+    """Per-doc integer BM25 term score: idf * milli-saturation.
+    int64-safe while 22000 * max_tf * SUMDL < 2^63 (~2 x 10^14 corpus
+    tokens at tf<=20); past that, rescale SUMDL/dl to kilo-tokens on
+    BOTH sides — the fraction is scale-invariant up to the floor.
+    Module-level for tests."""
+    num = _BM25_SAT_SCALE * tf * sumdl
+    den = 10 * tf * sumdl + 3 * sumdl + 9 * dl * n_docs
+    sat = np.where(tf > 0, num // np.maximum(den, 1), 0)
+    return idf * sat
+
+
+def q_bm25_topk(sf_dir: str):
+    """Disjunctive BM25 (Robertson-Sparck Jones) top-``_BM25_K`` over
+    ``_BM25_TERMS`` — the doc-length-normalized upgrade of
+    :func:`q_tfidf_topk`, same two linear passes and no shuffle:
+
+    * pass 1 folds per-batch (df per term, token count) partials into
+      the global df vector and SUMDL (driver state: |terms| + 1 ints);
+    * pass 2 re-scans, scores each doc vectorized (one ``pc.equal`` +
+      segment-sum per term, then :func:`bm25_scores`), and forwards only
+      a per-batch top-K — the driver folds <= K x blocks id rows.
+
+    idf is the repo's integer idf ((N * 1e6) // df — monotone with
+    log-idf); the length saturation is exact integer arithmetic per the
+    module constant's derivation.  The indexed swap is the same
+    ``inverted_index_dir`` recipe as ``tfidf_topk_indexed`` (postings
+    carry tf and dl)."""
+    import pyarrow.parquet as _pq
+
+    from engine.pipeline import collect_tables
+    from engine.text import _segment_sums, _split_tokens
+    terms = _BM25_TERMS
+    k = _BM25_K
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        counts = offs[1:] - offs[:-1]
+        flat_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        # whitespace-only docs: one zero-length artifact token
+        art = np.zeros(len(counts), dtype=np.int64)
+        one = counts == 1
+        if one.any():
+            art[one] = flat_len[offs[:-1][one]] == 0
+        dl_sum = int((counts - art).sum())
+        dfs = np.empty(len(terms), dtype=np.int64)
+        for i, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            dfs[i] = int((_segment_sums(hit.astype(np.int64), offs) > 0)
+                         .sum())
+        return pa.table({
+            "term_idx": pa.array(np.arange(len(terms), dtype=np.int64)),
+            "df": pa.array(dfs),
+            "dl_sum": pa.array(np.full(len(terms), dl_sum,
+                                       dtype=np.int64))})
+
+    parts = [b for b in collect_tables(
+        _docs(sf_dir, ["text"]).map_batches(
+            stats_partial, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    df_vec = np.zeros(len(terms), dtype=np.int64)
+    sumdl = 0
+    for b in parts:
+        ti = b["term_idx"].to_numpy(zero_copy_only=False)
+        df_vec[ti] += b["df"].to_numpy(zero_copy_only=False)
+        sumdl += int(b["dl_sum"][0].as_py())
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    idf = np.where(df_vec > 0,
+                   (n_docs * _TFIDF_SCALE) // np.maximum(df_vec, 1),
+                   0).astype(np.int64)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        counts = offs[1:] - offs[:-1]
+        flat_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        art = np.zeros(len(counts), dtype=np.int64)
+        one = counts == 1
+        if one.any():
+            art[one] = flat_len[offs[:-1][one]] == 0
+        dl = counts - art
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        score = np.zeros(t.num_rows, dtype=np.int64)
+        for i, term in enumerate(terms):
+            if idf[i] == 0 or sumdl == 0:
+                continue
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = _segment_sums(hit.astype(np.int64), offs)
+            score += bm25_scores(tf, dl, int(idf[i]), n_docs, sumdl)
+        m = score > 0
+        ids, sc = ids[m], score[m]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(sc[order])})
+
+    tabs = [b for b in collect_tables(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            score_topk, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    ct = pa.concat_tables(tabs)
+    ids = ct["doc_id"].to_numpy(zero_copy_only=False)
+    sc = ct["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "score": pa.array(sc[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+_BM25_T0, _BM25_T1 = _BM25_TERMS
+
+SQL_BM25_TOPK = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, len(w)::HUGEINT AS dl,
+         len(list_filter(w, x -> x = '{_BM25_T0}'))::HUGEINT AS tf0,
+         len(list_filter(w, x -> x = '{_BM25_T1}'))::HUGEINT AS tf1
+  FROM tok
+), stats AS (
+  SELECT count(*)::HUGEINT AS n, sum(dl) AS sumdl,
+         count(*) FILTER (WHERE tf0 > 0)::HUGEINT AS df0,
+         count(*) FILTER (WHERE tf1 > 0)::HUGEINT AS df1
+  FROM tf
+), scored AS (
+  SELECT doc_id,
+    (CASE WHEN tf0 > 0 AND df0 > 0 THEN
+       ((n * {_TFIDF_SCALE}) // df0)
+       * (({_BM25_SAT_SCALE} * tf0 * sumdl)
+          // (10*tf0*sumdl + 3*sumdl + 9*dl*n)) ELSE 0 END
+     + CASE WHEN tf1 > 0 AND df1 > 0 THEN
+       ((n * {_TFIDF_SCALE}) // df1)
+       * (({_BM25_SAT_SCALE} * tf1 * sumdl)
+          // (10*tf1*sumdl + 3*sumdl + 9*dl*n)) ELSE 0 END)::BIGINT
+       AS score
+  FROM tf, stats
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""

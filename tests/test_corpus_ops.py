@@ -52,3 +52,18 @@ def test_dedup_normalized_collapses_variants(ray_session, tmp_path):
     pq.write_table(t, os.path.join(d, "documents.parquet"))
     out = q_dedup_normalized(d).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 3, 4]
+
+
+def test_bm25_length_normalization_and_saturation():
+    """Longer docs score lower at equal tf; tf gains saturate (the k1
+    ceiling): doubling tf less than doubles the score."""
+    import numpy as np
+
+    from engine.corpus import bm25_scores
+    idf, n, sumdl = 1_000_000, 1000, 30_000
+    tf = np.array([2, 2, 4], dtype=np.int64)
+    dl = np.array([20, 80, 20], dtype=np.int64)
+    s = bm25_scores(tf, dl, idf, n, sumdl)
+    assert s[1] < s[0]                       # same tf, longer doc
+    assert s[0] < s[2] < 2 * s[0]            # saturation
+    assert bm25_scores(np.array([0]), np.array([10]), idf, n, sumdl)[0] == 0
