@@ -704,9 +704,41 @@ def inverted_index_dir(sf_dir: str) -> str:
     _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(postings, batch_format="pyarrow", batch_size=None) \
         .write_parquet(d, partition_cols=["bucket"])
+    _write_doclen_sidecar(sf_dir, d)
     with open(marker, "w") as f:
         f.write(tag)
     return d
+
+
+def _write_doclen_sidecar(sf_dir: str, idx_dir: str) -> str:
+    """(doc_id, dl) table alongside the inverted index — the document-
+    length statistics BM25 needs (8+8 B per doc; partitioned parquet so
+    a candidate-filtered pass streams it).  Idempotent per index build."""
+    from engine.text import _split_tokens
+    out = os.path.join(idx_dir, "doclen")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+
+    def doclen(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(txt)
+        counts = offs[1:] - offs[:-1]
+        flat_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        art = np.zeros(len(counts), dtype=np.int64)
+        one = counts == 1
+        if one.any():
+            art[one] = flat_len[offs[:-1][one]] == 0
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "dl": pa.array(counts - art)})
+
+    _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(doclen, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(out)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    return out
 
 
 def q_keyword_search_indexed(sf_dir: str):
@@ -810,6 +842,107 @@ def q_tfidf_topk_indexed(sf_dir: str):
     return pa.table({
         "doc_id": pa.array(uid[order]),
         "score": pa.array(score[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+def q_bm25_topk_indexed(sf_dir: str):
+    """BM25 over the partitioned inverted index — identical contract (and
+    SQL oracle) to :func:`q_bm25_topk` with zero corpus-TEXT reads at
+    query time: tf and df fall out of the terms' bucket postings, and the
+    doc-length statistics come from the index's ``doclen`` sidecar
+    ((doc_id, dl), built with the index).  SUMDL folds from per-batch
+    sidecar partials; candidate (tf0, tf1) vectors broadcast once via
+    ``ray.put`` and every sidecar batch scores its candidate hits
+    vectorized, forwarding only a per-batch top-K (each doc has exactly
+    one sidecar row, so per-batch tops fold exactly).  Candidate vectors
+    are driver-resident numpy — bounded by the query terms' df, the same
+    documented bound as the other indexed folds here."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pqt
+
+    import ray
+    from engine.pipeline import collect_tables
+
+    terms = _BM25_TERMS
+    k = _BM25_K
+    idx = inverted_index_dir(sf_dir)
+    doclen_dir = _write_doclen_sidecar(sf_dir, idx)  # idempotent (old caches)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64())})
+    files = []
+    for b in sorted(set(_word_bucket(terms).tolist())):
+        files += _glob.glob(os.path.join(idx, f"bucket={b}", "*.parquet"))
+    if not files:
+        return empty
+    t = pads.dataset(files).to_table(columns=["word", "doc_id", "tf"])
+    t = t.filter(pc.is_in(t["word"], value_set=pa.array(list(terms))))
+    if t.num_rows == 0:
+        return empty
+    n_docs = _pqt.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    words = t["word"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    tf = t["tf"].to_numpy(zero_copy_only=False)
+    cand = np.unique(ids)
+    tf_mat = np.zeros((len(terms), len(cand)), dtype=np.int64)
+    idf = np.zeros(len(terms), dtype=np.int64)
+    for i, term in enumerate(terms):
+        m = words == term
+        df = int(m.sum())                   # postings are distinct per doc
+        idf[i] = (n_docs * _TFIDF_SCALE) // df if df else 0
+        tf_mat[i, np.searchsorted(cand, ids[m])] = tf[m]
+
+    dlen = read_parquet_clean(doclen_dir, columns=["doc_id", "dl"])
+
+    def sumdl_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(
+            [int(b["dl"].to_numpy(zero_copy_only=False).sum())],
+            type=pa.int64())})
+
+    sumdl = sum(int(b["s"][0].as_py()) for b in collect_tables(
+        dlen.map_batches(sumdl_partial, batch_format="pyarrow"))
+        if b.num_columns and b.num_rows)
+    if sumdl == 0:
+        return empty
+    cand_ref = ray.put(cand)
+    tf_ref = ray.put(tf_mat)
+
+    def score_block(b: pa.Table) -> pa.Table:
+        cnd, tfm = ray.get(cand_ref), ray.get(tf_ref)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        dl = b["dl"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cnd, did)
+        pos_c = np.minimum(pos, len(cnd) - 1)
+        hit = cnd[pos_c] == did
+        did, dl, pos_h = did[hit], dl[hit], pos_c[hit]
+        score = np.zeros(len(did), dtype=np.int64)
+        for i in range(len(terms)):
+            if idf[i] == 0:
+                continue
+            score += bm25_scores(tfm[i, pos_h], dl, int(idf[i]),
+                                 n_docs, sumdl)
+        m = score > 0
+        did, score = did[m], score[m]
+        order = np.lexsort((did, -score))[:k]
+        return pa.table({"doc_id": pa.array(did[order]),
+                         "score": pa.array(score[order])})
+
+    tabs = [b for b in collect_tables(
+        dlen.map_batches(score_block, batch_format="pyarrow",
+                         batch_size=None)) if b.num_columns]
+    if not tabs:
+        return empty
+    ct = pa.concat_tables(tabs)
+    out_ids = ct["doc_id"].to_numpy(zero_copy_only=False)
+    sc = ct["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((out_ids, -sc))[:k]
+    return pa.table({
+        "doc_id": pa.array(out_ids[order]),
+        "score": pa.array(sc[order]),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
 
