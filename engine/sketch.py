@@ -530,3 +530,96 @@ SELECT used AS n_buckets_used,
             * 1000000))::BIGINT AS est_raw
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (rows-only; the hot-group swap promised by
+# analytics.q_value_quantiles_by_type's partitioning assumption)
+# ---------------------------------------------------------------------------
+
+_QSK_S = 512       # per-(batch, group) summary size; rank error <= N/S + B
+
+
+def quantile_summary(vals: np.ndarray, s: int = _QSK_S):
+    """Sorted values -> (points, weights): every ceil(n/s)-th order
+    statistic carrying the count it represents.  Merging summaries by
+    weighted rank has additive rank error <= sum(ceil(n_i/s))/1, i.e.
+    N/s + #batches — independent of skew and of value distribution.
+    Module-level for the property test."""
+    n = len(vals)
+    if n == 0:
+        return vals, np.zeros(0, dtype=np.int64)
+    step = -(-n // s)
+    idx = np.arange(step - 1, n, step)
+    if idx[-1] != n - 1:
+        idx = np.append(idx, n - 1)
+    w = np.diff(np.concatenate(([0], idx + 1)))
+    return vals[idx], w.astype(np.int64)
+
+
+def q_value_quantiles_sketch(sf_dir: str, quants=(50, 90, 99)):
+    """Approximate per-event-type quantiles of ``value`` via mergeable
+    per-batch summaries — the scale path when a single GROUP outgrows a
+    worker heap and `analytics.q_value_quantiles_by_type`'s co-locate-
+    the-group plan stops holding.  Each batch ships <= S points per type
+    (bounded regardless of group size); the driver merge is a weighted
+    sorted fold.  Rows-only: the estimate is deterministic but
+    approximate (rank error <= N/S + #batches, pinned in pytest against
+    the exact quantiles)."""
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((cents, et))
+        et, cents = et[order], cents[order]
+        new_g = np.empty(len(et), dtype=bool)
+        if len(et):
+            new_g[0] = True
+            new_g[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new_g)
+        out_t, out_v, out_w = [], [], []
+        for i, s0 in enumerate(starts):
+            s1 = starts[i + 1] if i + 1 < len(starts) else len(et)
+            pts, w = quantile_summary(cents[s0:s1])
+            out_t += [et[s0]] * len(pts)
+            out_v.append(pts)
+            out_w.append(w)
+        if not out_t:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "v": pa.array(np.concatenate(out_v)),
+            "w": pa.array(np.concatenate(out_w))})
+
+    tabs = [b for b in collect_tables(
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    cols = {f"p{q}_cents": [] for q in quants}
+    out_types, out_n = [], []
+    if tabs:
+        t = pa.concat_tables(tabs)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        for etype in np.unique(et):
+            m = et == etype
+            order = np.argsort(v[m], kind="stable")
+            vv, ww = v[m][order], w[m][order]
+            cum = np.cumsum(ww)
+            n = int(cum[-1])
+            out_types.append(str(etype))
+            out_n.append(n)
+            for q in quants:
+                rank = max(1, (q * n + 99) // 100)   # ceil, 1-indexed
+                cols[f"p{q}_cents"].append(
+                    int(vv[np.searchsorted(cum, rank)]))
+    return pa.table({
+        "event_type": pa.array(out_types, type=pa.string()),
+        "n": pa.array(out_n, type=pa.int64()),
+        **{k: pa.array(vals, type=pa.int64()) for k, vals in cols.items()}})

@@ -600,3 +600,66 @@ def test_hll_estimate_within_error_envelope(ray_session, tmp_path):
     exact = len(np.unique(ids))
     est = int(out["est_raw"].iloc[0])
     assert abs(est - exact) / exact < 0.20, (est, exact)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary: rank-error bound, exact when n <= S
+# ---------------------------------------------------------------------------
+
+def test_quantile_summary_rank_error_bound():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.sketch import quantile_summary
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                    min_size=1, max_size=4000),
+           st.integers(min_value=4, max_value=64))
+    def check(vals, s):
+        arr = np.sort(np.array(vals, dtype=np.int64))
+        pts, w = quantile_summary(arr, s)
+        assert int(w.sum()) == len(arr)
+        assert pts[-1] == arr[-1]
+        # each point's weighted rank lies inside its value's rank run
+        # (exact: cum == idx+1 of a sampled order statistic), and a
+        # quantile query off the summary errs by < step ranks
+        step = -(-len(arr) // s)
+        cum = np.cumsum(w)
+        for p, c in zip(pts.tolist(), cum.tolist()):
+            assert np.searchsorted(arr, p, side="left") < c \
+                <= np.searchsorted(arr, p, side="right")
+        n = len(arr)
+        for rank in {1, n // 2 + 1, n}:
+            est = pts[np.searchsorted(cum, rank)]
+            lo = int(np.searchsorted(arr, est, side="left")) + 1
+            hi = int(np.searchsorted(arr, est, side="right"))
+            assert lo - step <= rank <= hi + step
+    check()
+
+
+def test_value_quantiles_sketch_vs_exact(ray_session):
+    """sf0.001 end-to-end: estimated quantile ranks land within
+    N/S + #batches of the exact target rank, per type."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.sketch import _QSK_S, q_value_quantiles_sketch
+    sf = "/root/testdata/sf0.001"
+    got = q_value_quantiles_sketch(sf).to_pandas().set_index("event_type")
+    t = pq.read_table(sf + "/events.parquet",
+                      columns=["event_type", "value"])
+    cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    for etype in np.unique(et):
+        grp = np.sort(cents[et == etype])
+        n = len(grp)
+        assert int(got.loc[etype, "n"]) == n
+        budget = n // _QSK_S + 8 + 1          # N/S + batches margin
+        for q in (50, 90, 99):
+            est = int(got.loc[etype, f"p{q}_cents"])
+            rank = max(1, (q * n + 99) // 100)
+            lo = int(np.searchsorted(grp, est, side="left")) + 1
+            hi = int(np.searchsorted(grp, est, side="right"))
+            assert lo - budget <= rank <= hi + budget, (etype, q)
