@@ -412,3 +412,95 @@ SELECT lang, (length(printf('%b', n_chars)) - 1)::BIGINT AS bucket,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_partial(t: pa.Table) -> pa.Table:
+    """Per-batch distinct (user, week) pairs — the only rows that ride
+    the user-keyed exchange."""
+    ts = t["ts"].to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    g = pa.TableGroupBy(pa.table({
+        "key": pc.cast(t["user_id"], pa.int64()),
+        "week": pa.array(ts // _WEEK_US)}), ["key", "week"]) \
+        .aggregate([])
+    return g
+
+
+def retention_block(t: pa.Table) -> pa.Table:
+    """Per-partition kernel: each user lands whole, so the per-user min
+    week IS the global cohort; emit (cohort, active week, user count)
+    partials — <= weeks^2 rows per partition."""
+    if t.num_rows == 0:
+        return pa.schema([("cohort_week", pa.int64()),
+                          ("active_week", pa.int64()),
+                          ("n_users", pa.int64())]).empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    week = t["week"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((week, key))
+    key, week = key[order], week[order]
+    new_u = np.empty(len(key), dtype=bool)
+    new_u[0] = True
+    new_u[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_u)
+    grp = np.cumsum(new_u) - 1
+    # drop duplicate (user, week) rows surviving across batches
+    keep = np.empty(len(key), dtype=bool)
+    keep[0] = True
+    keep[1:] = new_u[1:] | (week[1:] != week[:-1])
+    cohort = week[starts][grp]
+    g = pa.TableGroupBy(pa.table({
+        "cohort_week": pa.array(cohort[keep]),
+        "active_week": pa.array(week[keep])}),
+        ["cohort_week", "active_week"]).aggregate([([], "count_all")])
+    return pa.table({"cohort_week": g["cohort_week"],
+                     "active_week": g["active_week"],
+                     "n_users": pc.cast(g["count_all"], pa.int64())})
+
+
+def q_user_retention(sf_dir: str):
+    """Weekly cohort retention: users grouped by their first-active week,
+    counted in every week they return.  One user-keyed exchange of
+    distinct (user, week) pairs (per-batch distinct partials bound the
+    exchange), per-partition vectorized cohort fold, and <= weeks^2
+    partial rows per partition back to the driver."""
+    import pyarrow.parquet as pq
+
+    from engine.stages import hash_group_exchange
+
+    nrows = pq.read_metadata(
+        os.path.join(sf_dir, "events.parquet")).num_rows
+    df = hash_group_exchange(
+        lambda: _events(sf_dir, ["user_id", "ts"])
+        .map_batches(retention_partial, batch_format="pyarrow",
+                     batch_size=None),
+        ["key"], retention_block, rows_hint=max(1, nrows // 4))
+    if df.empty:
+        return pa.table({"cohort_week": pa.array([], type=pa.int64()),
+                         "active_week": pa.array([], type=pa.int64()),
+                         "n_users": pa.array([], type=pa.int64())})
+    out = df.groupby(["cohort_week", "active_week"], as_index=False) \
+        ["n_users"].sum() \
+        .sort_values(["cohort_week", "active_week"], ignore_index=True)
+    return pa.table({
+        "cohort_week": pa.array(out["cohort_week"].astype(np.int64)),
+        "active_week": pa.array(out["active_week"].astype(np.int64)),
+        "n_users": pa.array(out["n_users"].astype(np.int64))})
+
+
+SQL_USER_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week, week AS active_week, count(*)::BIGINT AS n_users
+FROM uw JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

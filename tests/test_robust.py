@@ -187,3 +187,31 @@ def test_rank_block_multiple_parts_one_block():
     assert by_user.loc[3, "dr"] == 1 and by_user.loc[5, "dr"] == 1
     assert by_user.loc[9, "dr"] == 2
     assert by_user.loc[1, "rn"] == 4 and by_user.loc[1, "dr"] == 3
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: kernel semantics + cross-batch duplicate survival
+# ---------------------------------------------------------------------------
+
+def test_retention_block_dedups_cross_batch_pairs():
+    from engine.robust import retention_block
+    # the same (user, week) pair arriving from two batches must count once
+    t = pa.table({
+        "key": pa.array([7, 7, 7, 8], type=pa.int64()),
+        "week": pa.array([3, 3, 5, 4], type=pa.int64())})
+    out = retention_block(t).to_pandas()
+    rows = set(map(tuple, out.values.tolist()))
+    assert rows == {(3, 3, 1), (3, 5, 1), (4, 4, 1)}
+
+
+def test_retention_matches_oracle_sf0001(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from engine.robust import SQL_USER_RETENTION, q_user_retention
+    got = q_user_retention(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    want = con.execute(SQL_USER_RETENTION).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
