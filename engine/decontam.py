@@ -421,3 +421,47 @@ SELECT b.doc_id,
 FROM b LEFT JOIN train USING (h)
 WHERE b.bucket >= {_TRAIN_LT}
 """
+
+
+def q_weighted_sample(sf_dir: str):
+    """Quality-weighted importance sampling: keep each doc with
+    probability quality_milli/1000, decided by a deterministic per-doc
+    hash threshold — the per-DOC generalization of
+    :func:`q_source_mixture_sample`'s per-source rate.  One pure map
+    (the quality heuristic rides inside the batch kernel), no shuffle,
+    no driver state; keep decisions are stable under corpus growth.
+
+    Keep iff h32 * 1000 < quality_milli * 2^32, with h32 = md5 bits
+    [64, 96) of str(doc_id) — a hash window independent of the split
+    ([:32)) and mixture ([32, 64)) windows, so composed sampling stages
+    stay statistically independent.  Exact integers on both sides."""
+    from engine.text import quality_batch
+
+    def mark(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        ids = pc.cast(q["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        qm = q["quality_milli"].to_numpy(zero_copy_only=False)
+        h32 = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[16:24],
+                            16) for d in ids], dtype=np.int64)
+        keep = h32 * 1000 < qm.astype(np.int64) * (1 << 32)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "quality_milli": pa.array(qm[keep])})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(mark, batch_format="pyarrow", batch_size=None) \
+        .sort("doc_id")
+
+
+def _sql_weighted_sample() -> str:
+    from engine.curate import _sql_quality_milli_expr
+    return rf"""
+WITH q AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         {_sql_quality_milli_expr()} AS quality_milli
+  FROM documents
+)
+SELECT doc_id, quality_milli FROM q
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 17, 8))::BIGINT * 1000
+      < quality_milli::HUGEINT * 4294967296
+ORDER BY doc_id
+"""
