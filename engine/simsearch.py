@@ -1242,3 +1242,98 @@ def q_simsearch_pq(sf_dir: str):
                      "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
                      "rank": pa.array([r[2] for r in rows], type=pa.int64()),
                      "sim_micro": pa.array([r[3] for r in rows], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# embedding analytics (gated): quantized norms + per-label centroid sums
+# ---------------------------------------------------------------------------
+
+def q_embedding_norms(sf_dir: str):
+    """Per-vector squared L2 norm in micro-quantized integers (the
+    module's gate convention: q = floor(x*1e6 + 0.5); sum of 64 q^2
+    <= 6.4e13, comfortably int64).  Pure map, no shuffle — the health
+    check run before any cosine stage (zero-norm vectors break cosine
+    and must be flagged, not divided by)."""
+    def fn(t: pa.Table) -> pa.Table:
+        m = _batch_mat(t)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "norm2_q": pa.array((q * q).sum(axis=1)),
+            "is_zero": pa.array(((q != 0).sum(axis=1) == 0)
+                                .astype(np.int64))})
+
+    return _emb(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                    batch_size=None).sort("vec_id")
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id::BIGINT AS vec_id,
+       list_sum(list_transform(embedding,
+           x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT
+           AS norm2_q,
+       (len(list_filter(embedding,
+            x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT <> 0)) = 0)
+           ::BIGINT AS is_zero
+FROM embeddings ORDER BY vec_id
+"""
+
+
+_EMB_DIM = 64
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid SUMS over the micro-quantized embeddings —
+    integer partials, so the gate checks exact values and the consumer
+    divides sum_q/n_vecs at whatever precision it wants.  Each batch
+    folds its rows into a |labels| x dim matrix (np.add.at — one pass,
+    no Python per row), emits |labels| x dim partial rows, and the
+    driver combiner-folds.  The k-means seeding of the IVF/SemDeDup
+    stages is this exact computation iterated."""
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_mat(t)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        dim = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(ulab))),
+            "sum_q": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(cnt, dim))})
+
+    tabs = [b for b in collect_tables(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)) if b.num_columns]
+    if not tabs:
+        return pa.table({"label": pa.array([], type=pa.int64()),
+                         "dim": pa.array([], type=pa.int64()),
+                         "sum_q": pa.array([], type=pa.int64()),
+                         "n_vecs": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(tabs)
+    g = pa.TableGroupBy(t, ["label", "dim"]).aggregate(
+        [("sum_q", "sum"), ("n_vecs", "sum")])
+    out = pa.table({"label": g["label"], "dim": g["dim"],
+                    "sum_q": g["sum_q_sum"], "n_vecs": g["n_vecs_sum"]})
+    return out.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH d AS (
+  SELECT label::BIGINT AS label,
+         unnest(generate_series(1, {_EMB_DIM})) AS dpos, embedding
+  FROM embeddings
+)
+SELECT label, (dpos - 1)::BIGINT AS dim,
+       sum(floor(embedding[dpos]::DOUBLE * 1000000 + 0.5)::BIGINT)::BIGINT
+           AS sum_q,
+       count(*)::BIGINT AS n_vecs
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
