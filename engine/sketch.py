@@ -623,3 +623,146 @@ def q_value_quantiles_sketch(sf_dir: str, quants=(50, 90, 99)):
         "event_type": pa.array(out_types, type=pa.string()),
         "n": pa.array(out_n, type=pa.int64()),
         **{k: pa.array(vals, type=pa.int64()) for k, vals in cols.items()}})
+
+
+# ---------------------------------------------------------------------------
+# whole-table column profile (gated): null counts + HLL distinct per column
+# ---------------------------------------------------------------------------
+# Per-column canonical string reprs shared with the SQL oracle (floats
+# go through cents, timestamps through epoch_us — never locale/format-
+# dependent rendering):
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value",
+                 "props")
+
+
+def _canon_strings(t: pa.Table, col: str):
+    """Column -> (canonical string numpy array of NON-NULL values,
+    null count).  Matches the oracle expressions in SQL_TABLE_PROFILE."""
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    nulls = int(pc.sum(pc.is_null(c)).as_py() or 0)
+    c = c.drop_null()
+    if pa.types.is_timestamp(c.type):
+        v = c.to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        out = v.astype("U")
+    elif pa.types.is_floating(c.type):
+        v = np.floor(c.to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        out = v.astype("U")
+    elif pa.types.is_integer(c.type):
+        out = c.to_numpy(zero_copy_only=False).astype(np.int64).astype("U")
+    else:
+        out = np.asarray(c.to_pylist(), dtype=object)
+    return out, nulls
+
+
+def q_table_profile(sf_dir: str):
+    """Deequ-style column profile of the events table: row count, null
+    count, and the HLL-256 distinct estimate per column — one pass, all
+    partials fixed-size (256 registers + 2 counters per column per
+    batch), the estimate itself SQL-reproducible like
+    :func:`q_hll_distinct`.  The per-DISTINCT md5 is the gate digest;
+    the splitmix64 fast twin applies as everywhere (md5 cost is per
+    distinct value per batch, not per row)."""
+    from engine.pipeline import collect_tables
+
+    ncols = len(_PROFILE_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows_out = {"col_idx": [], "bucket": [], "rho": [],
+                    "n_rows": [], "n_null": []}
+        for i, col in enumerate(_PROFILE_COLS):
+            vals, nulls = _canon_strings(t, col)
+            u = np.unique(vals)
+            hv = np.array([int(hashlib.md5(str(s).encode()).hexdigest()[:15],
+                               16) for s in u], dtype=np.int64) \
+                if len(u) else np.zeros(0, dtype=np.int64)
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            if len(hv):
+                np.maximum.at(regs, hv >> _HLL_REM_BITS,
+                              hll_rho(hv & ((1 << _HLL_REM_BITS) - 1)))
+            nz = np.flatnonzero(regs)
+            rows_out["col_idx"] += [i] * (len(nz) + 1)
+            rows_out["bucket"] += [-1] + nz.tolist()
+            rows_out["rho"] += [0] + regs[nz].tolist()
+            rows_out["n_rows"] += [t.num_rows] + [0] * len(nz)
+            rows_out["n_null"] += [nulls] + [0] * len(nz)
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows_out.items()})
+
+    tabs = [b for b in collect_tables(
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=list(_PROFILE_COLS))
+        .map_batches(partial, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    regs = np.zeros((ncols, _HLL_M), dtype=np.int64)
+    n_rows = np.zeros(ncols, dtype=np.int64)
+    n_null = np.zeros(ncols, dtype=np.int64)
+    for t in tabs:
+        ci = t["col_idx"].to_numpy(zero_copy_only=False)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        rh = t["rho"].to_numpy(zero_copy_only=False)
+        m = bk >= 0
+        np.maximum.at(regs, (ci[m], bk[m]), rh[m])
+        np.add.at(n_rows, ci[~m], t["n_rows"].to_numpy()[~m])
+        np.add.at(n_null, ci[~m], t["n_null"].to_numpy()[~m])
+    ests, used_out = [], []
+    for i in range(ncols):
+        used = int(np.count_nonzero(regs[i]))
+        s = sum(1 << (64 - int(r)) for r in regs[i])
+        ests.append((_HLL_ALPHA_PPM * _HLL_M * _HLL_M * (1 << 64))
+                    // (s * 1_000_000))
+        used_out.append(used)
+    return pa.table({
+        "col_name": pa.array(list(_PROFILE_COLS), type=pa.string()),
+        "n_rows": pa.array(n_rows),
+        "n_null": pa.array(n_null),
+        "n_buckets_used": pa.array(used_out, type=pa.int64()),
+        "est_distinct": pa.array(ests, type=pa.int64())})
+
+
+def _sql_profile_col(col: str, expr: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name, count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE {col} IS NULL)::BIGINT AS n_null,
+       coalesce(h.used, 0) AS n_buckets_used, h.est AS est_raw
+FROM events,
+ (WITH hv AS (
+    SELECT DISTINCT ('0x' || substr(md5({expr}), 1, 15))::BIGINT AS v
+    FROM events WHERE {col} IS NOT NULL
+  ), b AS (
+    SELECT v >> {_HLL_REM_BITS} AS bucket,
+           CASE WHEN (v & ((1::BIGINT << {_HLL_REM_BITS}) - 1)) = 0
+                THEN {_HLL_REM_BITS + 1}
+                ELSE {_HLL_REM_BITS + 1} - length(printf('%b',
+                     v & ((1::BIGINT << {_HLL_REM_BITS}) - 1)))
+           END AS rho
+    FROM hv
+  ), m AS (SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket)
+  SELECT count(*)::BIGINT AS used,
+         (({_HLL_ALPHA_PPM}::HUGEINT * {_HLL_M} * {_HLL_M}
+           * (1::HUGEINT << 64))
+          // ((coalesce(sum(1::HUGEINT << (64 - mj)), 0::HUGEINT)
+               + ({_HLL_M} - count(*))::HUGEINT * (1::HUGEINT << 64))
+              * 1000000))::BIGINT AS est
+  FROM m) AS h
+GROUP BY h.used, h.est
+"""
+
+
+def _sql_table_profile() -> str:
+    exprs = {
+        "event_id": "event_id::VARCHAR",
+        "ts": "epoch_us(ts)::VARCHAR",
+        "user_id": "user_id::VARCHAR",
+        "event_type": "event_type",
+        "value": "CAST(floor(value*100.0 + 0.5) AS BIGINT)::VARCHAR",
+        "props": "props",
+    }
+    parts = [_sql_profile_col(c, exprs[c]) for c in _PROFILE_COLS]
+    return ("SELECT col_name, n_rows, n_null, n_buckets_used,"
+            " est_raw AS est_distinct FROM ("
+            + " UNION ALL ".join(f"({p})" for p in parts)
+            + ") ORDER BY col_name")
