@@ -112,6 +112,11 @@ def main(argv=None) -> int:
                     "size — broadcast pc.is_in below ~5M ids, distributed "
                     "semi-join beyond)")
 
+    pf = sub.add_parser("profile", help="profile a testdata dir: per-column "
+                        "nulls + HLL distinct over events, plus robust "
+                        "per-type stats (median / 3-sigma outlier count)")
+    pf.add_argument("--sf-dir", required=True)
+
     cj = sub.add_parser("corpus", help="corpus interchange: streaming "
                         "JSONL export / import of a parquet table")
     cj_sub = cj.add_subparsers(dest="corpus_cmd", required=True)
@@ -260,6 +265,19 @@ def main(argv=None) -> int:
                                   quality_min=args.quality_min,
                                   num_shards=args.shards, method=args.method)
         print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "profile":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.robust import q_median_value_by_type, q_value_outliers
+        from engine.sketch import q_table_profile
+        prof = q_table_profile(args.sf_dir).to_pylist()
+        med = q_median_value_by_type(args.sf_dir).to_pylist()
+        out = q_value_outliers(args.sf_dir)
+        out = out.count() if hasattr(out, "count") else len(out)
+        print(json.dumps({"columns": prof, "median_by_type": med,
+                          "n_outliers_3sigma": int(out)}))
         ray.shutdown()
         return 0
 

@@ -215,3 +215,17 @@ def test_retention_matches_oracle_sf0001(ray_session):
                 f"read_parquet('{SF_DIR}/events.parquet')")
     want = con.execute(SQL_USER_RETENTION).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_profile_cli(ray_session, capsys):
+    """`engine.job profile` runs the robust + sketch family end-to-end
+    and prints one JSON document."""
+    import json
+
+    from engine.job import main
+    assert main(["profile", "--sf-dir", SF_DIR]) == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {c["col_name"] for c in doc["columns"]} == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert len(doc["median_by_type"]) == 5
+    assert doc["n_outliers_3sigma"] >= 0
