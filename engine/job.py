@@ -112,6 +112,14 @@ def main(argv=None) -> int:
                     "size — broadcast pc.is_in below ~5M ids, distributed "
                     "semi-join beyond)")
 
+    pr = sub.add_parser("prepare", help="full pretraining prep: split + "
+                        "curate + decontaminate -> hash-sharded train "
+                        "parquet with a manifest")
+    pr.add_argument("--docs", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--quality-min", type=int, default=None)
+    pr.add_argument("--shards", type=int, default=16)
+
     pf = sub.add_parser("profile", help="profile a testdata dir: per-column "
                         "nulls + HLL distinct over events, plus robust "
                         "per-type stats (median / 3-sigma outlier count)")
@@ -264,6 +272,16 @@ def main(argv=None) -> int:
         stats = curate_to_parquet(args.docs, args.out,
                                   quality_min=args.quality_min,
                                   num_shards=args.shards, method=args.method)
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "prepare":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.prepare import prepare_to_parquet
+        stats = prepare_to_parquet(args.docs, args.out,
+                                   quality_min=args.quality_min,
+                                   num_shards=args.shards)
         print(json.dumps(stats))
         ray.shutdown()
         return 0

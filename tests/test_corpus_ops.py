@@ -67,3 +67,43 @@ def test_bm25_length_normalization_and_saturation():
     assert s[1] < s[0]                       # same tf, longer doc
     assert s[0] < s[2] < 2 * s[0]            # saturation
     assert bm25_scores(np.array([0]), np.array([10]), idf, n, sumdl)[0] == 0
+
+
+def test_prepare_composite_equals_stagewise(ray_session, tmp_path):
+    """prepare_to_parquet output ids == (train split) ∩ (curated) \\
+    (contaminated), each recomputed independently from the gated
+    single-op queries; manifest counts consistent."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    from engine.corpus import q_corpus_split
+    from engine.curate import q_curate_corpus
+    from engine.decontam import q_decontaminate
+    from engine.prepare import prepare_to_parquet
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "prep")
+    man = prepare_to_parquet(os.path.join(sf, "documents.parquet"), out,
+                             num_shards=4)
+    got_ids = set(pq.read_table(
+        out, columns=["doc_id"])["doc_id"].to_pylist())
+
+    split = q_corpus_split(sf).to_pandas()
+    train = set(split[split["split"] == "train"]["doc_id"])
+    curated = set(q_curate_corpus(sf).to_pandas()["doc_id"])
+    dec = q_decontaminate(sf).to_pandas()
+    cont = set(dec[dec["contaminated"]]["doc_id"])
+    want = (train & curated) - cont
+    assert got_ids == want
+    assert man["train_prepared_docs"] == len(want)
+    assert man["curated_docs"] == len(curated)
+    with open(os.path.join(out, "_prepare_manifest.json")) as f:
+        assert json.load(f) == man
+    # resumable layout: one directory per shard
+    shards = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert shards and len(shards) <= 4
