@@ -1,0 +1,176 @@
+"""Token-level operators over the pre-tokenized sequences corpus.
+
+The north-star input is a Parquet table of pre-tokenized training
+sequences ``(doc_id:string, tokens:list<int32>, n_tok:int32,
+source:string)`` and its per-row invariant is token-array equality —
+these operators make that invariant a first-class data-plane citizen:
+
+* ``q_sequence_dedup`` — exact dedup by TOKEN-ARRAY equality (the
+  sequence-corpus twin of ``dedup.q_dedup_exact``): min(doc_id) survives
+  per identical token array, with the copy count.  The exchange carries
+  one 64-bit content hash + partial (min id, count) per distinct array
+  per batch — token arrays themselves never shuffle (same documented
+  2^-64 collision trade as ``q_dedup_exact``; the DuckDB oracle groups
+  by the full ``tokens`` list).
+* ``q_token_pack_bins`` — assign each sequence to a fixed-capacity
+  training bin (``_BIN_TOKENS`` tokens) by running token count per
+  source in doc_id order: the deterministic fixed-rate packing used to
+  turn a tokenized corpus into constant-size training rows.  One
+  hash-keyed exchange on ``source`` co-locates each source's sequences,
+  then a single vectorized pass (Arrow sort + segmented cumsum) bins
+  every source in the partition — the prefix-scan shape of
+  ``analytics.q_events_running_totals``.
+
+Scale posture: dedup ships ~24 B per distinct array per batch into one
+hash aggregate; packing ships (doc_id, source, n_tok) rows (~30 B/row)
+through one exchange keyed the same way every other per-source stage is
+keyed.  Neither reads ``tokens`` payloads beyond the hashing map.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine import fixtures
+from engine.dedup import _mix64
+
+FIX01 = "/root/repo/fixtures/sf0.01"
+SEQ_SQL = f"read_parquet('{FIX01}/sequences/*.parquet')"
+
+_BIN_TOKENS = 2048           # training-bin capacity (tokens)
+_HSEED = np.uint64(0xA24BAED4963EE407)  # domain-separates from text hashes
+_HP = np.uint64(0x9E3779B97F4A7C15)     # odd multiplier for the position fold
+
+
+def _seq_ds(sf_dir: str, columns=None):
+    import ray
+    fix = fixtures.ensure_fixtures(fixtures.sf_of(sf_dir))
+    return ray.data.read_parquet(os.path.join(fix, "sequences"),
+                                 columns=columns)
+
+
+def token_array_hash(tokens) -> np.ndarray:
+    """64-bit content hash per token ARRAY, fully vectorized.
+
+    Positional polynomial fold ``H = mix64(len ^ seed ^ sum_j
+    mix64(v_j ^ seed) * P^(L-1-j) mod 2^64)`` — P odd makes positions
+    distinguishable (no permutation collisions), the value pre-mix kills
+    affine structure in raw token ids, and uint64 wraparound keeps the
+    cumsum-difference segment sum exact.  Module-level so property tests
+    can pin it against a scalar fold."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    counts = pc.list_value_length(tokens).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+    v = flat.astype(np.int64).view(np.uint64)
+    n = len(counts)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    m = _mix64(v ^ _HSEED)
+    if len(v):
+        maxn = int(counts.max())
+        powp = np.empty(maxn + 1, dtype=np.uint64)
+        powp[0] = 1
+        np.cumprod(np.full(maxn, _HP, dtype=np.uint64), out=powp[1:])
+        local = np.arange(len(v), dtype=np.int64) - np.repeat(offs[:-1],
+                                                              counts)
+        pos_from_end = np.repeat(counts, counts) - 1 - local
+        terms = m * powp[pos_from_end]
+        cs = np.zeros(len(terms) + 1, dtype=np.uint64)
+        np.cumsum(terms, out=cs[1:])
+        seg = cs[offs[1:]] - cs[offs[:-1]]
+    else:
+        seg = np.zeros(n, dtype=np.uint64)
+    return _mix64(seg ^ counts.view(np.uint64) ^ _HSEED)
+
+
+def q_sequence_dedup(sf_dir: str):
+    """Exact sequence dedup: min(doc_id) + copy count per distinct token
+    array.  doc_ids are fixed-width, so lexicographic min == numeric min
+    on both engines."""
+    from ray.data.aggregate import Count, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = token_array_hash(t["tokens"])
+        g = pa.TableGroupBy(pa.table({
+            "h": pa.array(h.view(np.int64)),
+            "doc_id": t["doc_id"],
+        }), "h").aggregate([("doc_id", "min"), ("h", "count")])
+        return pa.table({"h": g["h"], "doc_id": g["doc_id_min"],
+                         "cnt": pc.cast(g["h_count"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = _seq_ds(sf_dir, ["doc_id", "tokens"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("h") \
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Sum("cnt", alias_name="n_copies"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_copies": pc.cast(t["n_copies"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_SEQUENCE_DEDUP = f"""
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+FROM {SEQ_SQL} GROUP BY tokens
+"""
+
+
+def pack_bins_block(t: pa.Table) -> pa.Table:
+    """Per-partition packing kernel: Arrow sort by (source, doc_id), then
+    one segmented running token count bins every source in the block.
+    Module-level for property tests."""
+    if t.num_rows == 0:
+        return pa.schema([("doc_id", pa.string()), ("source", pa.string()),
+                          ("bin", pa.int64()),
+                          ("bin_offset", pa.int64())]).empty_table()
+    idx = pc.sort_indices(t, sort_keys=[("source", "ascending"),
+                                        ("doc_id", "ascending")])
+    t = t.take(idx)
+    src = t["source"].to_numpy(zero_copy_only=False)
+    ntok = pc.cast(t["n_tok"], pa.int64()).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(ntok)
+    prev = cum - ntok                       # tokens before this row
+    starts = np.zeros(len(src), dtype=bool)
+    starts[0] = True
+    starts[1:] = src[1:] != src[:-1]
+    base = np.repeat(prev[starts], np.diff(
+        np.append(np.flatnonzero(starts), len(src))))
+    rel = prev - base                       # running count within source
+    return pa.table({
+        "doc_id": t["doc_id"], "source": t["source"],
+        "bin": pa.array(rel // _BIN_TOKENS, type=pa.int64()),
+        "bin_offset": pa.array(rel % _BIN_TOKENS, type=pa.int64()),
+    })
+
+
+def q_token_pack_bins(sf_dir: str):
+    """Fixed-rate sequence→training-bin assignment, per source in doc_id
+    order (bin capacity ``_BIN_TOKENS`` tokens)."""
+    from engine.stages import hash_group_exchange
+
+    import pyarrow.parquet as pq
+    fix = fixtures.ensure_fixtures(fixtures.sf_of(sf_dir))
+    hint = sum(pq.read_metadata(os.path.join(fix, "sequences", f)).num_rows
+               for f in os.listdir(os.path.join(fix, "sequences"))
+               if f.endswith(".parquet"))
+    return hash_group_exchange(
+        lambda: _seq_ds(sf_dir, ["doc_id", "source", "n_tok"]),
+        ["source"], pack_bins_block, collect=False, rows_hint=hint)
+
+
+SQL_TOKEN_PACK_BINS = f"""
+SELECT doc_id, source,
+       ((sum(n_tok::BIGINT) OVER w - n_tok) // {_BIN_TOKENS})::BIGINT AS bin,
+       ((sum(n_tok::BIGINT) OVER w - n_tok) % {_BIN_TOKENS})::BIGINT
+           AS bin_offset
+FROM {SEQ_SQL}
+WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+"""

@@ -1,0 +1,99 @@
+"""Token-sequence operators: hash-kernel pins, packing-kernel rebuild,
+and planted-duplicate end-to-end (the gate mirror in test_queries.py
+covers the DuckDB value-exactness of both queries)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings, strategies as st
+
+from engine.tokenops import (_BIN_TOKENS, _HP, _HSEED, pack_bins_block,
+                             token_array_hash)
+
+
+def _mix64_scalar(x: int) -> int:
+    x &= (1 << 64) - 1
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & ((1 << 64) - 1)
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & ((1 << 64) - 1)
+    return (x ^ (x >> 33)) & ((1 << 64) - 1)
+
+
+def _hash_scalar(vals) -> int:
+    """The sequential spec of token_array_hash: fold h <- h*P + mix(v)."""
+    seed = int(_HSEED)
+    h = 0
+    for v in vals:
+        h = (h * int(_HP) + _mix64_scalar((v & 0xFFFFFFFFFFFFFFFF)
+                                          ^ seed)) & ((1 << 64) - 1)
+    return _mix64_scalar(h ^ len(vals) ^ seed)
+
+
+i32 = st.integers(-(2 ** 31), 2 ** 31 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(st.lists(i32, max_size=12), min_size=1, max_size=8))
+def test_token_hash_matches_scalar_fold(rows):
+    arr = pa.array(rows, type=pa.list_(pa.int32()))
+    got = token_array_hash(arr)
+    want = [_hash_scalar([v & 0xFFFFFFFFFFFFFFFF if v >= 0
+                          else (v + (1 << 64)) & 0xFFFFFFFFFFFFFFFF
+                          for v in np.array(r, dtype=np.int64)
+                          .view(np.uint64).tolist()]) for r in rows]
+    assert [int(g) for g in got] == want
+
+
+def test_token_hash_position_and_length_sensitivity():
+    def h(rows):
+        return token_array_hash(pa.array(rows, type=pa.list_(pa.int32())))
+    a, b = h([[1, 2], [2, 1]])
+    assert a != b                         # permutation-distinct
+    c, d = h([[5], [5, 0]])
+    assert c != d                         # zero-pad-distinct
+    e, f = h([[], [0]])
+    assert e != f                         # empty vs single zero
+    x, y = h([[7, 8, 9], [7, 8, 9]])
+    assert x == y                         # deterministic
+
+
+def test_pack_bins_block_matches_pandas_rebuild():
+    rng = np.random.default_rng(7)
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array([f"doc-{i:09d}" for i in rng.permutation(n)]),
+        "source": pa.array([f"src-{int(s)}" for s in rng.integers(0, 5, n)]),
+        "n_tok": pa.array(rng.integers(0, 900, n).astype(np.int32)),
+    })
+    out = pack_bins_block(t).to_pandas()
+    df = t.to_pandas().sort_values(["source", "doc_id"])
+    prev = df.groupby("source")["n_tok"].cumsum() - df["n_tok"]
+    df["bin"] = prev // _BIN_TOKENS
+    df["bin_offset"] = prev % _BIN_TOKENS
+    want = df[["doc_id", "source", "bin", "bin_offset"]] \
+        .reset_index(drop=True)
+    got = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert got.astype({"bin": int, "bin_offset": int}).equals(
+        want.astype({"bin": int, "bin_offset": int}))
+    # capacity invariant: offsets live inside the bin
+    assert (out["bin_offset"] >= 0).all()
+    assert (out["bin_offset"] < _BIN_TOKENS).all()
+
+
+def test_sequence_dedup_collapses_planted_duplicate(ray_session):
+    """The fixture corpus plants duplicate token arrays; dedup must
+    collapse them (rows < corpus rows) and every survivor's copy count
+    must sum back to the corpus size."""
+    from engine.fixtures import ensure_fixtures
+    import glob
+    import pyarrow.parquet as pq
+
+    from engine.tokenops import q_sequence_dedup
+    fix = ensure_fixtures("sf0.001")
+    total = sum(pq.read_metadata(f).num_rows
+                for f in glob.glob(fix + "/sequences/*.parquet"))
+    df = q_sequence_dedup("/root/testdata/sf0.001").to_pandas()
+    assert len(df) < total
+    assert df["n_copies"].sum() == total
+    assert df["doc_id"].is_unique
