@@ -174,3 +174,171 @@ SELECT doc_id, source,
 FROM {SEQ_SQL}
 WINDOW w AS (PARTITION BY source ORDER BY doc_id)
 """
+
+# ---------------------------------------------------------------------------
+# token-level decontamination (13-token-gram overlap with the test split)
+# ---------------------------------------------------------------------------
+
+_GRAM_N = 13                      # GPT-4/PaLM-style token n-gram width
+_GP = np.uint64(1000003)          # odd -> invertible mod 2^64
+_GOFF = np.uint64(1 << 31)        # int32 -> non-negative value
+
+
+def token_gram_hashes(tokens):
+    """All ``_GRAM_N``-token gram hashes per row, vectorized.
+
+    Gram hash = left fold ``h <- h*P + (v + 2^31)`` over the window,
+    seeded with the first value — EXACTLY DuckDB's
+    ``list_reduce(list_transform(slice, v -> v::HUGEINT + 2^31),
+    (a,b) -> (a*P + b) % 2^64)``, so the gate is integer-exact with no
+    digest in the hot loop (the md5-free twin the text-side decontam
+    only has as its ``_fast`` variant).  Closed form over the flattened
+    corpus: ``H_i = P^(g_i + N - 1) * sum_k v'_k P^(-k)`` telescopes to
+    the window fold for any global start ``g_i``; windows never cross
+    row boundaries (start mask).  Returns ``(hashes, counts)`` with
+    ``counts[r]`` grams for row r (``max(len_r - N + 1, 0)``)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    counts = pc.list_value_length(tokens).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+    v = flat.astype(np.int64).view(np.uint64) + _GOFF
+    g_counts = np.maximum(counts - _GRAM_N + 1, 0)
+    total = len(v)
+    if total == 0 or g_counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), g_counts
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    pinv = np.uint64(pow(int(_GP), -1, 1 << 64))
+    powp = np.empty(total + _GRAM_N, dtype=np.uint64)
+    powinv = np.empty(total + 1, dtype=np.uint64)
+    powp[0] = powinv[0] = 1
+    np.cumprod(np.full(total + _GRAM_N - 1, _GP, dtype=np.uint64),
+               out=powp[1:])
+    np.cumprod(np.full(total, pinv, dtype=np.uint64), out=powinv[1:])
+    c = v * powinv[:total]
+    cs = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(c, out=cs[1:])
+    starts = np.repeat(offs[:-1], g_counts) + _seg_local(g_counts)
+    return (powp[starts + _GRAM_N - 1] *
+            (cs[starts + _GRAM_N] - cs[starts])), g_counts
+
+
+def _seg_local(counts: np.ndarray) -> np.ndarray:
+    """0..counts[r]-1 within each segment, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def _seq_split_bucket(doc_ids) -> np.ndarray:
+    """md5(doc_id) % 100 — the sequence-corpus twin of the documents
+    split (gate-compat digest; per-row md5 over short id strings)."""
+    import hashlib
+    return np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:4],
+                                    "big") % 100
+                     for s in doc_ids.to_pylist()], dtype=np.int64)
+
+
+def q_sequence_decontaminate(sf_dir: str, seq_path: str = None):
+    """Token-level decontamination: flag train/val sequences sharing any
+    ``_GRAM_N``-token gram with the held-out test split (the token-space
+    analogue of ``decontam.q_decontaminate``'s word 8-grams).
+
+    Eval side reduces to DISTINCT gram hashes (test split is a bounded
+    fraction of the corpus) and broadcasts once via ``ray.put``; the
+    train/val side is a pure map — sorted-array ``searchsorted``
+    membership + one segment sum per batch.  No shuffle anywhere.
+    ``seq_path`` overrides the fixture corpus (planted-overlap tests)."""
+    import ray
+
+    from engine.corpus import _TRAIN_LT, _VAL_LT
+    from engine.pipeline import collect_tables
+
+    def _ds():
+        if seq_path is not None:
+            return ray.data.read_parquet(seq_path,
+                                         columns=["doc_id", "tokens"])
+        return _seq_ds(sf_dir, ["doc_id", "tokens"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        b = _seq_split_bucket(t["doc_id"])
+        sub = t.filter(pa.array(b >= _VAL_LT))
+        h, _ = token_gram_hashes(sub["tokens"])
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [t for t in collect_tables(
+        _ds().map_batches(eval_grams, batch_format="pyarrow"))
+        if t.num_columns]
+    ev = np.unique(pa.concat_tables(parts)["h"].to_numpy(
+        zero_copy_only=False).view(np.uint64)) if parts else \
+        np.empty(0, dtype=np.uint64)
+    ev_ref = ray.put(ev)
+
+    class Check:
+        def __init__(self, ref):
+            self.ev = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = _seq_split_bucket(t["doc_id"])
+            sub = t.filter(pa.array(b < _VAL_LT))
+            h, gc = token_gram_hashes(sub["tokens"])
+            idx = np.searchsorted(self.ev, h)
+            idx[idx == len(self.ev)] = 0
+            hit = (self.ev[idx] == h) if len(self.ev) else \
+                np.zeros(len(h), dtype=bool)
+            ends = np.cumsum(gc)
+            cs = np.zeros(len(h) + 1, dtype=np.int64)
+            np.cumsum(hit.astype(np.int64), out=cs[1:])
+            n_hits = cs[ends] - cs[ends - gc]
+            split = np.where(b[b < _VAL_LT] < _TRAIN_LT, "train", "val")
+            return pa.table({
+                "doc_id": sub["doc_id"],
+                "split": pa.array(split.astype(object), type=pa.string()),
+                "n_grams": pa.array(gc, type=pa.int64()),
+                "n_hits": pa.array(n_hits, type=pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            })
+
+    return _ds().map_batches(Check, fn_constructor_args=(ev_ref,),
+                             batch_format="pyarrow", concurrency=(1, 8),
+                             num_cpus=1)
+
+
+def _sql_sequence_decontaminate(seq_sql: str = SEQ_SQL) -> str:
+    from engine.corpus import _TRAIN_LT, _VAL_LT
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 100 AS bucket
+  FROM {seq_sql}
+), gi AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, len(tokens) - {_GRAM_N - 1})) AS i
+  FROM {seq_sql}
+), g AS (
+  SELECT doc_id,
+         list_reduce(list_transform(tokens[i:i+{_GRAM_N - 1}],
+                                    v -> v::HUGEINT + 2147483648),
+                     (a, v) -> (a * {int(_GP)} + v)
+                       % 18446744073709551616::HUGEINT) AS h
+  FROM gi
+), ev AS (
+  SELECT DISTINCT h FROM g JOIN b USING (doc_id)
+  WHERE b.bucket >= {_VAL_LT}
+), chk AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+  FROM g LEFT JOIN ev USING (h)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CASE WHEN b.bucket < {_TRAIN_LT} THEN 'train' ELSE 'val' END AS split,
+       coalesce(chk.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(chk.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(chk.n_hits, 0) > 0 AS contaminated
+FROM b LEFT JOIN chk USING (doc_id)
+WHERE b.bucket < {_VAL_LT}
+"""

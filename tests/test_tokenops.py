@@ -97,3 +97,83 @@ def test_sequence_dedup_collapses_planted_duplicate(ray_session):
     assert len(df) < total
     assert df["n_copies"].sum() == total
     assert df["doc_id"].is_unique
+
+
+def test_token_gram_hashes_match_scalar_fold():
+    from engine.tokenops import _GOFF, _GP, _GRAM_N, token_gram_hashes
+    rng = np.random.default_rng(3)
+    rows = [rng.integers(-(2**31), 2**31, size=n).astype(np.int32).tolist()
+            for n in [0, 5, 12, 13, 14, 20, 40]]
+    got, gc = token_gram_hashes(pa.array(rows, type=pa.list_(pa.int32())))
+    want = []
+    for r in rows:
+        for i in range(max(len(r) - _GRAM_N + 1, 0)):
+            h = 0
+            first = True
+            for v in r[i:i + _GRAM_N]:
+                vv = (v + (1 << 31)) & ((1 << 64) - 1)
+                h = vv if first else (h * int(_GP) + vv) & ((1 << 64) - 1)
+                first = False
+            want.append(h)
+    assert [int(x) for x in got] == want
+    assert gc.tolist() == [max(len(r) - _GRAM_N + 1, 0) for r in rows]
+
+
+def _bucket_of(doc_id: str) -> int:
+    import hashlib
+    return int.from_bytes(hashlib.md5(doc_id.encode()).digest()[:4],
+                          "big") % 100
+
+
+def test_sequence_decontaminate_detects_planted_overlap(ray_session,
+                                                        tmp_path):
+    """A train doc embedding a 13-token gram from a test doc must flag
+    contaminated; a near-miss (12 shared tokens) must not.  The planted
+    corpus also re-checks the DuckDB oracle with the path substituted."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from engine.corpus import _TRAIN_LT, _VAL_LT
+    from engine.tokenops import (_GRAM_N, _sql_sequence_decontaminate,
+                                 q_sequence_decontaminate)
+
+    ids = [f"pl-{i:05d}" for i in range(400)]
+    train = [d for d in ids if _bucket_of(d) < _TRAIN_LT]
+    test = [d for d in ids if _bucket_of(d) >= _VAL_LT]
+    assert len(train) >= 3 and len(test) >= 1
+    rng = np.random.default_rng(11)
+    gram = rng.integers(-(2**31), 2**31, size=_GRAM_N).astype(np.int32)
+
+    rows = {}
+    for d in ids:
+        rows[d] = rng.integers(-(2**31), 2**31, size=16).astype(np.int32)
+    # test doc carries the gram; one train doc embeds it mid-array,
+    # another embeds only 12 of its 13 tokens
+    rows[test[0]] = np.concatenate([rows[test[0]][:3], gram]).astype(np.int32)
+    hot, near = train[0], train[1]
+    rows[hot] = np.concatenate([rows[hot][:5], gram,
+                                rows[hot][:2]]).astype(np.int32)
+    rows[near] = np.concatenate([gram[:_GRAM_N - 1],
+                                 rows[near][:6]]).astype(np.int32)
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array([rows[d].tolist() for d in ids],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(rows[d]) for d in ids], type=pa.int32()),
+        "source": pa.array(["src-0"] * len(ids)),
+    })
+    path = str(tmp_path / "seq.parquet")
+    pq.write_table(t, path)
+
+    df = q_sequence_decontaminate("unused", seq_path=path).to_pandas() \
+        .set_index("doc_id")
+    assert bool(df.loc[hot, "contaminated"])
+    assert df.loc[hot, "n_hits"] == 1
+    assert not bool(df.loc[near, "contaminated"])
+    assert test[0] not in df.index          # eval side never in the output
+    want = duckdb.sql(
+        _sql_sequence_decontaminate(f"read_parquet('{path}')")).df()
+    cols = sorted(want.columns)
+    a = df.reset_index()[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype(object).equals(b.astype(object))
