@@ -120,6 +120,13 @@ def main(argv=None) -> int:
     pr.add_argument("--quality-min", type=int, default=None)
     pr.add_argument("--shards", type=int, default=16)
 
+    ps = sub.add_parser("prepare-seq", help="token-corpus prep: dedup by "
+                        "token-array equality + 13-gram decontamination + "
+                        "train split -> hash-sharded parquet with a manifest")
+    ps.add_argument("--seq", required=True, help="sequences parquet dir")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--shards", type=int, default=16)
+
     pf = sub.add_parser("profile", help="profile a testdata dir: per-column "
                         "nulls + HLL distinct over events, plus robust "
                         "per-type stats (median / 3-sigma outlier count)")
@@ -282,6 +289,15 @@ def main(argv=None) -> int:
         stats = prepare_to_parquet(args.docs, args.out,
                                    quality_min=args.quality_min,
                                    num_shards=args.shards)
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "prepare-seq":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.tokenops import prepare_sequences_to_parquet
+        stats = prepare_sequences_to_parquet(args.seq, args.out,
+                                             num_shards=args.shards)
         print(json.dumps(stats))
         ray.shutdown()
         return 0

@@ -342,3 +342,149 @@ SELECT b.doc_id,
 FROM b LEFT JOIN chk USING (doc_id)
 WHERE b.bucket < {_VAL_LT}
 """
+
+# ---------------------------------------------------------------------------
+# the token-corpus preparation composite (dedup + decontaminate + split)
+# ---------------------------------------------------------------------------
+
+def _prepare_seq_id_refs(sf_dir: str, seq_path: str = None):
+    """Run the dedup + decontaminate stages once, broadcast their id
+    sets: ``(keep_ref, cont_ref, n_keep, n_cont)``.  Ids ride the same
+    broadcast contract as ``curate.ID_BROADCAST_MAX`` (strings here,
+    ~16 B each); beyond it the documented swap is the hash-partitioned
+    semi-join of ``curate_to_parquet``."""
+    import ray
+
+    from engine.curate import ID_BROADCAST_MAX
+    from engine.pipeline import collect_tables
+
+    seq = _seq_ds(sf_dir, ["doc_id", "tokens"]) if seq_path is None else \
+        ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"])
+    keep_tbl = pa.concat_tables(
+        [t for t in collect_tables(_sequence_dedup_ds(seq))
+         if t.num_columns])
+    keep = pc.cast(keep_tbl["doc_id"], pa.string()).combine_chunks()
+    cont_tbl = pa.concat_tables(
+        [t for t in collect_tables(
+            q_sequence_decontaminate(sf_dir, seq_path=seq_path)
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["contaminated"], True)).select(["doc_id"]),
+                batch_format="pyarrow")) if t.num_columns])
+    cont = pc.cast(cont_tbl["doc_id"], pa.string()).combine_chunks()
+    if len(keep) > ID_BROADCAST_MAX:
+        raise NotImplementedError(
+            "survivor set beyond the broadcast regime: route through the "
+            "hash-partitioned semi-join (curate_to_parquet recipe)")
+    return (ray.put(keep), ray.put(cont), len(keep), len(cont))
+
+
+def _sequence_dedup_ds(ds):
+    """The q_sequence_dedup plan over an arbitrary sequences Dataset."""
+    from ray.data.aggregate import Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = token_array_hash(t["tokens"])
+        g = pa.TableGroupBy(pa.table({
+            "h": pa.array(h.view(np.int64)), "doc_id": t["doc_id"],
+        }), "h").aggregate([("doc_id", "min")])
+        return pa.table({"h": g["h"], "doc_id": g["doc_id_min"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("h").aggregate(Min("doc_id", alias_name="doc_id")) \
+        .map_batches(lambda t: t.select(["doc_id"]),
+                     batch_format="pyarrow")
+
+
+class KeepPreparedSeq:
+    """Per batch: train split AND dedup survivor AND not contaminated
+    (+ the shard column when sharding)."""
+
+    def __init__(self, keep, cont, num_shards=None):
+        import ray
+        self.keep = ray.get(keep)
+        self.cont = ray.get(cont)
+        self.num_shards = num_shards
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        b = _seq_split_bucket(t["doc_id"])
+        from engine.corpus import _TRAIN_LT
+        m = b < _TRAIN_LT
+        m &= pc.is_in(t["doc_id"], value_set=self.keep) \
+            .to_numpy(zero_copy_only=False)
+        m &= ~pc.is_in(t["doc_id"], value_set=self.cont) \
+            .to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(m))
+        if self.num_shards is None:
+            return kept
+        import hashlib
+        shard = np.array(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[4:8], "big")
+             % self.num_shards
+             for s in kept["doc_id"].to_pylist()], dtype=np.int32)
+        return kept.append_column("shard", pa.array(shard))
+
+
+def q_prepare_sequences(sf_dir: str):
+    """Gated composite over the token corpus: train split ∩ token-array-
+    dedup survivors − token-13-gram-contaminated, one sorted doc_id
+    column (the id set ``prepare_sequences_to_parquet`` ships)."""
+    import ray
+
+    from engine.pipeline import collect_tables
+
+    keep_ref, cont_ref, _, _ = _prepare_seq_id_refs(sf_dir)
+    ds = _seq_ds(sf_dir, ["doc_id"]) \
+        .map_batches(KeepPreparedSeq, fn_constructor_args=(keep_ref,
+                                                           cont_ref),
+                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    tbl = pa.concat_tables([t for t in collect_tables(ds) if t.num_columns])
+    ids = tbl["doc_id"].to_pandas().sort_values().to_numpy()
+    return pa.table({"doc_id": pa.array(ids, type=pa.string())})
+
+
+def _sql_prepare_sequences() -> str:
+    from engine.corpus import _TRAIN_LT
+    return f"""
+SELECT b.doc_id
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 100 AS bucket
+      FROM {SEQ_SQL}) b
+JOIN (SELECT min(doc_id) AS doc_id FROM {SEQ_SQL} GROUP BY tokens) k
+  USING (doc_id)
+JOIN ({_sql_sequence_decontaminate()}) d USING (doc_id)
+WHERE b.bucket < {_TRAIN_LT} AND NOT d.contaminated
+ORDER BY doc_id
+"""
+
+
+def prepare_sequences_to_parquet(seq_dir: str, out_dir: str,
+                                 num_shards: int = 16) -> dict:
+    """The shipped form: prepared train sequences as hash-sharded parquet
+    (md5-byte shard for append-stable placement, one directory per shard
+    for per-shard resume) + a ``_prepare_manifest.json`` of stage
+    counts.  ``seq_dir`` holds the sequences parquet file(s)."""
+    import json
+
+    import ray
+
+    total = ray.data.read_parquet(seq_dir).count()
+    keep_ref, cont_ref, n_keep, n_cont = _prepare_seq_id_refs(
+        None, seq_path=seq_dir)
+    ray.data.read_parquet(seq_dir) \
+        .map_batches(KeepPreparedSeq,
+                     fn_constructor_args=(keep_ref, cont_ref, num_shards),
+                     batch_format="pyarrow", concurrency=(1, 8),
+                     num_cpus=1) \
+        .write_parquet(out_dir, partition_cols=["shard"])
+    kept = int(ray.data.read_parquet(out_dir).count())
+    manifest = {
+        "input_sequences": int(total),
+        "dedup_survivors": int(n_keep),
+        "contaminated": int(n_cont),
+        "train_prepared_sequences": kept,
+        "num_shards": int(num_shards),
+    }
+    with open(os.path.join(out_dir, "_prepare_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

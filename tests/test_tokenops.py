@@ -177,3 +177,43 @@ def test_sequence_decontaminate_detects_planted_overlap(ray_session,
     a = df.reset_index()[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype(object).equals(b.astype(object))
+
+
+def test_prepare_sequences_composite_equals_stagewise(ray_session,
+                                                      tmp_path):
+    """prepare_sequences_to_parquet output ids == (train split) ∩
+    (dedup survivors) − (contaminated), each recomputed from the gated
+    single-op queries; manifest counts consistent; sharded layout."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.fixtures import ensure_fixtures
+    from engine.tokenops import (prepare_sequences_to_parquet,
+                                 q_sequence_decontaminate, q_sequence_dedup,
+                                 _seq_split_bucket)
+    from engine.corpus import _TRAIN_LT
+
+    fix = ensure_fixtures("sf0.001")
+    out = str(tmp_path / "prep_seq")
+    man = prepare_sequences_to_parquet(os.path.join(fix, "sequences"), out,
+                                       num_shards=4)
+    got = set(pq.read_table(out, columns=["doc_id"])["doc_id"].to_pylist())
+
+    sf = "/root/testdata/sf0.001"
+    surv = set(q_sequence_dedup(sf).to_pandas()["doc_id"])
+    dec = q_sequence_decontaminate(sf).to_pandas()
+    cont = set(dec[dec["contaminated"]]["doc_id"])
+    all_ids = pq.read_table(os.path.join(fix, "sequences"),
+                            columns=["doc_id"])["doc_id"]
+    b = _seq_split_bucket(all_ids.combine_chunks())
+    train = {d for d, bb in zip(all_ids.to_pylist(), b) if bb < _TRAIN_LT}
+    want = (train & surv) - cont
+    assert got == want
+    assert man["train_prepared_sequences"] == len(want)
+    assert man["dedup_survivors"] == len(surv)
+    with open(os.path.join(out, "_prepare_manifest.json")) as f:
+        assert json.load(f) == man
+    shards = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert shards and len(shards) <= 4
