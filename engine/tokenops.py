@@ -89,32 +89,55 @@ def token_array_hash(tokens) -> np.ndarray:
     return _mix64(seg ^ counts.view(np.uint64) ^ _HSEED)
 
 
+def _dedup_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (h, min doc_id, count) partials: the tokens payload is
+    pruned before anything shuffles (~32 B/distinct-array/batch)."""
+    h = token_array_hash(t["tokens"])
+    g = pa.TableGroupBy(pa.table({
+        "h": pa.array(h.view(np.int64)),
+        "doc_id": t["doc_id"],
+    }), "h").aggregate([("doc_id", "min"), ("h", "count")])
+    return pa.table({"h": g["h"], "doc_id": g["doc_id_min"],
+                     "cnt": pc.cast(g["h_count"], pa.int64())})
+
+
+def _dedup_fold_block(t: pa.Table) -> pa.Table:
+    """Per-partition fold: equal h are co-located, one Arrow groupby
+    finishes every group in the block."""
+    if t.num_rows == 0:
+        return pa.schema([("doc_id", pa.string()),
+                          ("n_copies", pa.int64())]).empty_table()
+    g = pa.TableGroupBy(t, "h").aggregate([("doc_id", "min"),
+                                           ("cnt", "sum")])
+    return pa.table({"doc_id": g["doc_id_min"],
+                     "n_copies": pc.cast(g["cnt_sum"], pa.int64())})
+
+
+def _sequence_dedup_plan(ds, rows_hint: int = None):
+    """partials → ONE hash-keyed exchange on h → per-partition fold.
+
+    Ray's native ``groupby().aggregate()`` SORTS the exchange — measured
+    257 s at 32 M (nearly all-distinct) keys on this box; the hash
+    exchange + vectorized block fold is the repo's standard swap and
+    runs the same job in a few seconds."""
+    from engine.stages import hash_group_exchange
+    return hash_group_exchange(
+        lambda: ds.map_batches(_dedup_partial, batch_format="pyarrow",
+                               batch_size=None),
+        ["h"], _dedup_fold_block, collect=False, rows_hint=rows_hint)
+
+
 def q_sequence_dedup(sf_dir: str):
     """Exact sequence dedup: min(doc_id) + copy count per distinct token
     array.  doc_ids are fixed-width, so lexicographic min == numeric min
     on both engines."""
-    from ray.data.aggregate import Count, Min
-
-    def partial(t: pa.Table) -> pa.Table:
-        h = token_array_hash(t["tokens"])
-        g = pa.TableGroupBy(pa.table({
-            "h": pa.array(h.view(np.int64)),
-            "doc_id": t["doc_id"],
-        }), "h").aggregate([("doc_id", "min"), ("h", "count")])
-        return pa.table({"h": g["h"], "doc_id": g["doc_id_min"],
-                         "cnt": pc.cast(g["h_count"], pa.int64())})
-
-    from ray.data.aggregate import Sum
-    out = _seq_ds(sf_dir, ["doc_id", "tokens"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
-        .groupby("h") \
-        .aggregate(Min("doc_id", alias_name="doc_id"),
-                   Sum("cnt", alias_name="n_copies"))
-    return out.map_batches(
-        lambda t: pa.table({
-            "doc_id": t["doc_id"],
-            "n_copies": pc.cast(t["n_copies"], pa.int64())}),
-        batch_format="pyarrow")
+    import pyarrow.parquet as pq
+    fix = fixtures.ensure_fixtures(fixtures.sf_of(sf_dir))
+    sdir = os.path.join(fix, "sequences")
+    hint = sum(pq.read_metadata(os.path.join(sdir, f)).num_rows
+               for f in os.listdir(sdir) if f.endswith(".parquet"))
+    return _sequence_dedup_plan(_seq_ds(sf_dir, ["doc_id", "tokens"]),
+                                rows_hint=hint)
 
 
 SQL_SEQUENCE_DEDUP = f"""
@@ -378,20 +401,10 @@ def _prepare_seq_id_refs(sf_dir: str, seq_path: str = None):
     return (ray.put(keep), ray.put(cont), len(keep), len(cont))
 
 
-def _sequence_dedup_ds(ds):
-    """The q_sequence_dedup plan over an arbitrary sequences Dataset."""
-    from ray.data.aggregate import Min
-
-    def partial(t: pa.Table) -> pa.Table:
-        h = token_array_hash(t["tokens"])
-        g = pa.TableGroupBy(pa.table({
-            "h": pa.array(h.view(np.int64)), "doc_id": t["doc_id"],
-        }), "h").aggregate([("doc_id", "min")])
-        return pa.table({"h": g["h"], "doc_id": g["doc_id_min"]})
-
-    return ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=None) \
-        .groupby("h").aggregate(Min("doc_id", alias_name="doc_id")) \
+def _sequence_dedup_ds(ds, rows_hint: int = None):
+    """The q_sequence_dedup plan over an arbitrary sequences Dataset
+    (survivor doc_ids only)."""
+    return _sequence_dedup_plan(ds, rows_hint=rows_hint) \
         .map_batches(lambda t: t.select(["doc_id"]),
                      batch_format="pyarrow")
 
