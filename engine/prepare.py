@@ -29,6 +29,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _existing_manifest(out_dir: str, want_params: dict):
+    """Job-level resume: the manifest is written LAST (after every shard
+    directory), so its presence certifies a complete run.  Returns the
+    manifest when it exists with matching parameters (idempotent re-run
+    skips all work — the flagship pipeline's pre-execution-skip
+    contract, pipeline.py); parameter drift falls through to a fresh
+    run so stale output is never silently reused."""
+    path = os.path.join(out_dir, "_prepare_manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        man = json.load(f)
+    if all(man.get(k) == v for k, v in want_params.items()):
+        return man
+    return None
+
+
 def _stage_id_refs(sf_dir: str, quality_min: int):
     """Run the curate + decontaminate stages once and broadcast their id
     sets: returns ``(cur_ref, con_ref, n_curated, n_contaminated)``."""
@@ -103,6 +120,11 @@ def prepare_to_parquet(docs_path: str, out_dir: str,
     sf_dir = os.path.dirname(os.path.abspath(docs_path)) or "."
     if quality_min is None:
         quality_min = QUALITY_MIN_MILLI
+
+    done = _existing_manifest(out_dir, {"quality_min_milli": int(quality_min),
+                                        "num_shards": int(num_shards)})
+    if done is not None:
+        return done
 
     total = ray.data.read_parquet(docs_path).count()
     cur_ref, con_ref, n_cur, n_con = _stage_id_refs(sf_dir, quality_min)

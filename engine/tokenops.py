@@ -476,10 +476,18 @@ def prepare_sequences_to_parquet(seq_dir: str, out_dir: str,
     """The shipped form: prepared train sequences as hash-sharded parquet
     (md5-byte shard for append-stable placement, one directory per shard
     for per-shard resume) + a ``_prepare_manifest.json`` of stage
-    counts.  ``seq_dir`` holds the sequences parquet file(s)."""
+    counts.  ``seq_dir`` holds the sequences parquet file(s).  A re-run
+    against a completed ``out_dir`` (manifest present, same shard count)
+    returns the manifest without touching the corpus — the manifest is
+    written last, so its presence certifies completeness."""
     import json
 
     import ray
+
+    from engine.prepare import _existing_manifest
+    done = _existing_manifest(out_dir, {"num_shards": int(num_shards)})
+    if done is not None:
+        return done
 
     total = ray.data.read_parquet(seq_dir).count()
     keep_ref, cont_ref, n_keep, n_cont = _prepare_seq_id_refs(
@@ -501,3 +509,67 @@ def prepare_sequences_to_parquet(seq_dir: str, out_dir: str,
     with open(os.path.join(out_dir, "_prepare_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+# ---------------------------------------------------------------------------
+# token-value histogram (vocabulary distribution QA)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 1024         # fixed-width buckets over the int32 domain
+
+
+def q_token_histogram(sf_dir: str):
+    """Token-value distribution: count + min/max token per fixed-width
+    bucket of the int32 domain (``(v + 2^31) >> 22`` → 1024 buckets).
+
+    Pure combiner shape: each batch folds its flattened token stream to
+    ≤1024 partial rows (np.bincount + segment min/max via sorting the
+    bucket ids), one tiny Arrow groupby finishes on the driver — the
+    token-stream volume never crosses the exchange."""
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok = t["tokens"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        v = pc.list_flatten(tok).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(v) == 0:
+            return pa.schema([("bucket", pa.int64()), ("n", pa.int64()),
+                              ("min_tok", pa.int64()),
+                              ("max_tok", pa.int64())]).empty_table()
+        b = (v + (1 << 31)) >> 22
+        order = np.argsort(b, kind="stable")
+        bs, vs = b[order], v[order]
+        starts = np.ones(len(bs), dtype=bool)
+        starts[1:] = bs[1:] != bs[:-1]
+        idx = np.flatnonzero(starts)
+        ends = np.append(idx[1:], len(bs))
+        return pa.table({
+            "bucket": pa.array(bs[idx], type=pa.int64()),
+            "n": pa.array(ends - idx, type=pa.int64()),
+            "min_tok": pa.array(np.minimum.reduceat(vs, idx),
+                                type=pa.int64()),
+            "max_tok": pa.array(np.maximum.reduceat(vs, idx),
+                                type=pa.int64()),
+        })
+
+    parts = [t for t in collect_tables(
+        _seq_ds(sf_dir, ["tokens"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None))
+        if t.num_columns]
+    tbl = pa.concat_tables(parts)
+    g = pa.TableGroupBy(tbl, "bucket").aggregate(
+        [("n", "sum"), ("min_tok", "min"), ("max_tok", "max")])
+    out = pa.table({"bucket": g["bucket"], "n": g["n_sum"],
+                    "min_tok": g["min_tok_min"],
+                    "max_tok": g["max_tok_max"]})
+    return out.take(pc.sort_indices(out["bucket"]))
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+SELECT ((tok::BIGINT + 2147483648) >> 22)::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       min(tok)::BIGINT AS min_tok, max(tok)::BIGINT AS max_tok
+FROM (SELECT unnest(tokens) AS tok FROM {SEQ_SQL})
+GROUP BY 1 ORDER BY 1
+"""

@@ -107,3 +107,10 @@ def test_prepare_composite_equals_stagewise(ray_session, tmp_path):
     # resumable layout: one directory per shard
     shards = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert shards and len(shards) <= 4
+    # idempotent re-run: manifest presence certifies completeness,
+    # identical manifest returned with zero recompute (sub-second)
+    import time
+    t0 = time.time()
+    assert prepare_to_parquet(os.path.join(sf, "documents.parquet"), out,
+                              num_shards=4) == man
+    assert time.time() - t0 < 2.0

@@ -217,3 +217,8 @@ def test_prepare_sequences_composite_equals_stagewise(ray_session,
         assert json.load(f) == man
     shards = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert shards and len(shards) <= 4
+    import time
+    t0 = time.time()
+    assert prepare_sequences_to_parquet(os.path.join(fix, "sequences"),
+                                        out, num_shards=4) == man
+    assert time.time() - t0 < 2.0
