@@ -258,14 +258,27 @@ def _seg_local(counts: np.ndarray) -> np.ndarray:
 
 def _seq_split_bucket(doc_ids) -> np.ndarray:
     """md5(doc_id) % 100 — the sequence-corpus twin of the documents
-    split (gate-compat digest; per-row md5 over short id strings)."""
+    split (gate-compat digest: md5 is the one hash DuckDB shares, so the
+    gated queries pay a per-row Python md5 over short id strings)."""
     import hashlib
     return np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:4],
                                     "big") % 100
                      for s in doc_ids.to_pylist()], dtype=np.int64)
 
 
-def q_sequence_decontaminate(sf_dir: str, seq_path: str = None):
+def _seq_split_bucket_fast(doc_ids) -> np.ndarray:
+    """The at-scale twin: C-level string hashing (pandas/xxhash family)
+    instead of per-row Python md5 — the ``corpus.hash_bucket_fast``
+    precedent for string ids.  Different (still deterministic) split
+    assignment ⇒ no SQL oracle; rows-only + property-pinned."""
+    import pandas as pd
+    h = pd.util.hash_pandas_object(doc_ids.to_pandas(),
+                                   index=False).to_numpy()
+    return (h % np.uint64(100)).astype(np.int64)
+
+
+def q_sequence_decontaminate(sf_dir: str, seq_path: str = None,
+                             bucket: str = "md5"):
     """Token-level decontamination: flag train/val sequences sharing any
     ``_GRAM_N``-token gram with the held-out test split (the token-space
     analogue of ``decontam.q_decontaminate``'s word 8-grams).
@@ -274,11 +287,16 @@ def q_sequence_decontaminate(sf_dir: str, seq_path: str = None):
     fraction of the corpus) and broadcasts once via ``ray.put``; the
     train/val side is a pure map — sorted-array ``searchsorted``
     membership + one segment sum per batch.  No shuffle anywhere.
-    ``seq_path`` overrides the fixture corpus (planted-overlap tests)."""
+    ``seq_path`` overrides the fixture corpus (planted-overlap tests);
+    ``bucket="fast"`` swaps the md5 split bucket for the C-level hash
+    twin (rows-only — the split rule itself changes)."""
     import ray
 
     from engine.corpus import _TRAIN_LT, _VAL_LT
     from engine.pipeline import collect_tables
+
+    bucket_fn = _seq_split_bucket if bucket == "md5" else \
+        _seq_split_bucket_fast
 
     def _ds():
         if seq_path is not None:
@@ -287,7 +305,7 @@ def q_sequence_decontaminate(sf_dir: str, seq_path: str = None):
         return _seq_ds(sf_dir, ["doc_id", "tokens"])
 
     def eval_grams(t: pa.Table) -> pa.Table:
-        b = _seq_split_bucket(t["doc_id"])
+        b = bucket_fn(t["doc_id"])
         sub = t.filter(pa.array(b >= _VAL_LT))
         h, _ = token_gram_hashes(sub["tokens"])
         return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
@@ -305,7 +323,7 @@ def q_sequence_decontaminate(sf_dir: str, seq_path: str = None):
             self.ev = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            b = _seq_split_bucket(t["doc_id"])
+            b = bucket_fn(t["doc_id"])
             sub = t.filter(pa.array(b < _VAL_LT))
             h, gc = token_gram_hashes(sub["tokens"])
             idx = np.searchsorted(self.ev, h)
@@ -328,6 +346,13 @@ def q_sequence_decontaminate(sf_dir: str, seq_path: str = None):
     return _ds().map_batches(Check, fn_constructor_args=(ev_ref,),
                              batch_format="pyarrow", concurrency=(1, 8),
                              num_cpus=1)
+
+
+def q_sequence_decontaminate_fast(sf_dir: str):
+    """``q_sequence_decontaminate`` on the C-level split bucket — the
+    md5-free at-scale twin (rows-only; detection pinned by pytest on a
+    planted corpus)."""
+    return q_sequence_decontaminate(sf_dir, bucket="fast")
 
 
 def _sql_sequence_decontaminate(seq_sql: str = SEQ_SQL) -> str:

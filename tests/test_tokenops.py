@@ -222,3 +222,47 @@ def test_prepare_sequences_composite_equals_stagewise(ray_session,
     assert prepare_sequences_to_parquet(os.path.join(fix, "sequences"),
                                         out, num_shards=4) == man
     assert time.time() - t0 < 2.0
+
+
+def test_sequence_decontaminate_fast_detects_planted_overlap(ray_session,
+                                                             tmp_path):
+    """The md5-free split-bucket twin: same gram logic, C-level bucket.
+    Detection pinned on a planted corpus whose hot/near/test roles are
+    derived with the SAME fast bucket rule."""
+    import pyarrow.parquet as pq
+
+    from engine.corpus import _TRAIN_LT, _VAL_LT
+    from engine.tokenops import (_GRAM_N, _seq_split_bucket_fast,
+                                 q_sequence_decontaminate)
+
+    ids = [f"pf-{i:05d}" for i in range(400)]
+    b = _seq_split_bucket_fast(pa.array(ids))
+    train = [d for d, bb in zip(ids, b) if bb < _TRAIN_LT]
+    test = [d for d, bb in zip(ids, b) if bb >= _VAL_LT]
+    assert len(train) >= 2 and len(test) >= 1
+    rng = np.random.default_rng(13)
+    gram = rng.integers(-(2**31), 2**31, size=_GRAM_N).astype(np.int32)
+    rows = {d: rng.integers(-(2**31), 2**31, size=16).astype(np.int32)
+            for d in ids}
+    rows[test[0]] = np.concatenate([gram, rows[test[0]][:2]]) \
+        .astype(np.int32)
+    hot = train[0]
+    rows[hot] = np.concatenate([rows[hot][:4], gram]).astype(np.int32)
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array([rows[d].tolist() for d in ids],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(rows[d]) for d in ids], type=pa.int32()),
+        "source": pa.array(["src-0"] * len(ids)),
+    })
+    path = str(tmp_path / "seqf.parquet")
+    pq.write_table(t, path)
+    df = q_sequence_decontaminate("unused", seq_path=path, bucket="fast") \
+        .to_pandas().set_index("doc_id")
+    assert bool(df.loc[hot, "contaminated"])
+    assert test[0] not in df.index
+    # fast and md5 buckets are DIFFERENT deterministic rules
+    from engine.tokenops import _seq_split_bucket
+    assert (_seq_split_bucket(pa.array(ids)) != b).any()
+    assert (df.index == sorted(
+        d for d, bb in zip(ids, b) if bb < _VAL_LT)).all()
