@@ -1125,3 +1125,110 @@ def test_pq_ann_recall_and_compression(ray_session):
     # deterministic: second run returns the identical table
     again = q_simsearch_pq(SF_DIR)
     assert approx.equals(again)
+
+
+def _gng_oracle(parquet_path: str):
+    import duckdb
+    from engine import ngramrep
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{parquet_path}')")
+    return con.execute(ngramrep.SQL_GOPHER_NGRAM_REPETITION).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _write_docs(tmp_path, name, docs):
+    import pyarrow.parquet as pq
+    d = tmp_path / name
+    d.mkdir()
+    p = d / "documents.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+        "n_chars": pa.array([len(t) for t in docs], type=pa.int64()),
+    }), str(p))
+    return d, p
+
+
+def test_gopher_ngram_repetition_planted_coverage(ray_session, tmp_path):
+    """The duplicated-5-gram coverage path is NEVER exercised by the
+    fixture corpus (31-word vocab, no repeated 5-grams) — plant
+    overlapping / adjacent / degenerate repeats and gate value-exact
+    against the in-process DuckDB oracle."""
+    from engine import ngramrep
+
+    docs = [
+        # "a b c d e" occurs 3x (adjacent + after a gap)
+        "a b c d e a b c d e x a b c d e",
+        # degenerate run: every 5-gram is "t t t t t" (nested overlap)
+        "t t t t t t q r s u v w",
+        # multi-char words, one exact repeat
+        "alpha beta gamma delta eps zz alpha beta gamma delta eps",
+        # no repeated 5-gram at all
+        "one two three four five six seven eight nine ten",
+        "",
+        "  \t ",
+    ]
+    d, p = _write_docs(tmp_path, "gng", docs)
+    res = _tbl(ngramrep.q_gopher_ngram_repetition(str(d))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ora = _gng_oracle(str(p))
+    assert (res["dup5_milli"] > 0).sum() == 3
+    # run covers tokens 0..5 = 6 of the 12 single-char tokens
+    assert res.loc[1, "dup5_milli"] == 500
+    assert res.loc[3, "dup5_milli"] == 0
+    assert (res.loc[4:, ["n_words", "tot_chars", "top2_milli",
+                         "top3_milli", "dup5_milli"]] == 0).all().all()
+    for c in res.columns:
+        assert list(res[c]) == list(ora[c]), c
+
+
+def test_gopher_ngram_repetition_random_matches_duckdb(ray_session,
+                                                       tmp_path):
+    """Random small-vocab corpora (dense n-gram collisions) gate
+    value-exact vs DuckDB across doc lengths 0..30."""
+    from engine import ngramrep
+
+    rng = np.random.default_rng(42)
+    vocab = np.array(["a", "bb", "ccc", "dd", "e"])
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+            for _ in range(80)]
+    d, p = _write_docs(tmp_path, "gngrand", docs)
+    res = _tbl(ngramrep.q_gopher_ngram_repetition(str(d))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ora = _gng_oracle(str(p))
+    assert (res["dup5_milli"] > 0).any()
+    for c in res.columns:
+        assert list(res[c]) == list(ora[c]), c
+
+
+def test_kmeans_train_matches_reference_any_layout(ray_session, tmp_path):
+    """Distributed integer Lloyd == the single-process reference on the
+    fixture embeddings, AND is invariant to row order + file sharding
+    (the order-independence claim of integer partial sums)."""
+    import pyarrow.parquet as pq
+    from engine import cluster
+
+    tr = _tbl(cluster.q_kmeans_train(SF_DIR)).to_pandas() \
+        .sort_values("cluster").reset_index(drop=True)
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet").sort_by("vec_id")
+    Cq, cnt, inert = cluster.kmeans_reference(cluster._batch_mat(src))
+    assert list(tr["size"]) == list(cnt)
+    assert list(tr["inertia"]) == list(inert)
+    assert list(tr["centroid_qnorm"]) == list((Cq * Cq).sum(axis=1))
+    assert int(tr["size"].sum()) == src.num_rows
+
+    # shuffled rows, 3 shard files -> bit-identical result
+    d = tmp_path / "km"
+    (d / "embeddings.parquet").mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(src.num_rows)
+    shuf = src.take(perm)
+    for i, part in enumerate(np.array_split(np.arange(src.num_rows), 3)):
+        pq.write_table(shuf.take(part),
+                       str(d / "embeddings.parquet" / f"p{i}.parquet"))
+    tr2 = _tbl(cluster.q_kmeans_train(str(d))).to_pandas() \
+        .sort_values("cluster").reset_index(drop=True)
+    assert tr.equals(tr2)
