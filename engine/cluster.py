@@ -175,6 +175,92 @@ def q_kmeans_train(sf_dir: str) -> pa.Table:
     })
 
 
+_SAMPLE_N = 20
+
+
+def q_cluster_sample(sf_dir: str):
+    """Cluster-balanced sampling: the ``_SAMPLE_N`` most-central members
+    of every cluster (dist ASC, vec_id ASC) under the seed-centroid
+    assignment — the SemDeDup-style "balanced subset" selection that
+    stops one dense region from dominating a curated mix.
+
+    Scale shape: the same partial-top-K combiner as
+    ``corpus.q_source_cap`` — each batch forwards at most N rows per
+    cluster it saw, so the groupby exchange carries O(N x K x blocks)
+    id-sized rows and the embeddings never leave the map stage."""
+    import ray
+    n = _SAMPLE_N
+    _, Cq = _seed_centroids(sf_dir)
+    ref = ray.put(Cq)
+
+    class PartialTopN(_Assign):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, D = self._dists(t)
+            a = D.argmin(axis=1)
+            dist = D[np.arange(len(ids)), a]
+            order = np.lexsort((ids, dist, a))
+            a_s = a[order]
+            starts = np.concatenate([[0], np.flatnonzero(
+                np.diff(a_s)) + 1]) if len(a_s) else np.array([], np.int64)
+            run_id = np.searchsorted(starts, np.arange(len(order)),
+                                     side="right") - 1
+            rank = np.arange(len(order)) - starts[run_id] \
+                if len(order) else np.array([], np.int64)
+            keep = order[rank < n]
+            return pa.table({
+                "cluster": pa.array(a[keep].astype(np.int64)),
+                "vec_id": pa.array(ids[keep], type=pa.int64()),
+                "dist": pa.array(dist[keep].astype(np.int64)),
+            })
+
+    def final_topn(t: pa.Table) -> pa.Table:
+        dist = t["dist"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:n]
+        take = pa.array(order)
+        return pa.table({
+            "cluster": t["cluster"].take(take),
+            "vec_id": t["vec_id"].take(take),
+            "dist": t["dist"].take(take),
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        })
+
+    return _emb(sf_dir) \
+        .map_batches(PartialTopN, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", batch_size=None,
+                     concurrency=(1, 8), num_cpus=1) \
+        .groupby("cluster").map_groups(final_topn, batch_format="pyarrow")
+
+
+SQL_CLUSTER_SAMPLE = f"""
+WITH q AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qe
+  FROM embeddings
+), c AS (
+  SELECT qe AS cq, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT
+           AS cluster
+  FROM q ORDER BY vec_id LIMIT {_K}
+), d AS (
+  SELECT q.vec_id, c.cluster,
+         list_sum(list_transform(range(len(q.qe)),
+           i -> (q.qe[i+1] - c.cq[i+1]) * (q.qe[i+1] - c.cq[i+1])))::BIGINT
+           AS dist
+  FROM q CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cluster, dist FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)
+SELECT cluster, vec_id, dist,
+       (row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id)
+          - 1)::BIGINT AS rank
+FROM assigned
+QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id)
+          <= {_SAMPLE_N}
+"""
+
+
 def kmeans_reference(M: np.ndarray, k: int = _K, iters: int = _ITERS):
     """Single-process reference with identical integer math (pytest pin).
     ``M`` rows must be ordered by vec_id."""
