@@ -423,6 +423,151 @@ WHERE b.bucket >= {_TRAIN_LT}
 """
 
 
+_XNEAR_TAU_MILLI = 500  # est. Jaccard >= 0.5 = near-dup vs the corpus
+
+
+def q_cross_corpus_neardup(sf_dir: str) -> pa.Table:
+    """Cross-corpus NEAR-dup: flag every INCOMING (val/test-split) doc
+    whose MinHash signature collides in any LSH band with an EXISTING
+    (train-split) doc and signature-verifies at estimated Jaccard >=
+    ``_XNEAR_TAU_MILLI``/1000 — the fuzzy extension of
+    :func:`q_cross_corpus_dedup` (which only catches byte-identical
+    text).  This is the incremental-ingest near-dedup every crawl
+    append runs: "is this new shard already (approximately) in the
+    training set?".
+
+    Shape: ONE map over all docs emits the standard 8-band rows (16-bit
+    signature components, ~1.25 KB/doc — the q_dedup_minhash_lsh
+    exchange) tagged with a side bit; one hash-keyed exchange on
+    (band, key) co-locates buckets; a single vectorized partition pass
+    builds the BIPARTITE incoming x existing candidate pairs per bucket
+    with pure offset arithmetic (no per-bucket Python), capping the
+    existing side at ``_BUCKET_CAP`` min-id members (``capped`` flags
+    degraded buckets).  Only verified matches leave the exchange; the
+    driver folds best-match-per-incoming-doc over a match-bounded table.
+    Rows-only (LSH is not SQL-expressible); pytest plants exact and
+    near-identical incoming docs and checks them against the exact
+    cross-corpus gate."""
+    import ray
+    from engine.dedup import (_BANDS, _BUCKET_CAP, _N_PERM, _band_keys,
+                              minhash_signatures)
+    from engine.stages import hash_group_exchange
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids, chash, mh = minhash_signatures(t)
+        incoming = (_split_bucket(ids.tolist()) >= _TRAIN_LT)
+        mh16 = (mh >> np.uint64(48)).astype(np.uint16)
+        keys = _band_keys(mh16.astype(np.uint64))
+        n = len(ids)
+        rep = np.repeat(mh16, _BANDS, axis=0)
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(2 * _N_PERM), n * _BANDS,
+            [None, pa.py_buffer(np.ascontiguousarray(rep).tobytes())])
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, _BANDS), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n)),
+            "key": pa.array(keys.ravel(), type=pa.int64()),
+            "chash": pa.array(np.repeat(chash, _BANDS), type=pa.int64()),
+            "incoming": pa.array(np.repeat(incoming, _BANDS)),
+            "sig": sig_arr,
+        })
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "matched_id": pa.array([], type=pa.int64()),
+            "jaccard_milli": pa.array([], type=pa.int64()),
+            "exact": pa.array([], type=pa.bool_()),
+            "capped": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ch = t["chash"].to_numpy(zero_copy_only=False)
+        inc = t["incoming"].to_numpy(zero_copy_only=False)
+        sigc = t["sig"].combine_chunks() \
+            if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+        raw = np.frombuffer(sigc.buffers()[1], dtype=np.uint16)
+        S = raw[sigc.offset * _N_PERM:
+                (sigc.offset + n) * _N_PERM].reshape(n, _N_PERM)
+        # existing (incoming=False) first within each bucket, min-id first
+        order = np.lexsort((ids, inc, key, band))
+        band, key, ids, ch, inc = (band[order], key[order], ids[order],
+                                   ch[order], inc[order])
+        S = S[order]
+        nb = np.ones(n, dtype=bool)
+        nb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        bstart = np.flatnonzero(nb)
+        bidx = np.cumsum(nb) - 1
+        pos = np.arange(n) - bstart[bidx]
+        n_exist = np.zeros(len(bstart), dtype=np.int64)
+        np.add.at(n_exist, bidx[~inc], 1)
+        ce = np.minimum(n_exist, _BUCKET_CAP)      # kept existing per bucket
+        # candidate pairs: each incoming row x the ce min-id existing rows
+        irows = np.flatnonzero(inc)
+        if len(irows) == 0:
+            return empty
+        per_i = ce[bidx[irows]]
+        P = int(per_i.sum())
+        if P == 0:
+            return empty
+        i_idx = np.repeat(irows, per_i)
+        ex0 = np.cumsum(per_i) - per_i             # exclusive prefix
+        j = np.arange(P) - np.repeat(ex0, per_i)   # 0..ce-1 within block
+        e_idx = bstart[bidx[i_idx]] + j            # existing sorted first
+        agree = (S[i_idx] == S[e_idx]).sum(axis=1).astype(np.int64)
+        # the q_dedup_minhash_lsh estimate convention (rint, exact=1000)
+        jacc = np.rint(agree.astype(np.float64) / _N_PERM * 1000) \
+            .astype(np.int64)
+        exact = ch[i_idx] == ch[e_idx]
+        keep = (jacc >= _XNEAR_TAU_MILLI) | exact
+        return pa.table({
+            "doc_id": pa.array(ids[i_idx][keep], type=pa.int64()),
+            "matched_id": pa.array(ids[e_idx][keep], type=pa.int64()),
+            "jaccard_milli": pa.array(np.where(exact, 1000, jacc)[keep]),
+            "exact": pa.array(exact[keep]),
+            "capped": pa.array((n_exist > _BUCKET_CAP)[bidx[i_idx]][keep]),
+        })
+
+    rows = None
+    try:
+        import pyarrow.parquet as pq
+        rows = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")).num_rows * _BANDS
+    except Exception:
+        pass
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            band_rows, batch_format="pyarrow", batch_size=None),
+        ["band", "key"], block, rows_hint=rows)
+    if len(df) == 0:
+        return block(pa.table({}))
+    # best match per incoming doc: max jaccard, then min matched_id;
+    # capped = OR across the doc's surviving candidate rows
+    d = df["doc_id"].to_numpy()
+    order = np.lexsort((df["matched_id"].to_numpy(),
+                        -df["jaccard_milli"].to_numpy(), d))
+    d = d[order]
+    first = np.ones(len(d), dtype=bool)
+    first[1:] = d[1:] != d[:-1]
+    ngrp = int(first.sum())
+    capo = np.zeros(ngrp, dtype=bool)
+    np.logical_or.at(capo, np.cumsum(first) - 1,
+                     df["capped"].to_numpy()[order])
+    top = df.iloc[order[first]].reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(top["doc_id"].to_numpy(), type=pa.int64()),
+        "matched_id": pa.array(top["matched_id"].to_numpy(),
+                               type=pa.int64()),
+        "jaccard_milli": pa.array(top["jaccard_milli"].to_numpy(),
+                                  type=pa.int64()),
+        "exact": pa.array(top["exact"].to_numpy().astype(bool)),
+        "capped": pa.array(capo),
+    }).sort_by([("doc_id", "ascending")])
+
+
 def q_weighted_sample(sf_dir: str):
     """Quality-weighted importance sampling: keep each doc with
     probability quality_milli/1000, decided by a deterministic per-doc

@@ -1232,3 +1232,56 @@ def test_kmeans_train_matches_reference_any_layout(ray_session, tmp_path):
     tr2 = _tbl(cluster.q_kmeans_train(str(d))).to_pandas() \
         .sort_values("cluster").reset_index(drop=True)
     assert tr.equals(tr2)
+
+
+def test_cross_corpus_neardup_planted(ray_session, tmp_path):
+    """Incoming (val/test-split) docs that are exact or near copies of a
+    train-split doc are flagged with the right match id and estimate;
+    unrelated incoming docs are absent; exact hits of the gated exact
+    cross-corpus dedup are a subset of the near-dup exact hits."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from engine import decontam
+    from engine.corpus import _SPLIT_BUCKETS, _TRAIN_LT
+
+    def bucket(i):
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:4], "big") % _SPLIT_BUCKETS
+
+    train_ids = [i for i in range(1000) if bucket(i) < _TRAIN_LT][:5]
+    inc_ids = [i for i in range(1000) if bucket(i) >= _TRAIN_LT][:4]
+    base = " ".join(f"w{k}" for k in range(40))
+    near = " ".join(("CHANGED" if k == 7 else f"w{k}") for k in range(40))
+    texts = {train_ids[0]: base}
+    for t in train_ids[1:]:
+        texts[t] = " ".join(f"u{t}x{k}" for k in range(30))
+    texts[inc_ids[0]] = base
+    texts[inc_ids[1]] = near
+    texts[inc_ids[2]] = " ".join(f"z{k}" for k in range(30))
+    texts[inc_ids[3]] = " ".join(f"y{k}" for k in range(30))
+    ids = sorted(texts)
+    d = tmp_path / "xnd"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([texts[i] for i in ids]),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["s"] * len(ids)),
+        "n_chars": pa.array([len(texts[i]) for i in ids], type=pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    r = decontam.q_cross_corpus_neardup(str(d)).to_pandas() \
+        .set_index("doc_id")
+    assert set(r.index) == {inc_ids[0], inc_ids[1]}
+    assert r.loc[inc_ids[0], "exact"] \
+        and r.loc[inc_ids[0], "jaccard_milli"] == 1000 \
+        and r.loc[inc_ids[0], "matched_id"] == train_ids[0]
+    assert not r.loc[inc_ids[1], "exact"] \
+        and 500 <= r.loc[inc_ids[1], "jaccard_milli"] < 1000 \
+        and r.loc[inc_ids[1], "matched_id"] == train_ids[0]
+
+    # fixture corpus: exact-dedup dups ⊆ near-dup exact hits
+    ex = decontam.q_cross_corpus_dedup(SF_DIR).to_pandas()
+    nr = decontam.q_cross_corpus_neardup(SF_DIR)
+    near_exact = set(np.array(nr["doc_id"])[np.array(nr["exact"])])
+    assert set(ex[ex.is_dup].doc_id) <= near_exact
