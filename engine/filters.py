@@ -404,6 +404,69 @@ def q_unigram_commonness(sf_dir: str):
         .map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+_BLOCKLIST = ("slow", "dup", "spam")  # stand-in for the real ~400-phrase list
+
+
+def q_blocklist_filter(sf_dir: str):
+    """C4-style banned-word filter (Raffel et al. 2020, JMLR 21(140):
+    any page containing a blocklisted word was removed): per doc the
+    count of blocklisted tokens (lowercased ``\\S+`` equality against
+    ``_BLOCKLIST``), the integer milli rate, and the drop verdict.
+
+    Pure map over a broadcast-constant word set — zero shuffle at any
+    corpus size; one ``pc.is_in`` over the flat token stream + segment
+    sums per batch.  Multi-word blocklist PHRASES would reuse the
+    n-gram group keys of ``engine/ngramrep.py`` unchanged (same pure-map
+    shape).  The fixture list deliberately hits fixture vocabulary
+    ('slow', 'dup') so the flag path is exercised by the gate itself."""
+    bl = pa.array(sorted(_BLOCKLIST), type=pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, offs = _split_tokens(pc.utf8_lower(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]))
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=bl).to_numpy(zero_copy_only=False)
+        n_tok = _segment_sums((wlen > 0).astype(np.int64), offs)
+        n_blocked = _segment_sums((hit & (wlen > 0)).astype(np.int64), offs)
+        milli = np.where(n_tok > 0,
+                         n_blocked * 1000 // np.maximum(n_tok, 1), 0)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_blocked": pa.array(n_blocked),
+            "blocked_milli": pa.array(milli),
+            "flagged": pa.array(n_blocked > 0),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_BL_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(_BLOCKLIST))
+
+SQL_BLOCKLIST_FILTER = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+  FROM documents
+), a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (WHERE tok IN ({_BL_SQL_LIST}))::BIGINT
+           AS n_blocked
+  FROM w GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_blocked, 0)::BIGINT AS n_blocked,
+       (CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+             ELSE a.n_blocked * 1000 // a.n_tokens END)::BIGINT
+         AS blocked_milli,
+       (coalesce(a.n_blocked, 0) > 0) AS flagged
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id::BIGINT
+"""
+
+
 SQL_UNIGRAM_COMMONNESS = rf"""
 WITH w AS (
   SELECT doc_id::BIGINT AS doc_id,
