@@ -1170,17 +1170,23 @@ def test_gopher_ngram_repetition_planted_coverage(ray_session, tmp_path):
         "one two three four five six seven eight nine ten",
         "",
         "  \t ",
+        # NBSP (U+00A0) is NOT RE2 whitespace: "p\xa0q" is ONE
+        # token on both sides; the repeated 5-gram covers all
+        "p\xa0q r s t u p\xa0q r s t u",
     ]
     d, p = _write_docs(tmp_path, "gng", docs)
     res = _tbl(ngramrep.q_gopher_ngram_repetition(str(d))).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     ora = _gng_oracle(str(p))
-    assert (res["dup5_milli"] > 0).sum() == 3
+    assert (res["dup5_milli"] > 0).sum() == 4
     # run covers tokens 0..5 = 6 of the 12 single-char tokens
     assert res.loc[1, "dup5_milli"] == 500
     assert res.loc[3, "dup5_milli"] == 0
-    assert (res.loc[4:, ["n_words", "tot_chars", "top2_milli",
-                         "top3_milli", "dup5_milli"]] == 0).all().all()
+    assert (res.loc[4:5, ["n_words", "tot_chars", "top2_milli",
+                          "top3_milli", "dup5_milli"]] == 0).all().all()
+    # NBSP doc: 10 tokens ("p\xa0q" stays whole), dup 5-gram at starts
+    # 0 and 5 -> fully covered
+    assert res.loc[6, "n_words"] == 10 and res.loc[6, "dup5_milli"] == 1000
     for c in res.columns:
         assert list(res[c]) == list(ora[c]), c
 
