@@ -1291,3 +1291,34 @@ def test_cross_corpus_neardup_planted(ray_session, tmp_path):
     nr = decontam.q_cross_corpus_neardup(SF_DIR)
     near_exact = set(np.array(nr["doc_id"])[np.array(nr["exact"])])
     assert set(ex[ex.is_dup].doc_id) <= near_exact
+
+
+def test_lloyd_step_and_ngram_keys_edges():
+    """Pure-numpy edges: empty clusters keep their centroid; the rounded
+    integer mean matches round-half-up for positive and floor semantics
+    for negative sums; n-gram keys never cross doc boundaries and are
+    position-packed without overflow."""
+    from engine.cluster import lloyd_step
+    from engine.ngramrep import _ngram_group_keys
+
+    Cq = np.array([[10, -10], [5, 5], [7, 7]], dtype=np.int64)
+    cnt = np.array([2, 0, 3], dtype=np.int64)
+    ssum = np.array([[5, -5], [0, 0], [10, -10]], dtype=np.int64)
+    out = lloyd_step(Cq, cnt, ssum)
+    # 5/2 -> 3 (round half up), -5/2 -> -2 ((2*-5+2)//4 = -2)
+    assert out[0].tolist() == [3, -2]
+    assert out[1].tolist() == [5, 5]          # empty keeps centroid
+    # 10/3 -> (20+3)//6 = 3, -10/3 -> (-20+3)//6 = -3
+    assert out[2].tolist() == [3, -3]
+
+    codes = np.array([0, 1, 0, 1, 0, 1], dtype=np.int64)
+    doc = np.array([0, 0, 0, 1, 1, 1], dtype=np.int64)
+    starts, grams = _ngram_group_keys(codes, doc, 2)
+    # valid starts: 0,1 (doc 0) and 3,4 (doc 1); gram "0 1" == gram "0 1"
+    assert starts.tolist() == [0, 1, 3, 4]
+    assert grams[0] == grams[3] and grams[1] == grams[2]
+    s5, _ = _ngram_group_keys(codes, doc, 5)
+    assert s5.tolist() == []                  # no 5-gram fits either doc
+    s0, g0 = _ngram_group_keys(np.array([], dtype=np.int64),
+                               np.array([], dtype=np.int64), 3)
+    assert len(s0) == 0 and len(g0) == 0
