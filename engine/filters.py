@@ -415,10 +415,11 @@ def q_blocklist_filter(sf_dir: str):
 
     Pure map over a broadcast-constant word set — zero shuffle at any
     corpus size; one ``pc.is_in`` over the flat token stream + segment
-    sums per batch.  Multi-word blocklist PHRASES would reuse the
-    n-gram group keys of ``engine/ngramrep.py`` unchanged (same pure-map
-    shape).  The fixture list deliberately hits fixture vocabulary
-    ('slow', 'dup') so the flag path is exercised by the gate itself."""
+    sums per batch.  Multi-word blocklist PHRASES are handled by
+    :func:`q_blocklist_phrases` below (same pure-map shape over the
+    n-gram group keys of ``engine/ngramrep.py``).  The fixture list
+    deliberately hits fixture vocabulary ('slow', 'dup') so the flag
+    path is exercised by the gate itself."""
     bl = pa.array(sorted(_BLOCKLIST), type=pa.string())
 
     def fn(t: pa.Table) -> pa.Table:
@@ -441,6 +442,99 @@ def q_blocklist_filter(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_BLOCK_PHRASES = ("big order", "slow key", "no such phrase")
+
+
+def q_blocklist_phrases(sf_dir: str):
+    """Multi-word blocklist matching — the phrase half of the C4 list
+    (most real blocklist entries are phrases).  Counts OCCURRENCES of
+    each 2-word phrase (overlapping allowed, tokens are lowercased
+    ``\\S+`` runs, one joining space) per doc via the n-gram machinery
+    of ``engine/ngramrep.py``: same pure-map/zero-shuffle shape as the
+    single-word filter, the phrase set broadcast in the closure.
+
+    Implementation note: instead of re-hashing phrases into the
+    batch-local code space, the batch's 2-gram strings are rebuilt only
+    for the ≤ len(phrases) distinct 2-gram codes that might match —
+    candidate codes are found by matching each phrase's two words
+    against the batch vocabulary, so per batch the string work is
+    O(|phrases|), not O(tokens)."""
+    from engine.ngramrep import _ngram_group_keys
+
+    phrases = sorted(_BLOCK_PHRASES)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ndocs = t.num_rows
+        flat, offs = _split_tokens(pc.utf8_lower(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        doc_all = np.repeat(np.arange(ndocs, dtype=np.int64),
+                            offs[1:] - offs[:-1])
+        keep = lens > 0
+        toks = flat.filter(pa.array(keep))
+        codes, uniq = pd.factorize(toks.to_pandas(), sort=False)
+        codes = codes.astype(np.int64)
+        doc = doc_all[keep]
+        n_tok = np.bincount(doc, minlength=ndocs).astype(np.int64)
+        n_hits = np.zeros(ndocs, dtype=np.int64)
+        if len(codes) >= 2 and len(uniq):
+            starts, grams = _ngram_group_keys(codes, doc, 2)
+            if len(starts):
+                # phrase -> (code_a, code_b) via the batch vocabulary
+                vocab = pd.Index(uniq)
+                want = np.zeros(len(starts), dtype=bool)
+                a_codes = codes[starts]
+                b_codes = codes[starts + 1]
+                for ph in phrases:
+                    w = ph.split(" ")
+                    if len(w) != 2:
+                        continue
+                    ia, ib = vocab.get_indexer(w)
+                    if ia >= 0 and ib >= 0:
+                        want |= (a_codes == ia) & (b_codes == ib)
+                np.add.at(n_hits, doc[starts[want]], 1)
+        milli = np.where(n_tok > 0, n_hits * 1000 // np.maximum(n_tok, 1), 0)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_phrase_hits": pa.array(n_hits),
+            "phrase_milli": pa.array(milli),
+            "flagged": pa.array(n_hits > 0),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_PH_SQL_LIST = ", ".join(f"'{p}'" for p in sorted(_BLOCK_PHRASES))
+
+SQL_BLOCKLIST_PHRASES = rf"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1))::BIGINT AS i
+        FROM toks)
+  WHERE i + 1 <= len(ts)
+), h AS (
+  SELECT doc_id, count(*)::BIGINT AS n_phrase_hits
+  FROM g WHERE gram IN ({_PH_SQL_LIST}) GROUP BY 1
+), n AS (
+  SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM toks
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(h.n_phrase_hits, 0)::BIGINT AS n_phrase_hits,
+       (CASE WHEN n.n_tokens = 0 THEN 0
+             ELSE coalesce(h.n_phrase_hits, 0) * 1000 // n.n_tokens
+        END)::BIGINT AS phrase_milli,
+       (coalesce(h.n_phrase_hits, 0) > 0) AS flagged
+FROM n LEFT JOIN h USING (doc_id)
+"""
 
 
 _BL_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(_BLOCKLIST))
