@@ -1322,3 +1322,31 @@ def test_lloyd_step_and_ngram_keys_edges():
     s0, g0 = _ngram_group_keys(np.array([], dtype=np.int64),
                                np.array([], dtype=np.int64), 3)
     assert len(s0) == 0 and len(g0) == 0
+
+
+def test_sharded_dedup_index_cross_job_state(ray_session):
+    """The raw-actor index carries dedup state ACROSS Dataset executions
+    (the shared-mutable-index shape no per-job groupby provides): two
+    corpus halves ingested as separate jobs produce the same survivor
+    table as one-shot ingestion AND as the groupby physical plan."""
+    import ray
+    from engine import dedup, dedupindex
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+    half_a = ds.filter(lambda r: r["doc_id"] % 2 == 0)
+    half_b = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+
+    idx = dedupindex.ShardedDedupIndex(4)
+    try:
+        n_a = dedupindex.ingest(half_a, idx)
+        n_b = dedupindex.ingest(half_b, idx)   # second JOB, same index
+        dump = idx.dump()
+    finally:
+        idx.shutdown()
+    assert n_a + n_b == 500
+    assert int(pa.compute.sum(dump["n_copies"]).as_py()) == 500
+
+    two_job = sorted(dump["doc_id"].to_pylist())
+    ref = sorted(dedup.q_dedup_exact(SF_DIR).to_pandas()["doc_id"])
+    assert two_job == ref
