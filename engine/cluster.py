@@ -78,6 +78,8 @@ class _Assign:
 
     def _dists(self, t: pa.Table):
         ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:   # _batch_mat yields (0, 0): guard the matmul
+            return ids, np.zeros((0, len(self.Cq)), dtype=np.int64)
         Qb = _quant(_batch_mat(t))
         nb = (Qb * Qb).sum(axis=1)
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all int64-exact
