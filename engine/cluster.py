@@ -148,7 +148,10 @@ def q_kmeans_train(sf_dir: str) -> pa.Table:
     import ray
     from engine.pipeline import collect_tables
     _, Cq = _seed_centroids(sf_dir)
-    ds = _emb(sf_dir)
+    # materialize once: the _ITERS passes stream object-store blocks
+    # instead of re-reading parquet every pass (the classify.py
+    # feature-table precedent; at 10^12 vectors the store spills)
+    ds = _emb(sf_dir).materialize()
     cnt = inert = None
     for _ in range(_ITERS):
         ref = ray.put(Cq)
