@@ -426,6 +426,70 @@ WHERE b.bucket >= {_TRAIN_LT}
 _XNEAR_TAU_MILLI = 500  # est. Jaccard >= 0.5 = near-dup vs the corpus
 
 
+def _xnear_block(t: pa.Table) -> pa.Table:
+    """Bipartite LSH bucket stage over one hash partition (module-level
+    for cloudpickle-by-reference shipping and property tests): incoming x
+    existing candidates per (band, key) bucket via offset arithmetic."""
+    from engine.dedup import _BUCKET_CAP, _N_PERM
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "matched_id": pa.array([], type=pa.int64()),
+        "jaccard_milli": pa.array([], type=pa.int64()),
+        "exact": pa.array([], type=pa.bool_()),
+        "capped": pa.array([], type=pa.bool_())})
+    n = t.num_rows
+    if n == 0:
+        return empty
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ch = t["chash"].to_numpy(zero_copy_only=False)
+    inc = t["incoming"].to_numpy(zero_copy_only=False)
+    sigc = t["sig"].combine_chunks() \
+        if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+    raw = np.frombuffer(sigc.buffers()[1], dtype=np.uint16)
+    S = raw[sigc.offset * _N_PERM:
+            (sigc.offset + n) * _N_PERM].reshape(n, _N_PERM)
+    # existing (incoming=False) first within each bucket, min-id first
+    order = np.lexsort((ids, inc, key, band))
+    band, key, ids, ch, inc = (band[order], key[order], ids[order],
+                               ch[order], inc[order])
+    S = S[order]
+    nb = np.ones(n, dtype=bool)
+    nb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    bstart = np.flatnonzero(nb)
+    bidx = np.cumsum(nb) - 1
+    pos = np.arange(n) - bstart[bidx]
+    n_exist = np.zeros(len(bstart), dtype=np.int64)
+    np.add.at(n_exist, bidx[~inc], 1)
+    ce = np.minimum(n_exist, _BUCKET_CAP)      # kept existing per bucket
+    # candidate pairs: each incoming row x the ce min-id existing rows
+    irows = np.flatnonzero(inc)
+    if len(irows) == 0:
+        return empty
+    per_i = ce[bidx[irows]]
+    P = int(per_i.sum())
+    if P == 0:
+        return empty
+    i_idx = np.repeat(irows, per_i)
+    ex0 = np.cumsum(per_i) - per_i             # exclusive prefix
+    j = np.arange(P) - np.repeat(ex0, per_i)   # 0..ce-1 within block
+    e_idx = bstart[bidx[i_idx]] + j            # existing sorted first
+    agree = (S[i_idx] == S[e_idx]).sum(axis=1).astype(np.int64)
+    # the q_dedup_minhash_lsh estimate convention (rint, exact=1000)
+    jacc = np.rint(agree.astype(np.float64) / _N_PERM * 1000) \
+        .astype(np.int64)
+    exact = ch[i_idx] == ch[e_idx]
+    keep = (jacc >= _XNEAR_TAU_MILLI) | exact
+    return pa.table({
+        "doc_id": pa.array(ids[i_idx][keep], type=pa.int64()),
+        "matched_id": pa.array(ids[e_idx][keep], type=pa.int64()),
+        "jaccard_milli": pa.array(np.where(exact, 1000, jacc)[keep]),
+        "exact": pa.array(exact[keep]),
+        "capped": pa.array((n_exist > _BUCKET_CAP)[bidx[i_idx]][keep]),
+    })
+
+
 def q_cross_corpus_neardup(sf_dir: str) -> pa.Table:
     """Cross-corpus NEAR-dup: flag every INCOMING (val/test-split) doc
     whose MinHash signature collides in any LSH band with an EXISTING
@@ -472,65 +536,6 @@ def q_cross_corpus_neardup(sf_dir: str) -> pa.Table:
             "sig": sig_arr,
         })
 
-    def block(t: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "doc_id": pa.array([], type=pa.int64()),
-            "matched_id": pa.array([], type=pa.int64()),
-            "jaccard_milli": pa.array([], type=pa.int64()),
-            "exact": pa.array([], type=pa.bool_()),
-            "capped": pa.array([], type=pa.bool_())})
-        n = t.num_rows
-        if n == 0:
-            return empty
-        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = t["key"].to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        ch = t["chash"].to_numpy(zero_copy_only=False)
-        inc = t["incoming"].to_numpy(zero_copy_only=False)
-        sigc = t["sig"].combine_chunks() \
-            if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
-        raw = np.frombuffer(sigc.buffers()[1], dtype=np.uint16)
-        S = raw[sigc.offset * _N_PERM:
-                (sigc.offset + n) * _N_PERM].reshape(n, _N_PERM)
-        # existing (incoming=False) first within each bucket, min-id first
-        order = np.lexsort((ids, inc, key, band))
-        band, key, ids, ch, inc = (band[order], key[order], ids[order],
-                                   ch[order], inc[order])
-        S = S[order]
-        nb = np.ones(n, dtype=bool)
-        nb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-        bstart = np.flatnonzero(nb)
-        bidx = np.cumsum(nb) - 1
-        pos = np.arange(n) - bstart[bidx]
-        n_exist = np.zeros(len(bstart), dtype=np.int64)
-        np.add.at(n_exist, bidx[~inc], 1)
-        ce = np.minimum(n_exist, _BUCKET_CAP)      # kept existing per bucket
-        # candidate pairs: each incoming row x the ce min-id existing rows
-        irows = np.flatnonzero(inc)
-        if len(irows) == 0:
-            return empty
-        per_i = ce[bidx[irows]]
-        P = int(per_i.sum())
-        if P == 0:
-            return empty
-        i_idx = np.repeat(irows, per_i)
-        ex0 = np.cumsum(per_i) - per_i             # exclusive prefix
-        j = np.arange(P) - np.repeat(ex0, per_i)   # 0..ce-1 within block
-        e_idx = bstart[bidx[i_idx]] + j            # existing sorted first
-        agree = (S[i_idx] == S[e_idx]).sum(axis=1).astype(np.int64)
-        # the q_dedup_minhash_lsh estimate convention (rint, exact=1000)
-        jacc = np.rint(agree.astype(np.float64) / _N_PERM * 1000) \
-            .astype(np.int64)
-        exact = ch[i_idx] == ch[e_idx]
-        keep = (jacc >= _XNEAR_TAU_MILLI) | exact
-        return pa.table({
-            "doc_id": pa.array(ids[i_idx][keep], type=pa.int64()),
-            "matched_id": pa.array(ids[e_idx][keep], type=pa.int64()),
-            "jaccard_milli": pa.array(np.where(exact, 1000, jacc)[keep]),
-            "exact": pa.array(exact[keep]),
-            "capped": pa.array((n_exist > _BUCKET_CAP)[bidx[i_idx]][keep]),
-        })
-
     rows = None
     try:
         import pyarrow.parquet as pq
@@ -541,9 +546,9 @@ def q_cross_corpus_neardup(sf_dir: str) -> pa.Table:
     df = hash_group_exchange(
         lambda: _docs(sf_dir, ["doc_id", "text"]).map_batches(
             band_rows, batch_format="pyarrow", batch_size=None),
-        ["band", "key"], block, rows_hint=rows)
+        ["band", "key"], _xnear_block, rows_hint=rows)
     if len(df) == 0:
-        return block(pa.table({}))
+        return _xnear_block(pa.table({}))
     # best match per incoming doc: max jaccard, then min matched_id;
     # capped = OR across the doc's surviving candidate rows
     d = df["doc_id"].to_numpy()
