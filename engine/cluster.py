@@ -61,6 +61,8 @@ def _seed_centroids(sf_dir: str, k: int = _K):
     parts = [p for p in collect_tables(
         _emb(sf_dir).map_batches(partial, batch_format="pyarrow"))
         if p.num_rows]
+    if not parts:
+        return (np.zeros(0, dtype=np.int64), np.zeros((0, 0), np.int64))
     allp = pa.concat_tables(parts)
     ids = pc.cast(allp["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
     take = np.argsort(ids, kind="stable")[:k]

@@ -1350,3 +1350,28 @@ def test_sharded_dedup_index_cross_job_state(ray_session):
     two_job = sorted(dump["doc_id"].to_pylist())
     ref = sorted(dedup.q_dedup_exact(SF_DIR).to_pandas()["doc_id"])
     assert two_job == ref
+
+
+def test_blocklist_phrases_random_matches_duckdb(ray_session, tmp_path):
+    """Random small-vocab corpora (phrase hits, overlaps, phrase words
+    present but not adjacent) gate value-exact vs DuckDB."""
+    import duckdb
+    from engine import filters
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(["big", "order", "slow", "key", "x"])
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+            for _ in range(60)] + ["", "big", "big order big order big"]
+    d, p = _write_docs(tmp_path, "blp", docs)
+    res = _tbl(filters.q_blocklist_phrases(str(d))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{p}')")
+    ora = con.execute(filters.SQL_BLOCKLIST_PHRASES).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert res["n_phrase_hits"].sum() > 0
+    # overlapping occurrences: "big order big order big" has 2 hits
+    assert res.iloc[-1]["n_phrase_hits"] == 2
+    for c in res.columns:
+        assert list(res[c]) == list(ora[c]), c
