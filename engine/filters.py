@@ -404,6 +404,152 @@ def q_unigram_commonness(sf_dir: str):
         .map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+# Gopher table A1 format thresholds (Rae et al. 2021): >90% bullet
+# lines, >30% ellipsis lines, mean word length outside [3, 10] chars,
+# <80% alphabetic words, symbol-to-word ratio > 0.1.
+_BULLET_MILLI_MAX = 900
+_ELLIPSIS_MILLI_MAX = 300
+_MWL_CENTI_MIN, _MWL_CENTI_MAX = 300, 1000
+_ALPHA_MILLI_MIN = 800
+_SYMBOL_MILLI_MAX = 100
+
+
+def q_gopher_format_filter(sf_dir: str):
+    """The FORMAT half of Gopher's quality rules (the repetition half is
+    ``q_repetition_filter`` + ``ngramrep``): per doc the bullet-line and
+    ellipsis-line fractions, mean word length (integer centi-chars),
+    alphabetic-word fraction, '#'/'...'-symbol-per-word rate — all exact
+    integer ratios — and the combined drop verdict.
+
+    Pure map, zero shuffle; every predicate is an RE2 the SQL oracle
+    shares verbatim (Arrow and DuckDB both use RE2).  Fixture texts have
+    no bullets/ellipses, so a planted pytest exercises those paths (the
+    ``dup5`` precedent)."""
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks() \
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lines, loffs = _split_lines(txt)
+        nonempty = pc.greater(pc.utf8_length(lines), 0).to_numpy(
+            zero_copy_only=False)
+        bullet = pc.match_substring_regex(lines, r"^[-*•]").to_numpy(
+            zero_copy_only=False) & nonempty
+        ellip = pc.match_substring_regex(
+            lines, r"(\.\.\.|…)$").to_numpy(zero_copy_only=False) \
+            & nonempty
+        n_lines = _segment_sums(nonempty.astype(np.int64), loffs)
+        n_bullet = _segment_sums(bullet.astype(np.int64), loffs)
+        n_ellip = _segment_sums(ellip.astype(np.int64), loffs)
+
+        flat, woffs = _split_tokens(txt)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False) & (wlen > 0)
+        n_words = _segment_sums((wlen > 0).astype(np.int64), woffs)
+        n_alpha = _segment_sums(alpha.astype(np.int64), woffs)
+        tot_chars = _segment_sums(np.where(wlen > 0, wlen, 0)
+                                  .astype(np.int64), woffs)
+        filled = pc.fill_null(txt, "")
+        n_hash = pc.count_substring(filled, "#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_dots = pc.count_substring(filled, "...").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        dl = np.maximum(n_lines, 1)
+        dw = np.maximum(n_words, 1)
+        bullet_milli = np.where(n_lines > 0, n_bullet * 1000 // dl, 0)
+        ellipsis_milli = np.where(n_lines > 0, n_ellip * 1000 // dl, 0)
+        mwl_centi = np.where(n_words > 0, tot_chars * 100 // dw, 0)
+        alpha_milli = np.where(n_words > 0, n_alpha * 1000 // dw, 0)
+        symbol_milli = np.where(n_words > 0,
+                                (n_hash + n_dots) * 1000 // dw, 0)
+        flagged = (bullet_milli > _BULLET_MILLI_MAX) \
+            | (ellipsis_milli > _ELLIPSIS_MILLI_MAX) \
+            | ((n_words > 0) & ((mwl_centi < _MWL_CENTI_MIN)
+                                | (mwl_centi > _MWL_CENTI_MAX))) \
+            | ((n_words > 0) & (alpha_milli < _ALPHA_MILLI_MIN)) \
+            | (symbol_milli > _SYMBOL_MILLI_MAX)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_lines": pa.array(n_lines),
+            "bullet_milli": pa.array(bullet_milli),
+            "ellipsis_milli": pa.array(ellipsis_milli),
+            "mwl_centi": pa.array(mwl_centi),
+            "alpha_milli": pa.array(alpha_milli),
+            "symbol_milli": pa.array(symbol_milli),
+            "flagged": pa.array(flagged),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+SQL_GOPHER_FORMAT_FILTER = rf"""
+WITH l AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         trim(unnest(string_split(coalesce(text, ''), chr(10))),
+              ' ' || chr(9) || chr(13)) AS line
+  FROM documents
+), lc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         count(*) FILTER (WHERE regexp_matches(line, '^[-*' || chr(8226)
+           || ']'))::BIGINT AS n_bullet,
+         count(*) FILTER (WHERE regexp_matches(line, '(\.\.\.|' ||
+           chr(8230) || ')$'))::BIGINT AS n_ellip
+  FROM l WHERE line <> '' GROUP BY 1
+), w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         count(*) FILTER (WHERE regexp_matches(word, '[A-Za-z]'))::BIGINT
+           AS n_alpha,
+         sum(length(word))::BIGINT AS tot_chars
+  FROM w GROUP BY 1
+), sym AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (length(coalesce(text, ''))
+          - length(replace(coalesce(text, ''), '#', '')))::BIGINT AS n_hash,
+         ((length(coalesce(text, ''))
+           - length(replace(coalesce(text, ''), '...', ''))) // 3)::BIGINT
+           AS n_dots
+  FROM documents
+), m AS (
+  SELECT d.doc_id::BIGINT AS doc_id,
+         coalesce(lc.n_lines, 0) AS n_lines,
+         CASE WHEN coalesce(lc.n_lines, 0) = 0 THEN 0
+              ELSE lc.n_bullet * 1000 // lc.n_lines END AS bullet_milli,
+         CASE WHEN coalesce(lc.n_lines, 0) = 0 THEN 0
+              ELSE lc.n_ellip * 1000 // lc.n_lines END AS ellipsis_milli,
+         CASE WHEN coalesce(wc.n_words, 0) = 0 THEN 0
+              ELSE wc.tot_chars * 100 // wc.n_words END AS mwl_centi,
+         CASE WHEN coalesce(wc.n_words, 0) = 0 THEN 0
+              ELSE wc.n_alpha * 1000 // wc.n_words END AS alpha_milli,
+         CASE WHEN coalesce(wc.n_words, 0) = 0 THEN 0
+              ELSE (sym.n_hash + sym.n_dots) * 1000 // wc.n_words
+         END AS symbol_milli,
+         coalesce(wc.n_words, 0) AS n_words
+  FROM documents d
+  LEFT JOIN lc ON lc.doc_id = d.doc_id::BIGINT
+  LEFT JOIN wc ON wc.doc_id = d.doc_id::BIGINT
+  LEFT JOIN sym ON sym.doc_id = d.doc_id::BIGINT
+)
+SELECT doc_id, n_lines::BIGINT AS n_lines,
+       bullet_milli::BIGINT AS bullet_milli,
+       ellipsis_milli::BIGINT AS ellipsis_milli,
+       mwl_centi::BIGINT AS mwl_centi,
+       alpha_milli::BIGINT AS alpha_milli,
+       symbol_milli::BIGINT AS symbol_milli,
+       (bullet_milli > {_BULLET_MILLI_MAX}
+        OR ellipsis_milli > {_ELLIPSIS_MILLI_MAX}
+        OR (n_words > 0 AND (mwl_centi < {_MWL_CENTI_MIN}
+                             OR mwl_centi > {_MWL_CENTI_MAX}))
+        OR (n_words > 0 AND alpha_milli < {_ALPHA_MILLI_MIN})
+        OR symbol_milli > {_SYMBOL_MILLI_MAX}) AS flagged
+FROM m
+"""
+
+
 _BLOCKLIST = ("slow", "dup", "spam")  # stand-in for the real ~400-phrase list
 
 

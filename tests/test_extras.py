@@ -1375,3 +1375,39 @@ def test_blocklist_phrases_random_matches_duckdb(ray_session, tmp_path):
     assert res.iloc[-1]["n_phrase_hits"] == 2
     for c in res.columns:
         assert list(res[c]) == list(ora[c]), c
+
+
+def test_gopher_format_filter_planted(ray_session, tmp_path):
+    """Bullet/ellipsis/symbol/alpha/mean-word-length paths are fixture-dead
+    (fixture docs are single-line alphabetic words) — plant each and gate
+    value-exact vs DuckDB."""
+    import duckdb
+    from engine import filters
+
+    docs = [
+        "- one\n- two\n- three",                  # 100% bullet lines
+        "wait...\nmore…\nplain line",        # 2/3 ellipsis lines
+        "# # # tag ## x",                          # symbol-heavy
+        "12 34 56 78 99",                          # zero alphabetic words
+        "a b c d",                                 # mean word length 1.0
+        "supercalifragilisticexpialidocious " * 3, # mwl > 10
+        "normal words in a fine document here ok", # clean
+        "",
+    ]
+    d, p = _write_docs(tmp_path, "gff", docs)
+    res = _tbl(filters.q_gopher_format_filter(str(d))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    ora = con.execute(filters.SQL_GOPHER_FORMAT_FILTER).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in res.columns:
+        assert list(res[c]) == list(ora[c]), c
+    assert res.loc[0, "bullet_milli"] == 1000 and res.loc[0, "flagged"]
+    assert res.loc[1, "ellipsis_milli"] == 666 and res.loc[1, "flagged"]
+    assert res.loc[2, "flagged"] and res.loc[2, "symbol_milli"] > 100
+    assert res.loc[3, "alpha_milli"] == 0 and res.loc[3, "flagged"]
+    assert res.loc[4, "mwl_centi"] == 100 and res.loc[4, "flagged"]
+    assert res.loc[5, "mwl_centi"] > 1000 and res.loc[5, "flagged"]
+    assert not res.loc[6, "flagged"]
+    assert not res.loc[7, "flagged"]
