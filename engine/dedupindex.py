@@ -90,6 +90,8 @@ class ShardedDedupIndex:
     def offer(self, h: np.ndarray, ids: np.ndarray):
         """Fold one batch's (content hash, doc id) rows into the index —
         ONE RPC per shard holding any of the batch's distinct hashes."""
+        if h.dtype == np.uint64:   # reinterpret, don't overflow
+            h = h.view(np.int64)
         uniq, inv = np.unique(h, return_inverse=True)
         mins = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(mins, inv, ids)
