@@ -1201,6 +1201,11 @@ def test_gopher_ngram_repetition_random_matches_duckdb(ray_session,
     vocab = np.array(["a", "bb", "ccc", "dd", "e"])
     docs = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
             for _ in range(80)]
+    # NBSP and \x0b (vertical tab) are NOT RE2 whitespace: both stay
+    # inside tokens on both engines (\x0b also flips _split_tokens onto
+    # its exact-RE2 slow path); planted repeats exercise dup5 with them
+    docs += ["a\xa0b c\x0bd e a bb a\xa0b c\x0bd e a bb",
+             "c\x0bd c\x0bd c\x0bd a\xa0b e dd " * 2]
     d, p = _write_docs(tmp_path, "gngrand", docs)
     res = _tbl(ngramrep.q_gopher_ngram_repetition(str(d))).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
