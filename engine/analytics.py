@@ -847,3 +847,93 @@ SELECT user_id, spend_cents,
            AS quartile
 FROM s ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence: event-type pairs by shared users
+# ---------------------------------------------------------------------------
+
+def q_event_type_cooccurrence(sf_dir: str):
+    """For every unordered event-type pair (a < b), how many users did
+    BOTH — the market-basket / co-occurrence shape (type affinity,
+    recommendation priors).
+
+    Plan: per-batch distinct (user_id, event_type) partials shrink the
+    stream to unique pairs per batch; ONE exchange keyed on user_id
+    co-locates each user's type set (per-partition dedup IS global
+    dedup); inside each partition a single lexsort + segment pass expands
+    every user's k types into k(k-1)/2 ordered pairs VECTORIZED (no
+    Python per user) and immediately folds them to (type_a, type_b,
+    count) — so at most T^2 partial rows per partition reach the driver
+    regardless of user count.  Exchange bytes: one (int64, small-string)
+    row per distinct (user, type), nothing else moves."""
+    from engine.stages import hash_group_exchange
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["user_id", "event_type"]),
+            ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": pc.cast(g["user_id"], pa.int64()),
+                         "event_type": g["event_type"]})
+
+    def fold_partition(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        # global distinct (user, type) for the users in this partition
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        codes, types = pd.factorize(g["event_type"].to_pandas(), sort=True)
+        order = np.lexsort((codes, u))          # by user, then type asc
+        u2, c2 = u[order], codes[order]
+        # segment boundaries per user
+        new = np.ones(len(u2), dtype=bool)
+        if len(u2) > 1:
+            new[1:] = u2[1:] != u2[:-1]
+        seg_start = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        local = np.arange(len(u2), dtype=np.int64) - seg_start[seg_id]
+        # row at local pos j is 'b' in j pairs; its partners are the j
+        # rows before it in the same segment
+        b_idx = np.repeat(np.arange(len(u2), dtype=np.int64), local)
+        csl = np.zeros(len(local) + 1, dtype=np.int64)
+        np.cumsum(local, out=csl[1:])
+        a_idx = (np.arange(csl[-1], dtype=np.int64)
+                 - np.repeat(csl[:-1], local)
+                 + np.repeat(seg_start[seg_id], local))
+        if len(b_idx) == 0:
+            return pa.table({"type_a": pa.array([], type=pa.string()),
+                             "type_b": pa.array([], type=pa.string()),
+                             "n_users": pa.array([], type=pa.int64())})
+        pairs = pa.table({
+            "type_a": pa.array(types[c2[a_idx]], type=pa.string()),
+            "type_b": pa.array(types[c2[b_idx]], type=pa.string()),
+        })
+        pg = pa.TableGroupBy(pairs, ["type_a", "type_b"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"type_a": pg["type_a"], "type_b": pg["type_b"],
+                         "n_users": pc.cast(pg["count_all"], pa.int64())})
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events")
+        .select_columns(["user_id", "event_type"])
+        .map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id"], fold_partition, collect=True,
+        rows_hint=_nrows(sf_dir, "events"))
+    if df.empty or "type_a" not in df.columns:
+        import pandas as pd
+        return pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                             "type_b": pd.Series(dtype="object"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = df.groupby(["type_a", "type_b"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+SQL_EVENT_TYPE_COOCCURRENCE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -252,3 +252,59 @@ def test_late_data_watermark_micro_stream(ray_session, tmp_path):
     assert out["late"].loc[id_b] == 0              # first arrival: no wm
     assert out["late"].loc[id_a] == 1              # past allowed lateness
     assert out["late"].loc[id_c] == 0              # inside allowed lateness
+
+
+def test_cooccurrence_random_vs_duckdb(ray_session, tmp_path):
+    """Random skewed corpus (single-type users -> no pairs, duplicate
+    events of one type -> still one pair, users split across batches)
+    diffed against the in-process DuckDB plan."""
+    import duckdb
+    from engine.analytics import (q_event_type_cooccurrence,
+                                  SQL_EVENT_TYPE_COOCCURRENCE)
+    rng = np.random.default_rng(7)
+    n = 4000
+    users = rng.integers(0, 120, n)
+    types = np.array(["a", "b", "c", "d", "e", "f"])[
+        rng.integers(0, 6, n)]
+    # single-type users 200/201 and a duplicate-heavy user 202
+    users = np.concatenate([users, [200] * 5, [201], [202] * 8])
+    types = np.concatenate([types, ["a"] * 5, ["f"], ["b"] * 4 + ["c"] * 4])
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(users)), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(len(users)), unit="s")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(np.zeros(len(users))),
+        "props": pa.array(["{}"] * len(users)),
+    })
+    _write(str(tmp_path), "events", t)
+    out = q_event_type_cooccurrence(str(tmp_path))
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(SQL_EVENT_TYPE_COOCCURRENCE).df()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+    # user 200/201 contribute no pairs; 202 contributes exactly (b, c)
+    assert int(out.loc[(out.type_a == "b") & (out.type_b == "c"),
+                       "n_users"].iloc[0]) >= 1
+
+
+def test_cooccurrence_no_pairs(ray_session, tmp_path):
+    """Every user has exactly one type: the pair table is empty but
+    schema-stable."""
+    from engine.analytics import q_event_type_cooccurrence
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 3)),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+        "value": pa.array([0.0, 0.0, 0.0]),
+        "props": pa.array(["{}"] * 3),
+    })
+    _write(str(tmp_path), "events", t)
+    out = q_event_type_cooccurrence(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["type_a", "type_b", "n_users"]
