@@ -535,3 +535,115 @@ SELECT doc_id,
            AS changed
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram-familiarity LM score (count-based KenLM-filter analog, gated)
+# ---------------------------------------------------------------------------
+
+def q_bigram_familiarity(sf_dir: str):
+    """Per-document language-model familiarity score: the sum, over every
+    bigram INSTANCE in the doc, of that bigram's corpus-wide count — the
+    integer-exact analog of KenLM-perplexity quality filtering (frequent
+    word transitions score high, gibberish scores low), usable as a
+    curation signal without any float log-prob.
+
+    Plan (two chained hash exchanges, nothing driver-resident but the
+    per-doc output): per-batch partials emit one (bigram, doc_id, k) row
+    per DISTINCT bigram per doc (batches hold whole docs, so k is final);
+    exchange 1 keys on the bigram string — co-location makes the
+    per-partition count the GLOBAL corpus count c, and each doc row
+    immediately folds to a (doc_id, sum k*c) partial, so bigram strings
+    never leave the exchange; exchange 2 keys on doc_id and sums the
+    partials.  Docs with < 2 tokens re-enter with score 0 from a
+    doc_id-column-only read.  At 100 TB the bigram-string key can swap to
+    a 128-bit hash (collision-checked) — documented, not needed for the
+    gate."""
+    import pandas as pd
+
+    from engine.stages import hash_group_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(txt))
+        counts = offs[1:] - offs[:-1]
+        n = len(counts)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "k": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        local = (np.arange(len(doc_idx), dtype=np.int64)
+                 - np.repeat(offs[:-1], counts))
+        # a token is a bigram LEFT iff it has a successor in the same doc;
+        # the zero-length artifact token of empty docs is always a sole
+        # token (count == 1) so it can never qualify
+        li = np.flatnonzero(local < counts[doc_idx] - 1)
+        if len(li) == 0:
+            return empty
+        big = pc.binary_join_element_wise(
+            flat.take(pa.array(li)), flat.take(pa.array(li + 1)), " ")
+        g = pa.TableGroupBy(pa.table({
+            "bigram": big,
+            "doc_id": pa.array(dids[doc_idx[li]], type=pa.int64()),
+        }), ["bigram", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"bigram": g["bigram"], "doc_id": g["doc_id"],
+                         "k": pc.cast(g["count_all"], pa.int64())})
+
+    def fold_bigram(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(t["bigram"].to_pandas(), sort=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        c = np.bincount(codes, weights=k, minlength=len(uniq))
+        contrib = k * c[codes].astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "doc_id": t["doc_id"],
+            "part": pa.array(contrib, type=pa.int64()),
+        }), ["doc_id"]).aggregate([("part", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "part": pc.cast(g["part_sum"], pa.int64())})
+
+    def fold_doc(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["doc_id"]).aggregate([("part", "sum")])
+        return pa.table({"doc_id": pc.cast(g["doc_id"], pa.int64()),
+                         "familiarity": pc.cast(g["part_sum"], pa.int64())})
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(path).num_rows
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        [["bigram"], ["doc_id"]], [fold_bigram, fold_doc],
+        collect=True, rows_hint=max(1, n_docs) * 64)
+    all_ids = pq.read_table(path, columns=["doc_id"])["doc_id"] \
+        .to_numpy(zero_copy_only=False)
+    out = pd.DataFrame({"doc_id": np.sort(all_ids)})
+    if df.empty or "doc_id" not in df.columns:
+        out["familiarity"] = np.int64(0)
+        return out
+    out = out.merge(df, on="doc_id", how="left")
+    out["familiarity"] = out["familiarity"].fillna(0).astype("int64")
+    return out
+
+
+SQL_BIGRAM_FAMILIARITY = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), c AS (
+  SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1
+), s AS (
+  SELECT bg.doc_id, sum(c.c)::BIGINT AS familiarity
+  FROM bg JOIN c USING (bigram) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(s.familiarity, 0)::BIGINT AS familiarity
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id
+"""

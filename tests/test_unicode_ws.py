@@ -72,7 +72,7 @@ UNICODE_GATED = [
     "unigram_commonness", "line_dedup", "pii_redact", "dup_ngram_stats",
     "dup_span_removal", "dup_ngram_stats_semijoin",
     "dup_span_removal_semijoin", "ngram_jaccard_pairs", "decontaminate",
-    "corpus_split", "pack_sequences",
+    "corpus_split", "pack_sequences", "bigram_familiarity",
 ]
 
 
