@@ -1080,3 +1080,202 @@ GROUP BY trim(regexp_replace(translate(coalesce(text, ''),
              'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
          '[\t\n\f\r ]+', ' ', 'g'), ' ')
 """
+
+
+# ---------------------------------------------------------------------------
+# shingle-containment pairs: inverted index with a document-frequency cap
+# ---------------------------------------------------------------------------
+
+_CONT_DF_CAP = 16    # shingles in more docs than this are stop-shingles
+_CONT_MIN_MILLI = 500  # report pairs with containment >= 0.5
+
+
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric near-CONTAINMENT pairs (Broder): for docs a < b, the
+    fraction of the smaller doc's distinct word-3-gram shingles that the
+    other doc also has — catches a short doc quoted whole inside a long
+    one, which Jaccard misses (the union washes the overlap out) and
+    size-banded blocking cannot reach (qualifying pairs may be ANY sizes
+    apart).
+
+    Plan — the classic inverted-index join with stop-shingle removal,
+    exact BY DEFINITION over the rare-shingle sets: per-batch distinct
+    (shingle, doc) partials; ONE exchange keyed on the shingle string
+    co-locates each posting list, so the per-partition document frequency
+    IS the global df; shingles with df > ``_CONT_DF_CAP`` are dropped as
+    stop-shingles (the df cap is part of the operator's SEMANTICS —
+    mirrored in the oracle — and is what bounds the pair expansion to
+    df*(df-1)/2 <= CAP^2/2 rows per shingle at any corpus size); the
+    surviving posting lists expand to (doc_a, doc_b, 1) pair partials and
+    (doc, rare-count) size partials in one vectorized segment pass.  Only
+    folded partials — candidate pairs that actually share a rare shingle,
+    plus one size row per doc — reach the driver; shingle strings never
+    leave the exchange."""
+    import pandas as pd
+
+    from engine.stages import hash_group_exchange
+    from engine.text import _split_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(txt)
+        counts = offs[1:] - offs[:-1]
+        n = len(counts)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"g": pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        local = (np.arange(len(doc_idx), dtype=np.int64)
+                 - np.repeat(offs[:-1], counts))
+        # full 3-gram positions
+        li = np.flatnonzero(local < counts[doc_idx] - 2)
+        parts, docs_of = [], []
+        if len(li):
+            parts.append(pc.binary_join_element_wise(
+                flat.take(pa.array(li)), flat.take(pa.array(li + 1)),
+                flat.take(pa.array(li + 2)), " "))
+            docs_of.append(doc_idx[li])
+        # short docs (1..2 real words): one shingle joining all words;
+        # the zero-length artifact token marks an EMPTY doc (no shingle,
+        # same as the oracle's empty words list)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        short = np.flatnonzero(
+            (counts >= 1) & (counts <= 2) & (wlen[offs[:-1]] > 0))
+        if short.size:
+            one = flat.take(pa.array(offs[:-1][short]))
+            two_mask = counts[short] == 2
+            joined = one
+            if two_mask.any():
+                nxt = flat.take(pa.array(
+                    np.minimum(offs[:-1][short] + 1, len(flat) - 1)))
+                joined = pc.if_else(pa.array(two_mask),
+                                    pc.binary_join_element_wise(one, nxt, " "),
+                                    one)
+            parts.append(joined)
+            docs_of.append(short)
+        if not parts:
+            return empty
+        g_all = pa.concat_arrays([p.combine_chunks()
+                                  if isinstance(p, pa.ChunkedArray) else p
+                                  for p in parts])
+        d_all = np.concatenate(docs_of)
+        tb = pa.table({"g": g_all,
+                       "doc_id": pa.array(dids[d_all], type=pa.int64())})
+        gb = pa.TableGroupBy(tb, ["g", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"g": gb["g"], "doc_id": gb["doc_id"]})
+
+    def fold_postings(t: pa.Table) -> pa.Table:
+        # distinct again (same (g, doc) may arrive from several batches —
+        # doc splitting never does this, but stay safe), then df filter
+        gb = pa.TableGroupBy(t, ["g", "doc_id"]).aggregate([([], "count_all")])
+        codes, _u = pd.factorize(gb["g"].to_pandas(), sort=False)
+        d = gb["doc_id"].to_numpy(zero_copy_only=False)
+        df_per = np.bincount(codes)
+        keep = df_per[codes] <= _CONT_DF_CAP
+        codes, d = codes[keep], d[keep]
+        out_a, out_b, out_n = [], [], []
+        # size partials: rare-shingle count per doc
+        su, sc = np.unique(d, return_counts=True)
+        out_a.append(su)
+        out_b.append(np.full(len(su), -1, dtype=np.int64))
+        out_n.append(sc.astype(np.int64))
+        # pair partials: expand each surviving posting list
+        if len(codes):
+            order = np.lexsort((d, codes))
+            c2, d2 = codes[order], d[order]
+            new = np.ones(len(c2), dtype=bool)
+            new[1:] = c2[1:] != c2[:-1]
+            seg_start = np.flatnonzero(new)
+            seg_id = np.cumsum(new) - 1
+            local = np.arange(len(c2), dtype=np.int64) - seg_start[seg_id]
+            b_idx = np.repeat(np.arange(len(c2), dtype=np.int64), local)
+            csl = np.zeros(len(local) + 1, dtype=np.int64)
+            np.cumsum(local, out=csl[1:])
+            a_idx = (np.arange(csl[-1], dtype=np.int64)
+                     - np.repeat(csl[:-1], local)
+                     + np.repeat(seg_start[seg_id], local))
+            if len(b_idx):
+                pr = pd.DataFrame({"a": d2[a_idx], "b": d2[b_idx]})
+                agg = pr.groupby(["a", "b"], as_index=False).size()
+                out_a.append(agg["a"].to_numpy(dtype=np.int64))
+                out_b.append(agg["b"].to_numpy(dtype=np.int64))
+                out_n.append(agg["size"].to_numpy(dtype=np.int64))
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b)),
+                         "n": pa.array(np.concatenate(out_n))})
+
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    n_docs = _pq.read_metadata(
+        _os.path.join(sf_dir, "documents.parquet")).num_rows
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["g"], fold_postings, collect=True, rows_hint=max(1, n_docs) * 128)
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "inter": pa.array([], type=pa.int64()),
+                      "containment_milli": pa.array([], type=pa.int64())})
+    if df.empty or "doc_a" not in df.columns:
+        return empty
+    folded = df.groupby(["doc_a", "doc_b"], as_index=False)["n"].sum()
+    sizes = folded[folded["doc_b"] == -1].set_index("doc_a")["n"]
+    pairs = folded[folded["doc_b"] != -1]
+    if pairs.empty:
+        return empty
+    inter = pairs["n"].to_numpy(dtype=np.float64)
+    mn = np.minimum(sizes.reindex(pairs["doc_a"]).to_numpy(dtype=np.float64),
+                    sizes.reindex(pairs["doc_b"]).to_numpy(dtype=np.float64))
+    milli = np.floor(1000.0 * inter / mn + 0.5).astype(np.int64)
+    keep = milli >= _CONT_MIN_MILLI
+    out = pairs.loc[keep].assign(containment_milli=milli[keep]) \
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    return pa.table({
+        "doc_a": pa.array(out["doc_a"].astype(np.int64)),
+        "doc_b": pa.array(out["doc_b"].astype(np.int64)),
+        "inter": pa.array(out["n"].astype(np.int64)),
+        "containment_milli": pa.array(out["containment_milli"].astype(np.int64)),
+    })
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_extract_all(text, '\\S+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(range(len(words) - 2),
+                   i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+         END AS sh
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), r AS (
+  SELECT doc_id, g FROM e
+  QUALIFY count(*) OVER (PARTITION BY g) <= {_CONT_DF_CAP}
+), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS n_rare FROM r GROUP BY 1
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM r a JOIN r b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       floor(1000.0 * inter
+             / least(sa.n_rare, sb.n_rare) + 0.5)::BIGINT
+           AS containment_milli
+FROM p
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE floor(1000.0 * inter / least(sa.n_rare, sb.n_rare) + 0.5)
+      >= {_CONT_MIN_MILLI}
+ORDER BY doc_a, doc_b
+"""

@@ -308,3 +308,38 @@ def test_cooccurrence_no_pairs(ray_session, tmp_path):
     out = q_event_type_cooccurrence(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["type_a", "type_b", "n_users"]
+
+
+def test_containment_planted_quote(ray_session, tmp_path):
+    """A 6-word doc quoted verbatim inside a 200-word doc must surface
+    with containment 1000 even though their Jaccard is tiny — the case
+    the size-banded Jaccard operator cannot reach by design."""
+    import duckdb
+    from engine.dedup import q_containment_pairs, SQL_CONTAINMENT_PAIRS
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(4000)]
+    quote = "crimson owls deliver midnight letters swiftly"
+    long_doc = " ".join(
+        [vocab[i] for i in rng.integers(0, 4000, 100)]
+        + quote.split()
+        + [vocab[i] for i in rng.integers(0, 4000, 100)])
+    docs = [quote, long_doc] + [
+        " ".join(vocab[i] for i in rng.integers(0, 4000, 50))
+        for _ in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s0"] * len(docs)),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    _write(str(tmp_path), "documents", t)
+    out = q_containment_pairs(str(tmp_path)).to_pandas()
+    row = out[(out.doc_a == 0) & (out.doc_b == 1)]
+    assert len(row) == 1 and int(row.containment_milli.iloc[0]) == 1000
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(SQL_CONTAINMENT_PAIRS).df()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
