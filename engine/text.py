@@ -647,3 +647,141 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(s.familiarity, 0)::BIGINT AS familiarity
 FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3   # word k-gram length
+_WIN_W = 4   # winnowing window (consecutive k-grams)
+
+
+def q_winnowing_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme): over each doc's
+    word-``k``-gram rolling hashes, every window of ``w`` consecutive
+    hashes contributes its MINIMUM (rightmost position on ties), and the
+    selected (position, hash) pairs — deduplicated — are the doc's
+    fingerprints.  Unlike the single whole-doc rolling fingerprint
+    (:func:`q_fingerprint_rolling`) these are LOCAL: any shared substring
+    of length >= w+k-1 words guarantees a shared fingerprint, so they
+    feed plagiarism / overlap detection directly.
+
+    Docs with fewer than ``k`` words emit nothing; docs with 1..w-1
+    k-grams emit the min over all of them (one short window at s=0), the
+    standard every-doc-fingerprinted extension.
+
+    Plan: PURE MAP — a doc's windows never cross rows, so there is no
+    exchange at all; the sliding min/rightmost-argmin is w-1 vectorized
+    numpy passes per batch (w is a small constant), and md5 (the
+    gate-shared word hash) is computed once per DISTINCT word via
+    factorize.  At 100 TB this is embarrassingly parallel; output is
+    ~(n_words/w') fingerprint rows per doc (the 2/(w+1) expected density
+    of winnowing), each 24 B."""
+    import pandas as pd
+
+    B = np.uint64(_ROLL_B)
+    MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(txt)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "pos": pa.array([], type=pa.int64()),
+                          "fp": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        counts = (offs[1:] - offs[:-1]).astype(np.int64)
+        # the whitespace-only artifact token (one zero-length word where
+        # the oracle's \S+ extract yields none) => the doc has no words
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nwords = counts.copy()
+        ws_only = (counts == 1) & (wlen[offs[:-1]] == 0)
+        nwords[ws_only] = 0
+        nk = np.maximum(nwords - (_WIN_K - 1), 0)   # k-grams per doc
+        if int(nk.sum()) == 0:
+            return empty
+        # word hashes: md5-32 once per DISTINCT word
+        codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, w in enumerate(uniques):
+            uh[i] = int.from_bytes(
+                hashlib.md5(w.encode("utf-8")).digest()[:4], "big")
+        wh = uh[codes]
+        # k-gram rolling hashes, contiguous per doc in one global array
+        doc_of_w = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        local_w = (np.arange(len(wh), dtype=np.int64)
+                   - np.repeat(offs[:-1], counts))
+        gi = np.flatnonzero(local_w < nk[doc_of_w])   # k-gram start words
+        kh = wh[gi]
+        for j in range(1, _WIN_K):
+            kh = ((kh * B) & _MASK32) + wh[gi + j]
+            kh &= _MASK32
+        kdoc = doc_of_w[gi]
+        klocal = local_w[gi]
+        nk_rep = nk[kdoc]
+        # sliding min over w consecutive k-grams + rightmost argmin:
+        # pad with MAX so out-of-doc shifts never win
+        khp = np.concatenate([kh, np.full(_WIN_W - 1, MAXU, dtype=np.uint64)])
+        idx = np.arange(len(kh), dtype=np.int64)
+        m = kh.copy()
+        for j in range(1, _WIN_W):
+            valid = klocal + j < nk_rep
+            m = np.minimum(m, np.where(valid, khp[idx + j], MAXU))
+        sel_j = np.zeros(len(kh), dtype=np.int64)
+        for j in range(1, _WIN_W):                    # ascending => max j wins
+            valid = klocal + j < nk_rep
+            hit = valid & (khp[idx + j] == m)
+            sel_j[hit] = j
+        starts = (klocal <= nk_rep - _WIN_W) | ((klocal == 0)
+                                                & (nk_rep < _WIN_W))
+        si = np.flatnonzero(starts)
+        out_doc = kdoc[si]
+        out_pos = klocal[si] + sel_j[si]
+        out_fp = m[si].astype(np.int64)
+        # distinct (doc, pos): adjacent windows usually re-select the same
+        # fingerprint — that's the winnowing density guarantee
+        key = out_doc * np.int64(1) << np.int64(32) | out_pos  # docs/batch < 2^31
+        _, first = np.unique(key, return_index=True)
+        return pa.table({"doc_id": pa.array(dids[out_doc[first]]),
+                         "pos": pa.array(out_pos[first]),
+                         "fp": pa.array(out_fp[first])})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_WINNOWING_FINGERPRINTS = rf"""
+WITH wh AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
+                        w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n
+  FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos,
+         ((hs[i + 1] * {_ROLL_B} + hs[i + 2]) % {_ROLL_MOD} * {_ROLL_B}
+          + hs[i + 3]) % {_ROLL_MOD} AS kh
+  FROM wh, UNNEST(range(n - {_WIN_K - 1})) AS r(i)
+  WHERE n >= {_WIN_K}
+), wins AS (
+  SELECT k1.doc_id, k1.pos AS s, min(k2.kh) AS m, count(*) AS cnt
+  FROM kg k1
+  JOIN kg k2 ON k2.doc_id = k1.doc_id
+            AND k2.pos BETWEEN k1.pos AND k1.pos + {_WIN_W - 1}
+  GROUP BY k1.doc_id, k1.pos
+  HAVING count(*) = {_WIN_W} OR k1.pos = 0
+), sel AS (
+  SELECT w.doc_id, max(k.pos) AS pos, w.m AS fp
+  FROM wins w
+  JOIN kg k ON k.doc_id = w.doc_id
+           AND k.pos BETWEEN w.s AND w.s + {_WIN_W - 1} AND k.kh = w.m
+  GROUP BY w.doc_id, w.s, w.m
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, pos::BIGINT AS pos, fp::BIGINT AS fp
+FROM sel
+"""

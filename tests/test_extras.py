@@ -1416,3 +1416,66 @@ def test_gopher_format_filter_planted(ray_session, tmp_path):
     assert res.loc[5, "mwl_centi"] > 1000 and res.loc[5, "flagged"]
     assert not res.loc[6, "flagged"]
     assert not res.loc[7, "flagged"]
+
+
+def test_winnowing_planted_edges(ray_session, tmp_path):
+    """Winnowing edge cases: the shared-substring guarantee (any run of
+    >= w+k-1 common words shares a fingerprint), short docs (0/1/2 words
+    and 1..w-1 k-grams -> one global-min fingerprint), whitespace-only
+    docs, and the scalar spec cross-check."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from engine.text import _ROLL_B, _ROLL_MOD, _WIN_K, _WIN_W
+
+    common = "alpha beta gamma delta epsilon zeta"      # 6 words >= w+k-1
+    docs = [
+        (0, "intro words here " + common + " tail one"),
+        (1, common + " completely different ending text"),
+        (2, ""),                    # empty
+        (3, "   \t  "),             # whitespace-only
+        (4, "solo"),                # < k words
+        (5, "two words"),           # < k words
+        (6, "a b c"),               # exactly one k-gram
+        (7, "a b c d e"),           # 3 k-grams < w -> one short window
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs]),
+                  "source": pa.array(["t"] * len(docs)),
+                  "lang": pa.array(["en"] * len(docs))})
+    d = tmp_path / "win"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    from engine.text import q_winnowing_fingerprints
+    got = q_winnowing_fingerprints(str(d)).to_pandas()
+
+    # scalar spec: per doc, k-gram hashes + window min / rightmost tie
+    def spec(s):
+        import re
+        ws = re.findall(r"[^\t\n\f\r ]+", s)
+        wh = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in ws]
+        kh = [(((wh[i] * _ROLL_B + wh[i + 1]) % _ROLL_MOD) * _ROLL_B
+               + wh[i + 2]) % _ROLL_MOD for i in range(len(wh) - _WIN_K + 1)]
+        out = set()
+        nk = len(kh)
+        if nk == 0:
+            return out
+        starts = range(nk - _WIN_W + 1) if nk >= _WIN_W else [0]
+        for s0 in starts:
+            win = kh[s0:s0 + _WIN_W]
+            m = min(win)
+            pos = s0 + max(j for j, v in enumerate(win) if v == m)
+            out.add((pos, m))
+        return out
+
+    for did, s in docs:
+        mine = {(int(r.pos), int(r.fp))
+                for r in got[got.doc_id == did].itertuples()}
+        assert mine == spec(s), f"doc {did}"
+    # shared-substring guarantee: docs 0 and 1 share >= 1 fingerprint VALUE
+    f0 = set(got[got.doc_id == 0].fp)
+    f1 = set(got[got.doc_id == 1].fp)
+    assert f0 & f1
+    # density sanity: selected positions per doc <= #k-grams
+    assert not got.duplicated(["doc_id", "pos"]).any()
