@@ -615,3 +615,102 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 17, 8))::BIGINT * 1000
       < quality_milli::HUGEINT * 4294967296
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / corpus changelog (gated)
+# ---------------------------------------------------------------------------
+
+#: added docs get re-keyed far above any fixture id so both snapshots'
+#: id spaces stay disjoint where they must be
+_DIFF_ADD_OFFSET = 1_000_000_000
+
+
+def q_corpus_diff(sf_dir: str):
+    """Snapshot changelog: diff two corpus versions by doc_id and report
+    every ``added`` / ``removed`` / ``changed`` document — the audit step
+    between two crawls or two curation runs (what re-trains, what needs
+    re-embedding, what got dropped).  Snapshot B is derived
+    DETERMINISTICALLY from the fixture corpus (so the oracle rebuilds the
+    identical pair of snapshots from the same parquet): docs with
+    ``id % 13 == 3`` are removed, surviving docs with ``id % 7 == 0`` are
+    edited (text + ' [rev2]'), and docs with ``id % 11 == 5`` are
+    re-ingested under a new id (``id + 1e9``).
+
+    Plan: ONE read, ONE id-keyed exchange.  A single map emits up to
+    three (doc_id, content-hash, side) rows per doc — side A always, the
+    surviving/edited B row, and the re-keyed B row — so text is hashed
+    where it is read and only 17 B rows cross the exchange; each
+    partition folds its ids with one vectorized outer merge (a partition
+    owns every row of its ids, so presence/equality there IS the global
+    answer).  Unchanged docs — the overwhelming majority at 100 TB — are
+    dropped inside the fold; the driver sees only the churn."""
+    from engine.stages import hash_group_exchange
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(t["text"], "")
+        h = pd.util.hash_pandas_object(
+            txt.to_pandas(), index=False).to_numpy().view(np.int64)
+        keep_b = ids % 13 != 3
+        edit = keep_b & (ids % 7 == 0)
+        h_b = h.copy()
+        if edit.any():
+            edited = pc.binary_join_element_wise(
+                txt.combine_chunks().take(pa.array(np.flatnonzero(edit))),
+                " [rev2]", "")
+            h_b[edit] = pd.util.hash_pandas_object(
+                edited.to_pandas(), index=False).to_numpy().view(np.int64)
+        readd = ids % 11 == 5
+        out_id = np.concatenate([ids, ids[keep_b],
+                                 ids[readd] + _DIFF_ADD_OFFSET])
+        out_h = np.concatenate([h, h_b[keep_b], h[readd]])
+        out_side = np.concatenate([
+            np.zeros(len(ids), dtype=np.int8),
+            np.ones(int(keep_b.sum()) + int(readd.sum()), dtype=np.int8)])
+        return pa.table({"doc_id": pa.array(out_id),
+                         "h": pa.array(out_h),
+                         "side": pa.array(out_side)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        a = d[d["side"] == 0][["doc_id", "h"]]
+        b = d[d["side"] == 1][["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["h_a"].isna(), "added",
+            np.where(m["h_b"].isna(), "removed",
+                     np.where(m["h_a"] != m["h_b"], "changed", "unchanged")))
+        keep = status != "unchanged"
+        return pa.table({
+            "doc_id": pa.array(m["doc_id"].to_numpy()[keep].astype(np.int64)),
+            "status": pa.array(status[keep], type=pa.string())})
+
+    from engine.dedup import _doc_rows
+    ds = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(emit, batch_format="pyarrow", batch_size=None)
+    return hash_group_exchange(ds, ["doc_id"], fold,
+                               rows_hint=2 * _doc_rows(sf_dir))
+
+
+SQL_CORPUS_DIFF = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN coalesce(text, '') || ' [rev2]'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id % 13 != 3
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET}, coalesce(text, '')
+  FROM documents WHERE doc_id % 11 = 5
+), j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN coalesce(a.text, '') IS DISTINCT FROM b.text
+                THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, status FROM j WHERE status != 'unchanged'
+"""

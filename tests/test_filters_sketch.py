@@ -663,3 +663,36 @@ def test_value_quantiles_sketch_vs_exact(ray_session):
             lo = int(np.searchsorted(grp, est, side="left")) + 1
             hi = int(np.searchsorted(grp, est, side="right"))
             assert lo - budget <= rank <= hi + budget, (etype, q)
+
+
+def test_corpus_diff_planted_overlapping_classes(ray_session, tmp_path):
+    """Planted snapshot diff covering every class INCLUDING the overlaps:
+    id 49 is edited (49%7==0) AND re-ingested (49%11==5); id 16 is removed
+    (16%13==3) AND re-ingested (16%11==5).  The re-ingested copy always
+    carries the ORIGINAL text under id+1e9."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "diffcorpus"
+    d.mkdir()
+    ids = [1, 3, 5, 7, 16, 49]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "lang": pa.array(["en"] * len(ids), type=pa.string()),
+        "source": pa.array(["web"] * len(ids), type=pa.string()),
+        "text": pa.array([f"doc {i} body" for i in ids], type=pa.string()),
+    }), str(d / "documents.parquet"))
+
+    from engine.decontam import _DIFF_ADD_OFFSET, q_corpus_diff
+    t = q_corpus_diff(str(d))
+    got = dict(zip(t["doc_id"].astype(int), t["status"]))
+    assert got == {
+        3: "removed",                               # 3 % 13 == 3
+        7: "changed",                               # edited only
+        5 + _DIFF_ADD_OFFSET: "added",              # re-ingest only
+        16: "removed",                              # removed AND re-ingested
+        16 + _DIFF_ADD_OFFSET: "added",
+        49: "changed",                              # edited AND re-ingested
+        49 + _DIFF_ADD_OFFSET: "added",
+    }                                               # id 1: unchanged, absent
+    _assert_matches_oracle(str(d), "corpus_diff")
