@@ -852,3 +852,202 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON n_nationkey = s_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local-supplier volume (customer nation == supplier nation)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+_Q5_LO_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+_Q5_HI_US = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+
+
+def _dim_probe(sf_dir: str, table: str, key_col: str, val_col: str):
+    """Driver-side (sorted key array, aligned value array) of a dimension
+    table — the broadcast probe shape every dim join here uses."""
+    from engine.pipeline import collect_tables
+    tab = pa.concat_tables(
+        [x.select([key_col, val_col]) for x in collect_tables(
+            read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
+                               columns=[key_col, val_col]))
+         if x.num_columns])
+    k = pc.cast(tab[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+    v = pc.cast(tab[val_col], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+_Q5_SCHEMA = pa.schema([("key", pa.int64()), ("nat", pa.int64()),
+                        ("rev_micro", pa.int64()), ("side", pa.int8())])
+
+
+def q5_fold_block(t: pa.Table) -> pa.Table:
+    """Orderkey-partition kernel: equate the order row's CUSTOMER nation
+    with each revenue partial's SUPPLIER nation, then fold the survivors
+    to <= |nations| (nkey, revenue) rows for this partition."""
+    empty = pa.schema([("nkey", pa.int64()),
+                       ("revenue_micro", pa.int64())]).empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    key = t["key"].to_numpy(zero_copy_only=False)
+    nat = t["nat"].to_numpy(zero_copy_only=False)
+    rev = t["rev_micro"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, key))           # order row sorts first per key
+    key, nat, rev, side = key[order], nat[order], rev[order], side[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_g)
+    grp = np.cumsum(new_g) - 1
+    has_order = side[starts] == 0             # qualified-order row present
+    c_nat = nat[starts]                       # its customer nation (if any)
+    keep = has_order[grp] & (side == 1) & (nat == c_nat[grp])
+    if not keep.any():
+        return empty
+    uniq, inv = np.unique(nat[keep], return_inverse=True)
+    sums = np.bincount(inv, weights=rev[keep].astype(np.float64))
+    # exactness: bincount sums in float64; per-partition partials stay
+    # well under 2^53 (each <= 2.6e12 x partition rows at gate scale) —
+    # re-sum in int64 to assert, not trust
+    isums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(isums, inv, rev[keep])
+    assert (isums == sums.astype(np.int64)).all()
+    return pa.table({"nkey": pa.array(uniq),
+                     "revenue_micro": pa.array(isums)})
+
+
+def q_q5_local_volume(sf_dir: str):
+    """TPC-H Q5: 1996 revenue by nation for lineitems whose CUSTOMER and
+    SUPPLIER sit in the same ``Q5_REGION`` nation.
+
+    Plan: region ⋈ nation folds driver-side (tiny); customer→nationkey
+    and supplier→nationkey broadcast once (asserted dimension-sized —
+    past ``_BROADCAST_MAX`` each probe becomes one more tagged union
+    riding the SAME orderkey exchange, the Q3 recipe, no plan rewrite).
+    The fact-fact orders ⋈ lineitem join is ONE orderkey-keyed exchange:
+    orders emit (okey, c_nat) only for in-window orders with in-region
+    customers; lineitems emit per-(okey, s_nat) per-BATCH revenue
+    partials only for in-region suppliers (lineitem rows never shuffle);
+    :func:`q5_fold_block` equates the two nations inside each partition
+    and returns <= |nations| rows, so the driver folds scalars."""
+    import ray
+
+    from engine.pipeline import collect_tables
+    from engine.stages import hash_group_exchange
+
+    assert _nrows(sf_dir, "customer") <= _BROADCAST_MAX \
+        and _nrows(sf_dir, "supplier") <= _BROADCAST_MAX, \
+        "dim table outgrew the broadcast regime: ride the okey exchange"
+
+    nat = pa.concat_tables(
+        [x for x in collect_tables(_table(sf_dir, "nation"))
+         if x.num_columns])
+    reg = pa.concat_tables(
+        [x for x in collect_tables(_table(sf_dir, "region"))
+         if x.num_columns])
+    rkey = pc.cast(reg.filter(pc.equal(reg["r_name"], Q5_REGION))
+                   ["r_regionkey"], pa.int64()).to_pylist()
+    in_region = pc.is_in(pc.cast(nat["n_regionkey"], pa.int64()),
+                         value_set=pa.array(rkey, type=pa.int64()))
+    region_nk = np.sort(pc.cast(nat.filter(in_region)["n_nationkey"],
+                                pa.int64()).to_numpy(zero_copy_only=False))
+    name_of = dict(zip(pc.cast(nat["n_nationkey"], pa.int64()).to_pylist(),
+                       nat["n_name"].to_pylist()))
+
+    ck, cn = _dim_probe(sf_dir, "customer", "c_custkey", "c_nationkey")
+    sk, sn = _dim_probe(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    ck_ref, cn_ref = ray.put(ck), ray.put(cn)
+    sk_ref, sn_ref = ray.put(sk), ray.put(sn)
+    rnk_ref = ray.put(region_nk)
+
+    def order_side(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = (od >= _Q5_LO_US) & (od < _Q5_HI_US)
+        if not m.any():
+            return _Q5_SCHEMA.empty_table()
+        ckey = pc.cast(t["o_custkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        okey = pc.cast(t["o_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        ck_s, cn_s = ray.get(ck_ref), ray.get(cn_ref)
+        rnk = ray.get(rnk_ref)
+        pos = np.minimum(np.searchsorted(ck_s, ckey), len(ck_s) - 1)
+        hit = ck_s[pos] == ckey               # inner-join semantics
+        cnat = np.where(hit, cn_s[pos], -1)
+        keep = hit & np.isin(cnat, rnk)
+        k = int(keep.sum())
+        return pa.table({"key": pa.array(okey[keep]),
+                         "nat": pa.array(cnat[keep]),
+                         "rev_micro": pa.array(np.zeros(k, dtype=np.int64)),
+                         "side": pa.array(np.zeros(k, dtype=np.int8))})
+
+    def line_side(t: pa.Table) -> pa.Table:
+        skey = pc.cast(t["l_suppkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        okey = pc.cast(t["l_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sk_s, sn_s = ray.get(sk_ref), ray.get(sn_ref)
+        rnk = ray.get(rnk_ref)
+        pos = np.minimum(np.searchsorted(sk_s, skey), len(sk_s) - 1)
+        hit = sk_s[pos] == skey
+        snat = np.where(hit, sn_s[pos], -1)
+        keep = hit & np.isin(snat, rnk)
+        if not keep.any():
+            return _Q5_SCHEMA.empty_table()
+        g = pa.TableGroupBy(pa.table({
+            "key": pa.array(okey[keep]), "nat": pa.array(snat[keep]),
+            "rev": pa.array(_line_rev_micro(t)[keep])}), ["key", "nat"]) \
+            .aggregate([("rev", "sum")])
+        m = len(g)
+        return pa.table({"key": g["key"], "nat": g["nat"],
+                         "rev_micro": pc.cast(g["rev_sum"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def union_ds():
+        orders = _table(sf_dir, "orders") \
+            .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_side, batch_format="pyarrow",
+                         batch_size=None)
+        li = _table(sf_dir, "lineitem") \
+            .select_columns(["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"]) \
+            .map_batches(line_side, batch_format="pyarrow",
+                         batch_size=None)
+        return orders.union(li)
+
+    df = hash_group_exchange(
+        union_ds, ["key"], q5_fold_block,
+        rows_hint=_nrows(sf_dir, "orders") // 4
+        + max(1, _nrows(sf_dir, "lineitem") // 16))
+    acc: dict = {}
+    if df is not None and not df.empty:
+        for nk, rv in zip(df["nkey"], df["revenue_micro"]):
+            acc[int(nk)] = acc.get(int(nk), 0) + int(rv)
+    rows = sorted(((name_of[k], v) for k, v in acc.items()),
+                  key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], type=pa.string()),
+        "revenue_micro": pa.array([r[1] for r in rows], type=pa.int64())})
+
+
+SQL_Q5_LOCAL_VOLUME = f"""
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)))
+           ::BIGINT AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND c_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_micro DESC, n_name
+"""
