@@ -714,3 +714,156 @@ WITH b AS (
 )
 SELECT doc_id::BIGINT AS doc_id, status FROM j WHERE status != 'unchanged'
 """
+
+
+# ---------------------------------------------------------------------------
+# eval-side leakage audit (gated)
+# ---------------------------------------------------------------------------
+
+def q_contamination_report(sf_dir: str):
+    """The REVERSE of :func:`q_decontaminate`: for every held-out TEST
+    document, what fraction of its distinct word-8-grams already occurs
+    anywhere in the train/val split — the audit that says how compromised
+    a benchmark is before anyone trains on the corpus.
+
+    Direction matters at 100 TB: the train n-gram set is unbounded and
+    can never broadcast, but the EVAL side is the held-out benchmark
+    suite (fixed, small by construction — same assumption as
+    q_decontaminate, stated there).  So the eval (doc, ngram-hash) pairs
+    broadcast once sorted by hash; train batches reduce to per-batch
+    distinct hashes, probe the sorted pairs, and emit only the HIT
+    (eval_doc, hash) pairs; one doc-keyed exchange dedups hits across
+    batches and counts per doc.  Train text never shuffles, the driver
+    holds only the eval-sized pair table plus one row per eval doc."""
+    import ray
+
+    from engine.pipeline import collect_tables
+    from engine.stages import hash_group_exchange
+
+    def eval_pairs(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_test = _split_bucket(ids) >= _VAL_LT
+        empty = pa.schema([("doc", pa.int64()),
+                           ("h", pa.int64())]).empty_table()
+        if not is_test.any():
+            return empty
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ng, ng_len = _doc_ngrams(txt.filter(pa.array(is_test)))
+        if len(ng) == 0:
+            return empty
+        hv = _ngram_hashes_i64(ng)
+        doc = np.repeat(ids[is_test], ng_len)
+        key = np.stack([doc, hv])
+        uniq = np.unique(key, axis=1)          # distinct per batch
+        return pa.table({"doc": pa.array(uniq[0]), "h": pa.array(uniq[1])})
+
+    tabs = [b for b in collect_tables(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(eval_pairs, batch_format="pyarrow", batch_size=None))
+        if b.num_columns]
+    if tabs:
+        alld = np.concatenate([t["doc"].to_numpy(zero_copy_only=False)
+                               for t in tabs])
+        allh = np.concatenate([t["h"].to_numpy(zero_copy_only=False)
+                               for t in tabs])
+        pair = np.unique(np.stack([alld, allh]), axis=1)  # cross-batch
+        ev_d, ev_h = pair[0], pair[1]
+    else:
+        ev_d = ev_h = np.zeros(0, dtype=np.int64)
+    order = np.argsort(ev_h, kind="stable")
+    ev_h, ev_d = ev_h[order], ev_d[order]
+    docs_u, counts_u = np.unique(ev_d, return_counts=True)
+    n_distinct = dict(zip(docs_u.tolist(), counts_u.tolist()))
+    ev_h_ref, ev_d_ref = ray.put(ev_h), ray.put(ev_d)
+
+    def train_hits(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("doc", pa.int64()),
+                           ("h", pa.int64())]).empty_table()
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_train = _split_bucket(ids) < _VAL_LT
+        if not is_train.any():
+            return empty
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ng, _ = _doc_ngrams(txt.filter(pa.array(is_train)))
+        if len(ng) == 0:
+            return empty
+        tv = np.unique(_ngram_hashes_i64(ng))
+        eh, ed = ray.get(ev_h_ref), ray.get(ev_d_ref)
+        lo = np.searchsorted(eh, tv, side="left")
+        hi = np.searchsorted(eh, tv, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return empty
+        lo, cnt = lo[m], cnt[m]
+        first = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        pos = np.repeat(lo, cnt) \
+            + (np.arange(int(cnt.sum())) - np.repeat(first, cnt))
+        return pa.table({"doc": pa.array(ed[pos]), "h": pa.array(eh[pos])})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc", pa.int64()),
+                              ("n_leaked", pa.int64())]).empty_table()
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([doc, h]), axis=1)   # dedup across batches
+        d_u, n = np.unique(uniq[0], return_counts=True)
+        return pa.table({"doc": pa.array(d_u),
+                         "n_leaked": pa.array(n.astype(np.int64))})
+
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(train_hits, batch_format="pyarrow", batch_size=None),
+        ["doc"], fold, rows_hint=max(1, len(ev_h)))
+    leaked = dict(zip(df["doc"].astype(int), df["n_leaked"].astype(int))) \
+        if df is not None and not df.empty else {}
+    out_docs = sorted(n_distinct)
+    nd = np.array([n_distinct[d] for d in out_docs], dtype=np.int64)
+    nl = np.array([leaked.get(d, 0) for d in out_docs], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(out_docs, type=pa.int64()),
+        "n_distinct": pa.array(nd),
+        "n_leaked": pa.array(nl),
+        "leaked_milli": pa.array(1000 * nl // nd)})
+
+
+SQL_CONTAMINATION_REPORT = rf"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           % {_SPLIT_BUCKETS} AS bucket
+  FROM documents
+), w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS ws
+  FROM documents
+), gi AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, len(ws) - {_NGRAM_N - 1})) AS i
+  FROM w
+), g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(ws[i:i+{_NGRAM_N - 1}], ' ')),
+                         1, 15))::BIGINT AS h
+  FROM gi
+), ev AS (
+  SELECT DISTINCT g.doc_id, h FROM g JOIN b USING (doc_id)
+  WHERE b.bucket >= {_VAL_LT}
+), tr AS (
+  SELECT DISTINCT h FROM g JOIN b USING (doc_id)
+  WHERE b.bucket < {_VAL_LT}
+)
+SELECT ev.doc_id,
+       count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_leaked,
+       ((1000 * sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS leaked_milli
+FROM ev LEFT JOIN tr USING (h)
+GROUP BY 1
+"""
