@@ -1,0 +1,339 @@
+"""Exact all-pairs similarity join via prefix filtering (PPJoin-style).
+
+The sixth near-dup family, and the only EXACT one with no blocking loss:
+``q_ppjoin_pairs`` returns every unordered document pair whose distinct
+word-set Jaccard is >= tau (0.5), guaranteed complete — unlike
+MinHash/SimHash (probabilistic) and the size-banded Jaccard blocking
+(capped groups).  The candidate bound comes from the prefix-filter
+principle (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08 "PPJoin"): order
+every doc's tokens by ascending global document frequency; two sets with
+Jaccard >= tau MUST share a token inside their (s - ceil(tau*s) + 1)
+prefixes, so only prefix tokens are indexed and probed — and prefix
+tokens are by construction the corpus's RAREST, so posting lists stay
+short exactly where a naive token index explodes.
+
+Plan — five bounded stages, text tokenized by the engine-wide RE2-exact
+splitter (engine/text.py) and hashed, never shuffled raw:
+
+1. map: per-batch distinct (token-hash, doc, set-size) rows
+2. exchange keyed h: attach df (= posting length) to every row
+3. exchange keyed doc: sort each doc's tokens by (df, h), keep the
+   prefix; rows out = prefix tokens only (~(1 - tau) of the index)
+4. exchange keyed h over prefixes: expand each posting into candidate
+   pairs (vectorized segment k-choose-2), pre-filtered by the length
+   condition tau * |larger| <= |smaller|
+5. two verify exchanges keyed doc_a then doc_b: each pair row picks up
+   the full sorted token-hash set of one side (sets re-derived by a
+   pure map over documents — one extra tokenize instead of a
+   materialized token index), then exact |intersection| via per-pair
+   sorted intersect.  Duplicate candidates collapse in stage 5a (all
+   (a, *) rows co-locate).
+
+Scale notes (100 TB): stages 1-4 move (int64, int64, int64) rows —
+distinct-token volume, then its prefix subset; stage 5 moves each doc's
+hash set once per side (2x distinct-token volume).  Worst case remains
+a token whose PREFIX posting floods (a corpus of near-identical tiny
+docs): the segment expansion there is df^2 — the documented cap hook is
+the same ``_BUCKET_CAP`` star fallback as engine/dedup.py, deliberately
+NOT enabled by default because this operator's contract is exactness
+(ADVICE r3: a silent cap breaks the value gate).
+
+DuckDB-gated: the oracle is the O(n^2) token self-join — the engine must
+reproduce it exactly, prefix filter and all.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TAU_MILLI = 500          # Jaccard threshold (milli)
+
+_SET_T = pa.list_(pa.int64())
+_UNION_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("other", pa.int64()), ("kind", pa.int8()),
+    ("s", pa.int64()), ("set", _SET_T)])
+_PAIR_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("jaccard_milli", pa.int64())])
+
+
+def _docs(sf_dir: str):
+    from engine.io import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+
+def _doc_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def _distinct_tokens(t: pa.Table):
+    """(doc ids repeated per distinct token, token hashes, per-doc
+    distinct counts aligned to the batch) — lowercased, zero-length
+    split artifacts dropped (the oracle's \\S+ has no empty matches)."""
+    import pandas as pd
+
+    from engine.text import _segment_sums, _split_tokens
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(txt, ""))
+    flat, offs = _split_tokens(low)
+    # empty-text docs contribute one ''-token split artifact: drop it
+    keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    wh = pd.util.hash_pandas_object(
+        pd.Series(flat.to_pandas()), index=False).to_numpy() \
+        .view(np.int64)[keep]
+    counts = _segment_sums(keep.astype(np.int64), offs)
+    ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    doc = np.repeat(ids, counts)
+    order = np.lexsort((wh, doc))
+    d2, h2 = doc[order], wh[order]
+    new = np.ones(len(d2), dtype=bool)
+    if len(d2) > 1:
+        new[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+    d2, h2 = d2[new], h2[new]
+    du, dc = np.unique(d2, return_counts=True)
+    return d2, h2, du, dc
+
+
+def tok_rows_block(t: pa.Table) -> pa.Table:
+    """Stage-1 map: distinct (h, doc, s) rows for one batch."""
+    if t.num_rows == 0:
+        return pa.schema([("h", pa.int64()), ("doc", pa.int64()),
+                          ("s", pa.int64())]).empty_table()
+    d2, h2, du, dc = _distinct_tokens(t)
+    s = dc[np.searchsorted(du, d2)] if len(d2) else \
+        np.zeros(0, dtype=np.int64)
+    return pa.table({"h": pa.array(h2), "doc": pa.array(d2),
+                     "s": pa.array(s.astype(np.int64))})
+
+
+def df_fold_block(t: pa.Table) -> pa.Table:
+    """Stage-2 kernel (keyed h): df = global posting length per token —
+    rows are globally distinct (h, doc), so the group size IS df."""
+    if t.num_rows == 0:
+        return pa.schema([("h", pa.int64()), ("doc", pa.int64()),
+                          ("s", pa.int64()),
+                          ("df", pa.int64())]).empty_table()
+    h = t["h"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    new = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        new[1:] = hs[1:] != hs[:-1]
+    gid = np.cumsum(new) - 1
+    df = np.bincount(gid).astype(np.int64)[gid]
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    return pa.table({"h": t["h"], "doc": t["doc"], "s": t["s"],
+                     "df": pa.array(df[inv])})
+
+
+def _prefix_len(s: np.ndarray) -> np.ndarray:
+    """s - ceil(tau*s) + 1 (probing prefix, safe for Jaccard >= tau)."""
+    ceil_ts = -(-(TAU_MILLI * s) // 1000)
+    return s - ceil_ts + 1
+
+
+def prefix_fold_block(t: pa.Table) -> pa.Table:
+    """Stage-3 kernel (keyed doc): order each doc's tokens rarest-first
+    (df asc, h asc) and keep only its probing prefix."""
+    if t.num_rows == 0:
+        return pa.schema([("h", pa.int64()), ("doc", pa.int64()),
+                          ("s", pa.int64())]).empty_table()
+    doc = t["doc"].to_numpy(zero_copy_only=False)
+    h = t["h"].to_numpy(zero_copy_only=False)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    df = t["df"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((h, df, doc))
+    doc, h, s = doc[order], h[order], s[order]
+    new = np.ones(len(doc), dtype=bool)
+    if len(doc) > 1:
+        new[1:] = doc[1:] != doc[:-1]
+    seg_start = np.flatnonzero(new)
+    seg_id = np.cumsum(new) - 1
+    rank = np.arange(len(doc), dtype=np.int64) - seg_start[seg_id]
+    keep = rank < _prefix_len(s)
+    return pa.table({"h": pa.array(h[keep]), "doc": pa.array(doc[keep]),
+                     "s": pa.array(s[keep])})
+
+
+def candidate_fold_block(t: pa.Table) -> pa.Table:
+    """Stage-4 kernel (keyed h over prefixes): expand each posting into
+    ordered (a < b by doc id) candidate pairs, pre-filtered by the
+    length condition tau * s_large <= 1000 * s_small; vectorized
+    segment k-choose-2, per-partition dedup."""
+    if t.num_rows == 0:
+        return _UNION_SCHEMA.empty_table()
+    h = t["h"].to_numpy(zero_copy_only=False)
+    doc = t["doc"].to_numpy(zero_copy_only=False)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, h))
+    h, doc, s = h[order], doc[order], s[order]
+    new = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        new[1:] = h[1:] != h[:-1]
+    seg_start = np.flatnonzero(new)
+    seg_id = np.cumsum(new) - 1
+    local = np.arange(len(h), dtype=np.int64) - seg_start[seg_id]
+    b_idx = np.repeat(np.arange(len(h), dtype=np.int64), local)
+    csl = np.zeros(len(local) + 1, dtype=np.int64)
+    np.cumsum(local, out=csl[1:])
+    a_idx = (np.arange(csl[-1], dtype=np.int64)
+             - np.repeat(csl[:-1], local)
+             + np.repeat(seg_start[seg_id], local))
+    if len(b_idx) == 0:
+        return _UNION_SCHEMA.empty_table()
+    a, b = doc[a_idx], doc[b_idx]              # a < b (doc-sorted segments)
+    sa, sb = s[a_idx], s[b_idx]
+    small, large = np.minimum(sa, sb), np.maximum(sa, sb)
+    keep = 1000 * small >= TAU_MILLI * large
+    a, b = a[keep], b[keep]
+    pairs = np.unique(np.stack([a, b]), axis=1)
+    n = pairs.shape[1]
+    return pa.table({
+        "key": pa.array(pairs[0]), "other": pa.array(pairs[1]),
+        "kind": pa.array(np.zeros(n, dtype=np.int8)),
+        "s": pa.array(np.zeros(n, dtype=np.int64)),
+        "set": pa.array([None] * n, type=_SET_T)})
+
+
+def set_rows_block(t: pa.Table) -> pa.Table:
+    """Pure map: one (doc, sorted distinct token-hash list) row per doc
+    — the verify payload, re-derived from text (no token-index
+    materialization)."""
+    if t.num_rows == 0:
+        return _UNION_SCHEMA.empty_table()
+    d2, h2, du, dc = _distinct_tokens(t)
+    # h2 within a doc is ascending already (lexsorted by (doc, h))
+    sets = np.split(h2, np.cumsum(dc))[:-1]
+    return pa.table({
+        "key": pa.array(du), "other": pa.array(np.zeros(len(du),
+                                                        dtype=np.int64)),
+        "kind": pa.array(np.ones(len(du), dtype=np.int8)),
+        "s": pa.array(dc.astype(np.int64)),
+        "set": pa.array([x for x in sets], type=_SET_T)})
+
+
+def attach_a_fold_block(t: pa.Table) -> pa.Table:
+    """Stage-5a kernel (keyed doc_a): global candidate dedup (all (a, *)
+    rows co-locate) + attach side-a's set; re-key by doc_b."""
+    if t.num_rows == 0:
+        return _UNION_SCHEMA.empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    sets = t.filter(pa.array(kind == 1))
+    pairs = t.filter(pa.array(kind == 0))
+    if pairs.num_rows == 0:
+        return _UNION_SCHEMA.empty_table()
+    ab = np.unique(np.stack([
+        pairs["key"].to_numpy(zero_copy_only=False),
+        pairs["other"].to_numpy(zero_copy_only=False)]), axis=1)
+    sd = sets["key"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sd)
+    pos = np.searchsorted(sd[so], ab[0])
+    set_col = sets["set"].combine_chunks() \
+        if isinstance(sets["set"], pa.ChunkedArray) else sets["set"]
+    s_arr = sets["s"].to_numpy(zero_copy_only=False)
+    take = pa.array(so[pos])
+    return pa.table({
+        "key": pa.array(ab[1]),                # re-key by doc_b
+        "other": pa.array(ab[0]),
+        "kind": pa.array(np.zeros(ab.shape[1], dtype=np.int8)),
+        "s": pa.array(s_arr[so[pos]].astype(np.int64)),
+        "set": set_col.take(take)})
+
+
+def verify_fold_block(t: pa.Table) -> pa.Table:
+    """Stage-5b kernel (keyed doc_b): attach side-b's set and score the
+    exact Jaccard; emit only pairs at or above tau."""
+    if t.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    sets = t.filter(pa.array(kind == 1))
+    pairs = t.filter(pa.array(kind == 0))
+    if pairs.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    sd = sets["key"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sd)
+    sset = sets["set"].combine_chunks() \
+        if isinstance(sets["set"], pa.ChunkedArray) else sets["set"]
+    sb_arr = sets["s"].to_numpy(zero_copy_only=False)
+    b = pairs["key"].to_numpy(zero_copy_only=False)
+    a = pairs["other"].to_numpy(zero_copy_only=False)
+    sa = pairs["s"].to_numpy(zero_copy_only=False)
+    pset = pairs["set"].combine_chunks() \
+        if isinstance(pairs["set"], pa.ChunkedArray) else pairs["set"]
+    pos = so[np.searchsorted(sd[so], b)]
+    out_a, out_b, out_j = [], [], []
+    for i in range(len(b)):                     # per CANDIDATE, not per doc
+        set_a = np.asarray(pset[i].as_py(), dtype=np.int64)
+        set_b = np.asarray(sset[pos[i]].as_py(), dtype=np.int64)
+        inter = len(np.intersect1d(set_a, set_b, assume_unique=True))
+        union = int(sa[i]) + int(sb_arr[pos[i]]) - inter
+        if union > 0 and 1000 * inter >= TAU_MILLI * union:
+            out_a.append(int(a[i]))
+            out_b.append(int(b[i]))
+            out_j.append(1000 * inter // union)
+    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                     "doc_b": pa.array(out_b, type=pa.int64()),
+                     "jaccard_milli": pa.array(out_j, type=pa.int64())})
+
+
+def q_ppjoin_pairs(sf_dir: str):
+    """All document pairs with distinct-word-set Jaccard >= 0.5 — exact
+    (prefix-filtered candidates, fully verified)."""
+    from engine.stages import hash_group_exchange
+
+    nrows = _doc_rows(sf_dir)
+
+    def prefix_ds():
+        return hash_group_exchange(
+            _docs(sf_dir).map_batches(tok_rows_block,
+                                      batch_format="pyarrow",
+                                      batch_size=None),
+            [["h"], ["doc"], ["h"]],
+            [df_fold_block, prefix_fold_block, candidate_fold_block],
+            collect=False, rows_hint=nrows * 64)
+
+    def sets_ds():
+        return _docs(sf_dir).map_batches(set_rows_block,
+                                         batch_format="pyarrow",
+                                         batch_size=None)
+
+    def stage_a():
+        return hash_group_exchange(
+            prefix_ds().union(sets_ds()), ["key"], attach_a_fold_block,
+            collect=False, rows_hint=nrows * 2)
+
+    return hash_group_exchange(
+        stage_a().union(sets_ds()), ["key"], verify_fold_block,
+        collect=False, rows_hint=nrows * 2)
+
+
+SQL_PPJOIN_PAIRS = rf"""
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(list_distinct(
+             regexp_extract_all(lower(coalesce(text, '')), '\S+'))) AS w
+  FROM documents
+), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS s FROM tok GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ((1000 * i) // (sa.s + sb.s - i))::BIGINT AS jaccard_milli
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE 1000 * i >= {TAU_MILLI} * (sa.s + sb.s - i)
+"""

@@ -1,0 +1,82 @@
+"""Prefix-filter similarity join: planted exactness + brute-force parity."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts, name="ppj"):
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    ids = list(range(1, len(texts) + 1))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "lang": pa.array(["en"] * len(ids), type=pa.string()),
+        "source": pa.array(["web"] * len(ids), type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def _brute_pairs(texts, tau_milli):
+    sets = [set(t.lower().split()) for t in texts]
+    out = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a | b)
+            if 1000 * inter >= tau_milli * union:
+                out[(i + 1, j + 1)] = 1000 * inter // union
+    return out
+
+
+def test_ppjoin_planted_pairs(ray_session, tmp_path):
+    """Known Jaccards: identical (1000), 3-of-4 overlap (600), disjoint
+    (absent), empty docs (absent), case-insensitive match."""
+    texts = [
+        "alpha beta gamma delta",        # 1
+        "alpha beta gamma delta",        # 2: J(1,2)=1000
+        "alpha beta gamma epsilon",      # 3: J(1,3)=3/5 -> 600
+        "zeta eta theta iota",           # 4: disjoint
+        "",                              # 5: empty, never paired
+        "ALPHA BETA GAMMA DELTA",        # 6: == 1 after lower()
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from engine.ppjoin import TAU_MILLI, q_ppjoin_pairs
+    got = q_ppjoin_pairs(sf).to_pandas()
+    pairs = {(int(r.doc_a), int(r.doc_b)): int(r.jaccard_milli)
+             for r in got.itertuples()}
+    assert pairs == _brute_pairs(texts, TAU_MILLI)
+    assert pairs[(1, 2)] == 1000 and pairs[(1, 6)] == 1000
+    assert pairs[(1, 3)] == 600
+    assert not any(5 in p or 4 in p for p in pairs)
+
+
+def test_ppjoin_matches_bruteforce_random(ray_session, tmp_path):
+    """Random small-vocab corpus (dense overlaps): the prefix filter must
+    lose NOTHING vs the O(n^2) reference — completeness is the
+    operator's whole contract."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{k}" for k in range(12)]
+    texts = [" ".join(rng.choice(vocab,
+                                 size=rng.randint(1, 9), replace=True))
+             for _ in range(60)]
+    sf = _write_docs(tmp_path, texts, "rnd")
+    from engine.ppjoin import TAU_MILLI, q_ppjoin_pairs
+    got = q_ppjoin_pairs(sf).to_pandas()
+    pairs = {(int(r.doc_a), int(r.doc_b)): int(r.jaccard_milli)
+             for r in got.itertuples()}
+    assert pairs == _brute_pairs(texts, TAU_MILLI)
+
+
+def test_prefix_len_bound():
+    """p >= 1 for every s >= 1 and p == s for tau-impossible tiny sets."""
+    from engine.ppjoin import _prefix_len
+    s = np.arange(1, 50, dtype=np.int64)
+    p = _prefix_len(s)
+    assert (p >= 1).all() and (p <= s).all()
+    assert p[0] == 1                       # s=1: ceil(.5)=1 -> p=1
