@@ -937,3 +937,71 @@ FROM ut a JOIN ut b ON a.user_id = b.user_id
 WHERE a.event_type < b.event_type
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped mode: most frequent value per group (gated)
+# ---------------------------------------------------------------------------
+
+def mode_fold_block(t: pa.Table) -> pa.Table:
+    """user-partition kernel: fold (user, type, n) partials and keep each
+    user's mode with the (count DESC, type ASC) tiebreak — one lexsort,
+    no Python per group."""
+    if t.num_rows == 0:
+        return pa.schema([("user_id", pa.int64()),
+                          ("top_type", pa.string()),
+                          ("n_events", pa.int64())]).empty_table()
+    import pandas as pd
+    g = pa.TableGroupBy(t, ["user_id", "event_type"]) \
+        .aggregate([("n", "sum")])
+    u = g["user_id"].to_numpy(zero_copy_only=False)
+    n = pc.cast(g["n_sum"], pa.int64()).to_numpy(zero_copy_only=False)
+    codes, types = pd.factorize(g["event_type"].to_pandas(), sort=True)
+    order = np.lexsort((codes, -n, u))       # per user: n desc, type asc
+    first = np.ones(len(u), dtype=bool)
+    us = u[order]
+    if len(us) > 1:
+        first[1:] = us[1:] != us[:-1]
+    pick = order[first]
+    return pa.table({
+        "user_id": pa.array(u[pick]),
+        "top_type": pa.array(types[codes[pick]], type=pa.string()),
+        "n_events": pa.array(n[pick])})
+
+
+def q_user_top_event(sf_dir: str):
+    """Each user's MOST FREQUENT event type (grouped mode, tiebreak
+    count DESC then type ASC).  Per-batch (user, type, count) partials
+    shrink the stream before ONE user-keyed exchange; the fold picks the
+    argmax inside each partition, so only one row per user reaches the
+    driver."""
+    from engine.stages import hash_group_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["user_id", "event_type"]),
+                            ["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"user_id": pc.cast(g["user_id"], pa.int64()),
+                         "event_type": g["event_type"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    return hash_group_exchange(
+        lambda: _table(sf_dir, "events")
+        .select_columns(["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"], mode_fold_block, collect=False,
+        rows_hint=_nrows(sf_dir, "events") // 8)
+
+
+SQL_USER_TOP_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id::BIGINT AS user_id, event_type AS top_type,
+       n::BIGINT AS n_events
+FROM r WHERE rn = 1
+"""

@@ -385,3 +385,86 @@ SELECT win::BIGINT AS window,
        sum(late)::BIGINT AS n_late
 FROM f GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming window dedup (gated)
+# ---------------------------------------------------------------------------
+
+def windedup_fold_block(t: pa.Table) -> pa.Table:
+    """user-partition kernel: a partition owns every row of its users, so
+    per-(user, type, window) distinctness there IS global; fold straight
+    to per-type (raw, survivor) partials — <= |types| rows out."""
+    if t.num_rows == 0:
+        return pa.schema([("event_type", pa.string()),
+                          ("n_events", pa.int64()),
+                          ("n_survivors", pa.int64())]).empty_table()
+    g = pa.TableGroupBy(t, ["user_id", "event_type", "window"]) \
+        .aggregate([("n", "sum")])
+    out = pa.TableGroupBy(
+        pa.table({"event_type": g["event_type"],
+                  "n": pc.cast(g["n_sum"], pa.int64())}),
+        ["event_type"]).aggregate([("n", "sum"), ([], "count_all")])
+    return pa.table({
+        "event_type": out["event_type"],
+        "n_events": pc.cast(out["n_sum"], pa.int64()),
+        "n_survivors": pc.cast(out["count_all"], pa.int64())})
+
+
+def q_window_dedup(sf_dir: str):
+    """Streaming-shaped dedup: within each tumbling 1-hour window, repeat
+    (user, event_type) occurrences collapse to one; report per type the
+    raw count, the survivor count, and the drop rate — the
+    at-most-once-per-window semantics of an idempotent event sink.
+
+    Per-batch (user, type, window, count) partials shrink the stream
+    before ONE user-keyed exchange; the fold emits <= |types| rows per
+    partition, so dedup state never lives on the driver."""
+    from engine.io import read_parquet_clean
+    from engine.stages import hash_group_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        g = pa.TableGroupBy(pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "window": pc.cast(win, pa.int64())}),
+            ["user_id", "event_type", "window"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "window": g["window"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    import pyarrow.parquet as _pq
+    nrows = _pq.read_metadata(
+        os.path.join(sf_dir, "events.parquet")).num_rows
+    df = hash_group_exchange(
+        lambda: read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"], windedup_fold_block, rows_hint=nrows // 4)
+    agg = df.groupby("event_type", as_index=False).sum() \
+        .sort_values("event_type", ignore_index=True)
+    n = agg["n_events"].astype(int)
+    s = agg["n_survivors"].astype(int)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], type=pa.string()),
+        "n_events": pa.array(n, type=pa.int64()),
+        "n_survivors": pa.array(s, type=pa.int64()),
+        "dropped_milli": pa.array(1000 * (n - s) // n, type=pa.int64())})
+
+
+SQL_WINDOW_DEDUP = """
+WITH w AS (
+  SELECT user_id, event_type,
+         (epoch_us(ts) // 3600000000)::BIGINT AS window, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       sum(n)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_survivors,
+       ((1000 * (sum(n) - count(*))) // sum(n))::BIGINT AS dropped_milli
+FROM w GROUP BY 1 ORDER BY 1
+"""
