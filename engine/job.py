@@ -127,6 +127,24 @@ def main(argv=None) -> int:
     ps.add_argument("--out", required=True)
     ps.add_argument("--shards", type=int, default=16)
 
+    sj = sub.add_parser("simjoin", help="EXACT all-pairs Jaccard >= 0.5 "
+                        "over documents (PPJoin prefix filter) -> parquet")
+    sj.add_argument("--sf-dir", required=True)
+    sj.add_argument("--out", required=True)
+    sj.add_argument("--num-cpus", type=int, default=None)
+
+    pca = sub.add_parser("pca", help="PCA-project the embedding table "
+                         "(top-8 components) -> parquet")
+    pca.add_argument("--sf-dir", required=True)
+    pca.add_argument("--out", required=True)
+    pca.add_argument("--num-cpus", type=int, default=None)
+
+    lk = sub.add_parser("leakage", help="eval-side contamination report: "
+                        "per test doc, 8-gram overlap with train/val")
+    lk.add_argument("--sf-dir", required=True)
+    lk.add_argument("--out", default=None, help="optional parquet out")
+    lk.add_argument("--num-cpus", type=int, default=None)
+
     pf = sub.add_parser("profile", help="profile a testdata dir: per-column "
                         "nulls + HLL distinct over events, plus robust "
                         "per-type stats (median / 3-sigma outlier count)")
@@ -299,6 +317,46 @@ def main(argv=None) -> int:
         stats = prepare_sequences_to_parquet(args.seq, args.out,
                                              num_shards=args.shards)
         print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "simjoin":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.ppjoin import _PAIR_SCHEMA, q_ppjoin_pairs
+        ds = q_ppjoin_pairs(args.sf_dir)
+        from engine.pipeline import scrub_empty_blocks
+        os.makedirs(args.out, exist_ok=True)
+        scrub_empty_blocks(ds, _PAIR_SCHEMA).write_parquet(args.out)
+        import pyarrow.dataset as pds
+        n = pds.dataset(args.out).count_rows()
+        print(json.dumps({"out": args.out, "pairs": int(n)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "pca":
+        ray = _ensure_ray(args.num_cpus)
+        from engine.linalg import q_pca_project
+        os.makedirs(args.out, exist_ok=True)
+        q_pca_project(args.sf_dir).write_parquet(args.out)
+        import pyarrow.dataset as pds
+        n = pds.dataset(args.out).count_rows()
+        print(json.dumps({"out": args.out, "rows": int(n)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "leakage":
+        ray = _ensure_ray(args.num_cpus)
+        import pyarrow.compute as pc
+        from engine.decontam import q_contamination_report
+        t = q_contamination_report(args.sf_dir)
+        leaked = t.filter(pc.greater(t["n_leaked"], 0)).num_rows \
+            if t.num_rows else 0
+        if args.out:
+            import pyarrow.parquet as _pq
+            _pq.write_table(t, args.out)
+        print(json.dumps({"eval_docs": t.num_rows,
+                          "docs_with_leaks": int(leaked),
+                          "out": args.out}))
         ray.shutdown()
         return 0
 

@@ -80,3 +80,32 @@ def test_prefix_len_bound():
     p = _prefix_len(s)
     assert (p >= 1).all() and (p <= s).all()
     assert p[0] == 1                       # s=1: ceil(.5)=1 -> p=1
+
+
+def test_cli_simjoin_pca_leakage(ray_session, tmp_path, capsys):
+    """The three round-4-closer CLI subcommands run end-to-end and print
+    one JSON document each."""
+    import json
+
+    from engine.job import main
+    out = tmp_path / "pairs"
+    assert main(["simjoin", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", str(out)]) == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["pairs"] > 0
+    import pyarrow.dataset as pds
+    assert pds.dataset(str(out)).count_rows() == doc["pairs"]
+
+    out2 = tmp_path / "pca"
+    assert main(["pca", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", str(out2)]) == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["rows"] == 500
+
+    rep = tmp_path / "leak.parquet"
+    assert main(["leakage", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", str(rep)]) == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["eval_docs"] > 0 and doc["docs_with_leaks"] >= 0
+    t = pq.read_table(str(rep))
+    assert t.num_rows == doc["eval_docs"]
