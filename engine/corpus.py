@@ -1214,3 +1214,142 @@ SELECT doc_id, score,
 FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source vocabulary stats (gated)
+# ---------------------------------------------------------------------------
+
+def vocab_fold_block(t: pa.Table) -> pa.Table:
+    """token-hash-partition kernel: global distinct (source, token) for
+    the hashes this partition owns, folded straight to per-source
+    (n_tokens, n_distinct) partials; total-token rows (kind=1) pass
+    through pre-summed."""
+    if t.num_rows == 0:
+        return pa.schema([("source", pa.string()),
+                          ("n_tokens", pa.int64()),
+                          ("n_distinct", pa.int64())]).empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    tot = t.filter(pa.array(kind == 1))
+    dis = t.filter(pa.array(kind == 0))
+    parts = []
+    if tot.num_rows:
+        g = pa.TableGroupBy(tot.select(["source", "n"]), ["source"]) \
+            .aggregate([("n", "sum")])
+        parts.append(pa.table({
+            "source": g["source"],
+            "n_tokens": pc.cast(g["n_sum"], pa.int64()),
+            "n_distinct": pa.array(np.zeros(len(g), dtype=np.int64))}))
+    if dis.num_rows:
+        g = pa.TableGroupBy(dis.select(["source", "h"]), ["source", "h"]) \
+            .aggregate([([], "count_all")])
+        g2 = pa.TableGroupBy(g.select(["source"]), ["source"]) \
+            .aggregate([([], "count_all")])
+        parts.append(pa.table({
+            "source": g2["source"],
+            "n_tokens": pa.array(np.zeros(len(g2), dtype=np.int64)),
+            "n_distinct": pc.cast(g2["count_all"], pa.int64())}))
+    return pa.concat_tables(parts) if parts else pa.schema(
+        [("source", pa.string()), ("n_tokens", pa.int64()),
+         ("n_distinct", pa.int64())]).empty_table()
+
+
+def q_vocab_stats(sf_dir: str):
+    """Per-source vocabulary profile: total tokens, distinct tokens, and
+    the type-token ratio (milli) — the Heaps-law / corpus-health numbers
+    a mixture designer reads before weighting sources.
+
+    One pass: each batch emits per-batch-distinct (token-hash, source)
+    rows plus one total-count row per source; ONE hash-keyed exchange
+    makes per-partition distinctness global (a partition owns every row
+    of its hashes), and each partition folds to <= |sources| rows.  The
+    token-hash is the oracle-shared 60-bit md5 prefix, hashed once per
+    DISTINCT token per batch (the digest both engines count, so a
+    collision merges the same pair on both sides)."""
+    import hashlib as _hl
+
+    from engine.stages import hash_group_exchange
+    from engine.text import _split_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(pc.fill_null(txt, "")))
+        counts = offs[1:] - offs[:-1]
+        src = t["source"].to_numpy(zero_copy_only=False)
+        empty = pa.schema([("h", pa.int64()), ("source", pa.string()),
+                           ("n", pa.int64()),
+                           ("kind", pa.int8())]).empty_table()
+        if len(flat) == 0:
+            return empty
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+        tok_src = np.repeat(src, counts)
+        codes, tok_src = codes[keep], tok_src[keep]
+        if len(codes) == 0:
+            return empty
+        # totals per source
+        su, sc = np.unique(tok_src, return_counts=True)
+        # distinct (source, token-code) in this batch
+        scode, sinv = np.unique(tok_src, return_inverse=True)
+        pair = np.unique(np.stack([sinv, codes.astype(np.int64)]), axis=1)
+        hv = _md5_60_str(uniq)            # one md5 per distinct token
+        out_h = hv[pair[1]]
+        out_src = scode[pair[0]]
+        return pa.table({
+            "h": pa.array(np.concatenate(
+                [out_h, -np.arange(1, len(su) + 1, dtype=np.int64)])),
+            "source": pa.array(np.concatenate([out_src, su]),
+                               type=pa.string()),
+            "n": pa.array(np.concatenate(
+                [np.zeros(pair.shape[1], dtype=np.int64), sc])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(pair.shape[1], dtype=np.int8),
+                 np.ones(len(su), dtype=np.int8)]))})
+
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["h"], vocab_fold_block,
+        rows_hint=__import__("pyarrow.parquet", fromlist=["x"])
+        .read_metadata(os.path.join(sf_dir, "documents.parquet"))
+        .num_rows * 64)
+    agg = df.groupby("source", as_index=False).sum() \
+        .sort_values("source", ignore_index=True)
+    nt = agg["n_tokens"].astype(int)
+    nd = agg["n_distinct"].astype(int)
+    return pa.table({
+        "source": pa.array(agg["source"], type=pa.string()),
+        "n_tokens": pa.array(nt, type=pa.int64()),
+        "n_distinct": pa.array(nd, type=pa.int64()),
+        "ttr_milli": pa.array(1000 * nd // nt, type=pa.int64())})
+
+
+def _md5_60_str(vals) -> np.ndarray:
+    """60-bit md5 prefix of each STRING (not str(v) of arbitrary values
+    — tokens are already text), matching
+    ('0x' || substr(md5(w), 1, 15))::BIGINT."""
+    import hashlib as _hl
+    return np.array([int(_hl.md5(str(w).encode("utf-8")).hexdigest()[:15],
+                         16) for w in vals], dtype=np.int64) \
+        if len(vals) else np.zeros(0, dtype=np.int64)
+
+
+SQL_VOCAB_STATS = r"""
+WITH tk AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS w
+  FROM documents
+), d AS (
+  SELECT source, count(*) AS n_tokens,
+         count(DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT)
+           AS n_distinct
+  FROM tk GROUP BY 1
+)
+SELECT source, n_tokens::BIGINT AS n_tokens,
+       n_distinct::BIGINT AS n_distinct,
+       ((1000 * n_distinct) // n_tokens)::BIGINT AS ttr_milli
+FROM d ORDER BY source
+"""
