@@ -1353,3 +1353,139 @@ SELECT source, n_tokens::BIGINT AS n_tokens,
        ((1000 * n_distinct) // n_tokens)::BIGINT AS ttr_milli
 FROM d ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# pairwise source vocabulary overlap (gated)
+# ---------------------------------------------------------------------------
+
+def source_overlap_fold_block(t: pa.Table) -> pa.Table:
+    """token-hash-partition kernel: for every hash this partition owns,
+    expand its source set into ordered source pairs (vectorized segment
+    k-choose-2) and fold to (source_a, source_b, inter) partials, plus
+    per-source distinct-count partials (source_b = '') — |sources|² is
+    tiny, the hash never leaves the partition."""
+    empty = pa.schema([("source_a", pa.string()),
+                       ("source_b", pa.string()),
+                       ("n", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    import pandas as pd
+    g = pa.TableGroupBy(t.select(["h", "source"]), ["h", "source"]) \
+        .aggregate([([], "count_all")])       # global distinct (h, source)
+    h = g["h"].to_numpy(zero_copy_only=False)
+    codes, srcs = pd.factorize(g["source"].to_pandas(), sort=True)
+    order = np.lexsort((codes, h))
+    h2, c2 = h[order], codes[order]
+    new = np.ones(len(h2), dtype=bool)
+    if len(h2) > 1:
+        new[1:] = h2[1:] != h2[:-1]
+    seg_start = np.flatnonzero(new)
+    seg_id = np.cumsum(new) - 1
+    local = np.arange(len(h2), dtype=np.int64) - seg_start[seg_id]
+    b_idx = np.repeat(np.arange(len(h2), dtype=np.int64), local)
+    csl = np.zeros(len(local) + 1, dtype=np.int64)
+    np.cumsum(local, out=csl[1:])
+    a_idx = (np.arange(csl[-1], dtype=np.int64)
+             - np.repeat(csl[:-1], local)
+             + np.repeat(seg_start[seg_id], local))
+    parts = []
+    if len(b_idx):
+        pg = pa.TableGroupBy(pa.table({
+            "source_a": pa.array(srcs[c2[a_idx]], type=pa.string()),
+            "source_b": pa.array(srcs[c2[b_idx]], type=pa.string())}),
+            ["source_a", "source_b"]).aggregate([([], "count_all")])
+        parts.append(pa.table({
+            "source_a": pg["source_a"], "source_b": pg["source_b"],
+            "n": pc.cast(pg["count_all"], pa.int64())}))
+    su, sc = np.unique(c2, return_counts=True)
+    parts.append(pa.table({
+        "source_a": pa.array(srcs[su], type=pa.string()),
+        "source_b": pa.array([""] * len(su), type=pa.string()),
+        "n": pa.array(sc.astype(np.int64))}))
+    return pa.concat_tables(parts)
+
+
+def q_source_overlap(sf_dir: str):
+    """Vocabulary Jaccard between every source pair — which sources say
+    the same things (mixture redundancy, dedup priority across
+    acquisition channels).  Reuses the vocab exchange: distinct
+    (token-hash, source) rows keyed by hash; each partition expands its
+    hashes' source sets into pair partials and per-source vocabulary
+    sizes, so the driver folds |sources|² scalars.  Pairs with an empty
+    intersection are absent (the oracle's inner join)."""
+    import pyarrow.parquet as _pq
+
+    from engine.stages import hash_group_exchange
+    from engine.text import _split_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(pc.fill_null(txt, "")))
+        counts = offs[1:] - offs[:-1]
+        src = t["source"].to_numpy(zero_copy_only=False)
+        empty = pa.schema([("h", pa.int64()),
+                           ("source", pa.string())]).empty_table()
+        if len(flat) == 0:
+            return empty
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+        tok_src = np.repeat(src, counts)
+        codes, tok_src = codes[keep], tok_src[keep]
+        if len(codes) == 0:
+            return empty
+        scode, sinv = np.unique(tok_src, return_inverse=True)
+        pair = np.unique(np.stack([sinv, codes.astype(np.int64)]), axis=1)
+        hv = _md5_60_str(uniq)
+        return pa.table({"h": pa.array(hv[pair[1]]),
+                         "source": pa.array(scode[pair[0]],
+                                            type=pa.string())})
+
+    nrows = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["h"], source_overlap_fold_block, rows_hint=nrows * 64)
+    agg = df.groupby(["source_a", "source_b"], as_index=False).sum()
+    sizes = dict(zip(agg[agg.source_b == ""]["source_a"],
+                     agg[agg.source_b == ""]["n"].astype(int)))
+    pairs = agg[agg.source_b != ""].sort_values(
+        ["source_a", "source_b"], ignore_index=True)
+    inter = pairs["n"].astype(int).to_numpy()
+    va = pairs["source_a"].map(sizes).to_numpy()
+    vb = pairs["source_b"].map(sizes).to_numpy()
+    union = va + vb - inter
+    return pa.table({
+        "source_a": pa.array(pairs["source_a"], type=pa.string()),
+        "source_b": pa.array(pairs["source_b"], type=pa.string()),
+        "inter": pa.array(inter, type=pa.int64()),
+        "jaccard_milli": pa.array(1000 * inter // union, type=pa.int64())})
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH tk AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '\S+')) AS w
+        FROM documents)
+), v AS (
+  SELECT source, count(*) AS nv FROM tk GROUP BY 1
+), i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS inter
+  FROM tk a JOIN tk b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, inter,
+       ((1000 * inter) // (va.nv + vb.nv - inter))::BIGINT
+         AS jaccard_milli
+FROM i
+JOIN v va ON va.source = source_a
+JOIN v vb ON vb.source = source_b
+"""
