@@ -271,12 +271,20 @@ def verify_fold_block(t: pa.Table) -> pa.Table:
     pset = pairs["set"].combine_chunks() \
         if isinstance(pairs["set"], pa.ChunkedArray) else pairs["set"]
     pos = so[np.searchsorted(sd[so], b)]
+    # zero-copy list access: flat value buffers + offsets, sliced per pair
+    # (the loop is per CANDIDATE — inherent to exact verification — but
+    # each step is numpy over views, no per-row as_py materialization)
+    pv = pset.values.to_numpy(zero_copy_only=False)
+    po = pset.offsets.to_numpy(zero_copy_only=False)
+    sv = sset.values.to_numpy(zero_copy_only=False)
+    so_off = sset.offsets.to_numpy(zero_copy_only=False)
     out_a, out_b, out_j = [], [], []
-    for i in range(len(b)):                     # per CANDIDATE, not per doc
-        set_a = np.asarray(pset[i].as_py(), dtype=np.int64)
-        set_b = np.asarray(sset[pos[i]].as_py(), dtype=np.int64)
+    for i in range(len(b)):
+        set_a = pv[po[i]:po[i + 1]]
+        j = pos[i]
+        set_b = sv[so_off[j]:so_off[j + 1]]
         inter = len(np.intersect1d(set_a, set_b, assume_unique=True))
-        union = int(sa[i]) + int(sb_arr[pos[i]]) - inter
+        union = int(sa[i]) + int(sb_arr[j]) - inter
         if union > 0 and 1000 * inter >= TAU_MILLI * union:
             out_a.append(int(a[i]))
             out_b.append(int(b[i]))
