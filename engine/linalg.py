@@ -315,3 +315,106 @@ def q_pca_project(sf_dir: str, k: int = _PCA_K):
 
     return _emb_ds(sf_dir).map_batches(project, batch_format="pyarrow",
                                        batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# closed-form ridge regression (rows-only: matrix solve is not SQL)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1.0
+
+
+def ridge_moment_block(t: pa.Table) -> pa.Table:
+    """One row per block: the normal-equation partials — count, X sums,
+    X^T X (hi/lo), X^T y and y sums — everything the closed-form solve
+    needs, one pass, int64-exact on quantized micros."""
+    schema = pa.schema([("n", pa.int64()),
+                        ("s", pa.list_(pa.int64())),
+                        ("hi", pa.list_(pa.int64())),
+                        ("lo", pa.list_(pa.int64())),
+                        ("xy", pa.list_(pa.int64())),
+                        ("ysum", pa.int64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    q = _quant(_mat64(t))
+    y = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+    g = (q.T @ q)[_GRAM_IU]
+    xy = q.T @ y                             # |q| <= 2^20, |y| small
+    return pa.table({
+        "n": pa.array([t.num_rows], type=pa.int64()),
+        "s": pa.array([q.sum(axis=0)]),
+        "hi": pa.array([g >> 32]),
+        "lo": pa.array([g & np.int64(0xFFFFFFFF)]),
+        "xy": pa.array([xy]),
+        "ysum": pa.array([int(y.sum())], type=pa.int64())})
+
+
+def _ridge_model(sf_dir: str, lam: float = _RIDGE_LAMBDA):
+    """(intercept, weight vector) solving (X_c^T X_c + lam I) w = X_c^T
+    y_c on CENTERED data — the distributed normal equations: the only
+    corpus-size term is one moment row per block."""
+    from engine.io import read_parquet_clean
+    from engine.pipeline import collect_tables
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding", "label"])
+    tabs = [b for b in collect_tables(
+        ds.map_batches(ridge_moment_block, batch_format="pyarrow",
+                       batch_size=None)) if b.num_columns]
+    n = 0
+    s = [0] * _DIM
+    g = [0] * len(_GRAM_IU[0])
+    xy = [0] * _DIM
+    ysum = 0
+    for t in tabs:
+        for r in range(t.num_rows):
+            n += int(t["n"][r].as_py())
+            ysum += int(t["ysum"][r].as_py())
+            for d, v in enumerate(t["s"][r].as_py()):
+                s[d] += int(v)
+            for d, v in enumerate(t["xy"][r].as_py()):
+                xy[d] += int(v)
+            hi, lo = t["hi"][r].as_py(), t["lo"][r].as_py()
+            for c in range(len(g)):
+                g[c] += int(hi[c]) * (1 << 32) + int(lo[c])
+    assert n > 0, "ridge needs rows"
+    G = np.zeros((_DIM, _DIM), dtype=np.float64)
+    G[_GRAM_IU] = np.array(g, dtype=np.float64)
+    G = G + np.triu(G, 1).T
+    sv = np.array(s, dtype=np.float64)
+    xyv = np.array(xy, dtype=np.float64)
+    # center both sides (all on the quantized scale, then dequantize)
+    Gc = (G - np.outer(sv, sv) / n) / (_QS * _QS)
+    xyc = (xyv - sv * (ysum / n)) / _QS
+    w = np.linalg.solve(Gc + lam * np.eye(_DIM), xyc)
+    mean_x = sv / n / _QS
+    intercept = ysum / n - float(mean_x @ w)
+    return intercept, w
+
+
+def q_ridge_probe(sf_dir: str):
+    """Closed-form ridge 'linear probe' of the label column from the
+    embeddings (the standard representation-quality diagnostic).  One
+    distributed moment pass -> driver-side 64x64 solve -> broadcast
+    scoring map; outputs per-vector prediction (6 decimals) plus the
+    residual."""
+    import ray
+    intercept, w = _ridge_model(sf_dir)
+    model_ref = ray.put((intercept, w))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("pred", pa.float64()),
+                              ("resid", pa.float64())]).empty_table()
+        b, wv = ray.get(model_ref)
+        pred = np.round(_mat64(t) @ wv + b, 6)
+        y = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "pred": pa.array(pred),
+                         "resid": pa.array(np.round(y - pred, 6))})
+
+    from engine.io import read_parquet_clean
+    return read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -99,3 +99,32 @@ def test_pca_recovers_planted_subspace(ray_session, tmp_path):
     lead = t[["pc0", "pc1"]].to_numpy()
     assert np.abs(tail).max() < 0.05
     assert np.var(lead[:, 0]) > np.var(lead[:, 1]) > 1.0
+
+
+def test_ridge_probe_matches_single_process(ray_session):
+    """Distributed normal-equation partials reproduce the single-process
+    numpy ridge solve; predictions match and residuals are consistent."""
+    import pyarrow.parquet as pq2
+
+    from engine.linalg import _QS, _RIDGE_LAMBDA, _quant, _ridge_model, \
+        q_ridge_probe
+    m = _full_matrix()
+    t = pq2.read_table(SF_DIR + "/embeddings.parquet", columns=["label"])
+    y = t["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+    q = _quant(m).astype(np.float64) / _QS
+    xc = q - q.mean(axis=0)
+    yc = y - y.mean()
+    w_ref = np.linalg.solve(xc.T @ xc + _RIDGE_LAMBDA * np.eye(64),
+                            xc.T @ yc)
+    b_ref = y.mean() - float(q.mean(axis=0) @ w_ref)
+
+    b, w = _ridge_model(SF_DIR)
+    assert np.allclose(w, w_ref, atol=1e-9)
+    assert abs(b - b_ref) < 1e-9
+
+    got = q_ridge_probe(SF_DIR).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    pred_ref = np.round(m @ w_ref + b_ref, 6)
+    assert np.allclose(got["pred"].to_numpy(), pred_ref, atol=1e-5)
+    # probe actually explains something: residual var < label var
+    assert got["resid"].var() < y.var()
