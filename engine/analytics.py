@@ -1005,3 +1005,62 @@ SELECT user_id::BIGINT AS user_id, event_type AS top_type,
        n::BIGINT AS n_events
 FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# user growth curve (gated)
+# ---------------------------------------------------------------------------
+
+def growth_fold_block(t: pa.Table) -> pa.Table:
+    """user-partition kernel: global first-seen day per user (partition
+    owns the user), folded to per-day new-user counts."""
+    if t.num_rows == 0:
+        return pa.schema([("day", pa.int64()),
+                          ("new_users", pa.int64())]).empty_table()
+    g = pa.TableGroupBy(t.select(["user_id", "d"]), ["user_id"]) \
+        .aggregate([("d", "min")])
+    days, counts = np.unique(
+        pc.cast(g["d_min"], pa.int64()).to_numpy(zero_copy_only=False),
+        return_counts=True)
+    return pa.table({"day": pa.array(days),
+                     "new_users": pa.array(counts.astype(np.int64))})
+
+
+def q_user_growth(sf_dir: str):
+    """Adoption curve: users by FIRST-SEEN day plus the cumulative total
+    — per-batch (user, min-day) partials, ONE user-keyed exchange, then
+    a driver cumsum over <= |days| scalar rows (the only global-prefix
+    term, and it is calendar-bounded, not data-bounded)."""
+    from engine.stages import hash_group_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "d": pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                   86_400_000_000), pa.int64())}),
+            ["user_id"]).aggregate([("d", "min")])
+        return pa.table({"user_id": g["user_id"], "d": g["d_min"]})
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"], growth_fold_block,
+        rows_hint=_nrows(sf_dir, "events") // 8)
+    agg = df.groupby("day", as_index=False).sum().sort_values(
+        "day", ignore_index=True)
+    nu = agg["new_users"].astype(int).to_numpy()
+    return pa.table({
+        "day": pa.array(agg["day"].astype(int), type=pa.int64()),
+        "new_users": pa.array(nu, type=pa.int64()),
+        "cum_users": pa.array(np.cumsum(nu), type=pa.int64())})
+
+
+SQL_USER_GROWTH = """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+  FROM events GROUP BY 1
+)
+SELECT d::BIGINT AS day, count(*)::BIGINT AS new_users,
+       sum(count(*)) OVER (ORDER BY d)::BIGINT AS cum_users
+FROM f GROUP BY d ORDER BY d
+"""
