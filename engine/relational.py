@@ -1051,3 +1051,164 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY n_name
 ORDER BY revenue_micro DESC, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item revenue, top-20 customers
+# ---------------------------------------------------------------------------
+
+_Q10_LO_US = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+_Q10_HI_US = int(np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64))
+_Q10_K = 20
+
+_Q10_SCHEMA = pa.schema([("key", pa.int64()), ("cust", pa.int64()),
+                         ("rev_micro", pa.int64()), ("side", pa.int8())])
+
+
+def q10_okey_fold_block(t: pa.Table) -> pa.Table:
+    """orderkey-partition kernel: attach each qualified order's custkey
+    to its returned-revenue partials; emit (cust, rev) partials."""
+    empty = pa.schema([("cust", pa.int64()),
+                       ("rev_micro", pa.int64())]).empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    key = t["key"].to_numpy(zero_copy_only=False)
+    cust = t["cust"].to_numpy(zero_copy_only=False)
+    rev = t["rev_micro"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, key))
+    key, cust, rev, side = key[order], cust[order], rev[order], side[order]
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_g)
+    grp = np.cumsum(new_g) - 1
+    has_order = side[starts] == 0
+    g_cust = cust[starts]
+    keep = has_order[grp] & (side == 1)
+    if not keep.any():
+        return empty
+    uniq, inv = np.unique(g_cust[grp[keep]], return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, rev[keep])
+    return pa.table({"cust": pa.array(uniq), "rev_micro": pa.array(sums)})
+
+
+def q10_cust_fold_block(t: pa.Table) -> pa.Table:
+    """custkey-partition kernel: fold revenue per customer, keep the
+    partition's local top-20 by (revenue DESC, custkey ASC)."""
+    empty = pa.schema([("cust", pa.int64()),
+                       ("rev_micro", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    cust = t["cust"].to_numpy(zero_copy_only=False)
+    rev = t["rev_micro"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(cust, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, rev)
+    top = np.lexsort((uniq, -sums))[:_Q10_K]
+    return pa.table({"cust": pa.array(uniq[top]),
+                     "rev_micro": pa.array(sums[top])})
+
+
+def q_q10_returned_topk(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED items
+    ('R') on orders placed in 1996-H1, with the customer name joined in.
+
+    Two chained exchanges: orderkey (attach custkey to per-(batch,
+    orderkey) returned-revenue partials — lineitem rows never shuffle)
+    then custkey (global per-customer fold + per-partition partial
+    top-20, so the driver sees <= 20 x partitions rows).  The name
+    lookup reads the customer table pruned to the 20 winners."""
+    from engine.pipeline import collect_tables
+    from engine.stages import hash_group_exchange
+
+    def order_side(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = (od >= _Q10_LO_US) & (od < _Q10_HI_US)
+        if not m.any():
+            return _Q10_SCHEMA.empty_table()
+        okey = pc.cast(t["o_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        cust = pc.cast(t["o_custkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        k = len(okey)
+        return pa.table({"key": pa.array(okey), "cust": pa.array(cust),
+                         "rev_micro": pa.array(np.zeros(k, dtype=np.int64)),
+                         "side": pa.array(np.zeros(k, dtype=np.int8))})
+
+    def line_side(t: pa.Table) -> pa.Table:
+        ret = pc.equal(t["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False)
+        if not ret.any():
+            return _Q10_SCHEMA.empty_table()
+        okey = pc.cast(t["l_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ret]
+        g = pa.TableGroupBy(pa.table({
+            "key": pa.array(okey),
+            "rev": pa.array(_line_rev_micro(t)[ret])}), ["key"]) \
+            .aggregate([("rev", "sum")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "cust": pa.array(np.zeros(m, dtype=np.int64)),
+                         "rev_micro": pc.cast(g["rev_sum"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def union_ds():
+        orders = _table(sf_dir, "orders") \
+            .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_side, batch_format="pyarrow",
+                         batch_size=None)
+        li = _table(sf_dir, "lineitem") \
+            .select_columns(["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"]) \
+            .map_batches(line_side, batch_format="pyarrow",
+                         batch_size=None)
+        return orders.union(li)
+
+    df = hash_group_exchange(
+        union_ds, [["key"], ["cust"]],
+        [q10_okey_fold_block, q10_cust_fold_block],
+        rows_hint=_nrows(sf_dir, "orders") // 2)
+    if df is None or df.empty:
+        return pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                         "c_name": pa.array([], type=pa.string()),
+                         "revenue_micro": pa.array([], type=pa.int64())})
+    agg = df.groupby("cust", as_index=False).sum()
+    agg = agg.sort_values(["rev_micro", "cust"],
+                          ascending=[False, True]).head(_Q10_K)
+    winners = agg["cust"].astype(int).tolist()
+    cust = pa.concat_tables(
+        [x.select(["c_custkey", "c_name"]) for x in collect_tables(
+            read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name"]))
+         if x.num_columns])
+    ck = pc.cast(cust["c_custkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    names = cust["c_name"].to_pylist()
+    name_of = {int(k): n for k, n in zip(ck, names)}
+    return pa.table({
+        "c_custkey": pa.array(winners, type=pa.int64()),
+        "c_name": pa.array([name_of[w] for w in winners],
+                           type=pa.string()),
+        "revenue_micro": pa.array(agg["rev_micro"].astype(int),
+                                  type=pa.int64())})
+
+
+SQL_Q10_RETURNED_TOPK = """
+SELECT c_custkey::BIGINT AS c_custkey, c_name,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)))
+           ::BIGINT AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2
+ORDER BY revenue_micro DESC, c_custkey
+LIMIT 20
+"""
