@@ -1489,3 +1489,92 @@ FROM i
 JOIN v va ON va.source = source_a
 JOIN v vb ON vb.source = source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source unigram entropy (rows-only: log is not value-hash-safe)
+# ---------------------------------------------------------------------------
+
+def entropy_fold_block(t: pa.Table) -> pa.Table:
+    """token-hash-partition kernel: global per-(source, token) counts for
+    the hashes this partition owns, folded to the per-source partials of
+    the exact entropy decomposition H = log N - (sum n*log n) / N."""
+    if t.num_rows == 0:
+        return pa.schema([("source", pa.string()),
+                          ("n", pa.int64()),
+                          ("nlogn", pa.float64())]).empty_table()
+    g = pa.TableGroupBy(t.select(["h", "source", "n"]), ["h", "source"]) \
+        .aggregate([("n", "sum")])
+    n = pc.cast(g["n_sum"], pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    out = pa.TableGroupBy(pa.table({
+        "source": g["source"],
+        "n": pc.cast(g["n_sum"], pa.int64()),
+        "nlogn": pa.array(n * np.log(n))}), ["source"]) \
+        .aggregate([("n", "sum"), ("nlogn", "sum")])
+    return pa.table({"source": out["source"],
+                     "n": pc.cast(out["n_sum"], pa.int64()),
+                     "nlogn": out["nlogn_sum"]})
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-source unigram (token) Shannon entropy in nats, plus the
+    perplexity — how diverse each source's word distribution is (a
+    templated/boilerplate source scores low; the mixture designer's
+    diversity signal next to q_vocab_stats' type-token ratio).
+
+    Exactly decomposable: H = log N - (sum over tokens of n log n) / N,
+    so each token's contribution is computed where its GLOBAL count
+    lives (one token-hash exchange, partition owns the hash) and the
+    driver folds |sources| (N, sum n log n) scalar pairs.  Rows-only
+    (log is not value-hash-safe across engines); pinned against a
+    single-process numpy computation in tests."""
+    import pyarrow.parquet as _pq
+
+    from engine.stages import hash_group_exchange
+    from engine.text import _split_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = _split_tokens(pc.utf8_lower(pc.fill_null(txt, "")))
+        counts = offs[1:] - offs[:-1]
+        src = t["source"].to_numpy(zero_copy_only=False)
+        empty = pa.schema([("h", pa.int64()), ("source", pa.string()),
+                           ("n", pa.int64())]).empty_table()
+        if len(flat) == 0:
+            return empty
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        codes, uniq = pd.factorize(flat.to_pandas(), sort=False)
+        tok_src = np.repeat(src, counts)
+        codes, tok_src = codes[keep], tok_src[keep]
+        if len(codes) == 0:
+            return empty
+        scode, sinv = np.unique(tok_src, return_inverse=True)
+        key = sinv * len(uniq) + codes
+        ku, kc = np.unique(key, return_counts=True)
+        hv = _md5_60_str(uniq)
+        return pa.table({
+            "h": pa.array(hv[ku % len(uniq)]),
+            "source": pa.array(scode[ku // len(uniq)], type=pa.string()),
+            "n": pa.array(kc.astype(np.int64))})
+
+    nrows = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["h"], entropy_fold_block, rows_hint=nrows * 64)
+    agg = df.groupby("source", as_index=False).sum() \
+        .sort_values("source", ignore_index=True)
+    n = agg["n"].astype(float).to_numpy()
+    ent = np.log(n) - agg["nlogn"].to_numpy() / n
+    ent = np.round(ent, 9)
+    return pa.table({
+        "source": pa.array(agg["source"], type=pa.string()),
+        "n_tokens": pa.array(agg["n"].astype(int), type=pa.int64()),
+        "entropy_nats": pa.array(ent, type=pa.float64()),
+        "perplexity": pa.array(np.round(np.exp(ent), 6),
+                               type=pa.float64())})

@@ -696,3 +696,53 @@ def test_corpus_diff_planted_overlapping_classes(ray_session, tmp_path):
         49 + _DIFF_ADD_OFFSET: "added",
     }                                               # id 1: unchanged, absent
     _assert_matches_oracle(str(d), "corpus_diff")
+
+
+def test_token_entropy_matches_single_process(ray_session):
+    """Distributed entropy decomposition == single-process numpy over the
+    same token stream (per source), and a uniform-vs-skewed planted
+    ordering sanity check."""
+    import collections
+
+    import pyarrow.parquet as pq2
+
+    from engine.corpus import q_token_entropy
+    got = q_token_entropy(SF_DIR)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got) \
+        .set_index("source")
+    t = pq2.read_table(SF_DIR + "/documents.parquet",
+                       columns=["source", "text"])
+    acc = collections.defaultdict(collections.Counter)
+    for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        acc[s].update((x or "").lower().split())
+    for s, ctr in acc.items():
+        n = sum(ctr.values())
+        p = np.array(list(ctr.values()), dtype=np.float64) / n
+        h_ref = float(-(p * np.log(p)).sum())
+        assert abs(got.loc[s, "entropy_nats"] - h_ref) < 1e-7, s
+        assert int(got.loc[s, "n_tokens"]) == n
+        assert abs(got.loc[s, "perplexity"] - np.exp(h_ref)) < 1e-4
+
+
+def test_token_entropy_orders_skew(ray_session, tmp_path):
+    """A one-word source scores H=0; a uniform 8-word source scores
+    log 8."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    d = tmp_path / "ent"
+    d.mkdir()
+    texts = ["spam spam spam spam spam spam spam spam",
+             "a b c d e f g h"]
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+        "source": pa.array(["boiler", "diverse"], type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+    }), str(d / "documents.parquet"))
+    from engine.corpus import q_token_entropy
+    got = q_token_entropy(str(d))
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got) \
+        .set_index("source")
+    assert got.loc["boiler", "entropy_nats"] == 0.0
+    assert abs(got.loc["diverse", "entropy_nats"] - np.log(8)) < 1e-9
