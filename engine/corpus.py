@@ -1316,6 +1316,11 @@ def q_vocab_stats(sf_dir: str):
         rows_hint=__import__("pyarrow.parquet", fromlist=["x"])
         .read_metadata(os.path.join(sf_dir, "documents.parquet"))
         .num_rows * 64)
+    if df is None or df.empty or "source" not in df.columns:
+        return pa.schema([("source", pa.string()),
+                          ("n_tokens", pa.int64()),
+                          ("n_distinct", pa.int64()),
+                          ("ttr_milli", pa.int64())]).empty_table()
     agg = df.groupby("source", as_index=False).sum() \
         .sort_values("source", ignore_index=True)
     nt = agg["n_tokens"].astype(int)
@@ -1450,11 +1455,19 @@ def q_source_overlap(sf_dir: str):
         lambda: _docs(sf_dir, ["source", "text"])
         .map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["h"], source_overlap_fold_block, rows_hint=nrows * 64)
+    empty = pa.schema([("source_a", pa.string()),
+                       ("source_b", pa.string()),
+                       ("inter", pa.int64()),
+                       ("jaccard_milli", pa.int64())]).empty_table()
+    if df is None or df.empty or "source_a" not in df.columns:
+        return empty
     agg = df.groupby(["source_a", "source_b"], as_index=False).sum()
     sizes = dict(zip(agg[agg.source_b == ""]["source_a"],
                      agg[agg.source_b == ""]["n"].astype(int)))
     pairs = agg[agg.source_b != ""].sort_values(
         ["source_a", "source_b"], ignore_index=True)
+    if pairs.empty:
+        return empty
     inter = pairs["n"].astype(int).to_numpy()
     va = pairs["source_a"].map(sizes).to_numpy()
     vb = pairs["source_b"].map(sizes).to_numpy()
@@ -1567,6 +1580,11 @@ def q_token_entropy(sf_dir: str):
         lambda: _docs(sf_dir, ["source", "text"])
         .map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["h"], entropy_fold_block, rows_hint=nrows * 64)
+    if df is None or df.empty or "source" not in df.columns:
+        return pa.schema([("source", pa.string()),
+                          ("n_tokens", pa.int64()),
+                          ("entropy_nats", pa.float64()),
+                          ("perplexity", pa.float64())]).empty_table()
     agg = df.groupby("source", as_index=False).sum() \
         .sort_values("source", ignore_index=True)
     n = agg["n"].astype(float).to_numpy()

@@ -340,7 +340,9 @@ def test_filter_oracles_on_random_corpora(ray_session, tmp_path_factory,
                  "dup_ngram_stats", "dup_span_removal",
                  "unigram_commonness", "decontaminate", "cross_corpus_dedup",
                  "corpus_split", "pack_sequences", "top_terms_by_lang",
-                 "shuffle_shards", "keyword_search"):
+                 "shuffle_shards", "keyword_search", "vocab_stats",
+                 "source_overlap", "contamination_report", "corpus_diff",
+                 "ppjoin_pairs"):
         _assert_matches_oracle(str(d), name)
 
 
