@@ -1064,3 +1064,71 @@ SELECT d::BIGINT AS day, count(*)::BIGINT AS new_users,
        sum(count(*)) OVER (ORDER BY d)::BIGINT AS cum_users
 FROM f GROUP BY d ORDER BY d
 """
+
+
+# ---------------------------------------------------------------------------
+# event-type trigram journeys (gated)
+# ---------------------------------------------------------------------------
+
+def trigrams_block(t: pa.Table) -> pa.Table:
+    """Per-partition trigram kernel: lexsort by (user, ts, event_id),
+    mask windows of three consecutive SAME-user rows, partial-count the
+    (e1, e2, e3) trigrams — <= |types|^3 rows out per partition."""
+    n = t.num_rows
+    empty = pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                       ("e3", pa.string()), ("n", pa.int64())]) \
+        .empty_table()
+    if n < 3:
+        return empty
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid, et = uid[order], et[order]
+    same3 = (uid[2:] == uid[:-2]) & (uid[1:-1] == uid[:-2])
+    if not same3.any():
+        return empty
+    g = pa.TableGroupBy(pa.table({
+        "e1": pa.array(et[:-2][same3]),
+        "e2": pa.array(et[1:-1][same3]),
+        "e3": pa.array(et[2:][same3])}), ["e1", "e2", "e3"]) \
+        .aggregate([([], "count_all")])
+    return pa.table({"e1": g["e1"], "e2": g["e2"], "e3": g["e3"],
+                     "n": pc.cast(g["count_all"], pa.int64())})
+
+
+def q_event_trigrams(sf_dir: str):
+    """Third-order user-journey counts: (e1, e2, e3) frequencies over
+    each user's ts-ordered event stream — the sequence-mining step past
+    :func:`q_event_transitions`' bigrams.  Same plan: ONE user-keyed
+    exchange co-locating whole histories, per-partition sort + shifted
+    masks, <= |types|^3 partial rows back."""
+    from engine.stages import hash_group_exchange
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"]),
+        ["user_id"], trigrams_block, collect=True,
+        rows_hint=_nrows(sf_dir, "events"))
+    if df.empty or "e1" not in df.columns:
+        return pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                          ("e3", pa.string()),
+                          ("n", pa.int64())]).empty_table().to_pandas()
+    out = df.groupby(["e1", "e2", "e3"], as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*)::BIGINT AS n
+FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+"""
