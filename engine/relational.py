@@ -1212,3 +1212,105 @@ GROUP BY 1, 2
 ORDER BY revenue_micro DESC, c_custkey
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (gated)
+# ---------------------------------------------------------------------------
+
+def dangling_fold_block(t: pa.Table) -> pa.Table:
+    """FK-partition kernel: a key group with fact partials but NO
+    dimension row is dangling; emit ONE row per partition with the
+    dangling fact-row count."""
+    if t.num_rows == 0:
+        return pa.schema([("n_dangling", pa.int64())]).empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, key))
+    key, cnt, side = key[order], cnt[order], side[order]
+    new_g = np.empty(len(key), dtype=bool)
+    new_g[0] = True
+    new_g[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new_g)
+    grp = np.cumsum(new_g) - 1
+    has_dim = side[starts] == 0
+    n = int(cnt[(~has_dim[grp]) & (side == 1)].sum())
+    return pa.table({"n_dangling": pa.array([n], type=pa.int64())})
+
+
+def _dangling_count(sf_dir: str, fact: str, fact_key: str,
+                    dim: str, dim_key: str) -> int:
+    """Distributed NOT-EXISTS count: per-batch (key, count) fact partials
+    union per-batch-distinct dimension keys through one FK-keyed
+    exchange — neither side broadcasts, fact rows never shuffle."""
+    from engine.stages import hash_group_exchange
+
+    def fact_side(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(t[fact_key], pa.int64())}), ["key"]) \
+            .aggregate([([], "count_all")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "cnt": pc.cast(g["count_all"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def dim_side(t: pa.Table) -> pa.Table:
+        keys = np.unique(pc.cast(t[dim_key], pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        m = len(keys)
+        return pa.table({"key": pa.array(keys),
+                         "cnt": pa.array(np.zeros(m, dtype=np.int64)),
+                         "side": pa.array(np.zeros(m, dtype=np.int8))})
+
+    def union_ds():
+        f = _table(sf_dir, fact).select_columns([fact_key]) \
+            .map_batches(fact_side, batch_format="pyarrow",
+                         batch_size=None)
+        d = _table(sf_dir, dim).select_columns([dim_key]) \
+            .map_batches(dim_side, batch_format="pyarrow",
+                         batch_size=None)
+        return f.union(d)
+
+    df = hash_group_exchange(union_ds, ["key"], dangling_fold_block,
+                             rows_hint=_nrows(sf_dir, dim))
+    return int(df["n_dangling"].sum()) \
+        if df is not None and not df.empty else 0
+
+
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit over the star schema: fact rows whose
+    FK has no dimension row, for the four load-bearing joins.  Each
+    check is one FK-keyed exchange (no broadcast, no driver key sets);
+    a healthy corpus reports zeros — the planted-corruption pytest
+    proves the counts fire."""
+    return pa.table({
+        "dangling_lineitem_order": pa.array(
+            [_dangling_count(sf_dir, "lineitem", "l_orderkey",
+                             "orders", "o_orderkey")], type=pa.int64()),
+        "dangling_order_customer": pa.array(
+            [_dangling_count(sf_dir, "orders", "o_custkey",
+                             "customer", "c_custkey")], type=pa.int64()),
+        "dangling_lineitem_part": pa.array(
+            [_dangling_count(sf_dir, "lineitem", "l_partkey",
+                             "part", "p_partkey")], type=pa.int64()),
+        "dangling_lineitem_supplier": pa.array(
+            [_dangling_count(sf_dir, "lineitem", "l_suppkey",
+                             "supplier", "s_suppkey")], type=pa.int64())})
+
+
+SQL_FK_VIOLATIONS = """
+SELECT
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    AS dangling_lineitem_order,
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+    AS dangling_order_customer,
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+    AS dangling_lineitem_part,
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+     (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+    AS dangling_lineitem_supplier
+"""

@@ -389,3 +389,45 @@ def test_nation_revenue_inner_join_drop(ray_session, star_dir):
     assert out["revenue_micro"].tolist() == [10000 * 95 + 5000 * 100,
                                              2500 * 90]
     assert out["n_items"].tolist() == [2, 1]
+
+
+def test_fk_violations_planted_corruption(ray_session, tmp_path):
+    """A corrupted copy of the fixtures (orphan lineitems + an orphan
+    order) reports exactly the planted counts; the clean fixtures report
+    zeros."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    for t in ("orders", "lineitem", "customer", "part", "supplier"):
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    li = pq.read_table(str(d / "lineitem.parquet"))
+    # 3 orphan lineitems on a nonexistent order; valid part/supp keys
+    extra = li.slice(0, 3).set_column(
+        li.schema.get_field_index("l_orderkey"), "l_orderkey",
+        pa.array([10**9, 10**9, 10**9 + 1], type=li["l_orderkey"].type))
+    pq.write_table(pa.concat_tables([li, extra]),
+                   str(d / "lineitem.parquet"))
+    od = pq.read_table(str(d / "orders.parquet"))
+    extra_o = od.slice(0, 1).set_column(
+        od.schema.get_field_index("o_custkey"), "o_custkey",
+        pa.array([10**9], type=od["o_custkey"].type))
+    # the extra order keeps its (existing) orderkey: it must NOT create
+    # dangling lineitems, only one dangling order->customer edge
+    pq.write_table(pa.concat_tables([od, extra_o]),
+                   str(d / "orders.parquet"))
+
+    from engine.relational import q_fk_violations
+    got = q_fk_violations(str(d)).to_pylist()[0]
+    assert got == {"dangling_lineitem_order": 3,
+                   "dangling_order_customer": 1,
+                   "dangling_lineitem_part": 0,
+                   "dangling_lineitem_supplier": 0}
+
+    clean = q_fk_violations(src).to_pylist()[0]
+    assert set(clean.values()) == {0}
