@@ -1132,3 +1132,119 @@ WITH s AS (
 SELECT e1, e2, e3, count(*)::BIGINT AS n
 FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (gated)
+# ---------------------------------------------------------------------------
+
+def rfm_fold_block(t: pa.Table) -> pa.Table:
+    """custkey-partition kernel: fold per-batch (count, cents, max-date)
+    partials to one row per customer."""
+    if t.num_rows == 0:
+        return pa.schema([("c", pa.int64()), ("f", pa.int64()),
+                          ("mo", pa.int64()), ("r", pa.int64())]) \
+            .empty_table()
+    g = pa.TableGroupBy(t, ["c"]).aggregate(
+        [("f", "sum"), ("mo", "sum"), ("r", "max")])
+    return pa.table({"c": g["c"],
+                     "f": pc.cast(g["f_sum"], pa.int64()),
+                     "mo": pc.cast(g["mo_sum"], pa.int64()),
+                     "r": pc.cast(g["r_max"], pa.int64())})
+
+
+def _qdisc(sorted_vals: np.ndarray, q: float) -> int:
+    """DuckDB quantile_disc convention: sorted[ceil(q*n) - 1]."""
+    n = len(sorted_vals)
+    return int(sorted_vals[max(0, int(np.ceil(q * n)) - 1)])
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation: per customer the Recency (latest order, epoch
+    us), Frequency (orders) and Monetary (totalprice cents) metrics plus
+    1-4 scores cut at the corpus quartiles (quantile_disc convention,
+    score = 1 + #thresholds strictly below the metric — value-based, so
+    ties get equal scores deterministically on both engines).
+
+    One custkey-keyed exchange folds per-batch partials to one row per
+    customer; the quartile thresholds are computed over the collected
+    per-customer table — customer-dimension-sized by the same
+    ``_BROADCAST_MAX`` contract as every customer-scale op here (past
+    it, the swap is the two-pass bucket quantile of
+    engine/robust.py)."""
+    from engine.relational import _BROADCAST_MAX
+    from engine.stages import hash_group_exchange
+
+    assert _nrows(sf_dir, "customer") <= _BROADCAST_MAX, \
+        "customer outgrew the driver-quartile regime: two-pass quantiles"
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "c": pc.cast(t["o_custkey"], pa.int64()),
+            "f": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "mo": pa.array(cents),
+            "r": pc.cast(t["o_orderdate"], pa.int64())}), ["c"]) \
+            .aggregate([("f", "sum"), ("mo", "sum"), ("r", "max")])
+        return pa.table({"c": g["c"],
+                         "f": pc.cast(g["f_sum"], pa.int64()),
+                         "mo": pc.cast(g["mo_sum"], pa.int64()),
+                         "r": pc.cast(g["r_max"], pa.int64())})
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["c"], rfm_fold_block, rows_hint=_nrows(sf_dir, "orders") // 4)
+    if df is None or df.empty or "c" not in df.columns:
+        return pa.schema([
+            ("c_custkey", pa.int64()), ("frequency", pa.int64()),
+            ("monetary_cents", pa.int64()), ("recency_us", pa.int64()),
+            ("f_score", pa.int64()), ("m_score", pa.int64()),
+            ("r_score", pa.int64())]).empty_table()
+    df = df.sort_values("c", ignore_index=True)
+    f = df["f"].astype(int).to_numpy()
+    mo = df["mo"].astype(int).to_numpy()
+    r = df["r"].astype(int).to_numpy()
+
+    def scores(v: np.ndarray) -> np.ndarray:
+        sv = np.sort(v)
+        t25, t50, t75 = (_qdisc(sv, .25), _qdisc(sv, .5), _qdisc(sv, .75))
+        return (1 + (v > t25).astype(np.int64) + (v > t50) + (v > t75))
+
+    return pa.table({
+        "c_custkey": pa.array(df["c"].astype(int), type=pa.int64()),
+        "frequency": pa.array(f), "monetary_cents": pa.array(mo),
+        "recency_us": pa.array(r),
+        "f_score": pa.array(scores(f)),
+        "m_score": pa.array(scores(mo)),
+        "r_score": pa.array(scores(r))})
+
+
+SQL_CUSTOMER_RFM = """
+WITH m AS (
+  SELECT o_custkey AS c, count(*)::BIGINT AS f,
+         sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT))::BIGINT
+           AS mo,
+         max(epoch_us(o_orderdate))::BIGINT AS r
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT quantile_disc(f, 0.25) AS f25, quantile_disc(f, 0.5) AS f50,
+         quantile_disc(f, 0.75) AS f75,
+         quantile_disc(mo, 0.25) AS m25, quantile_disc(mo, 0.5) AS m50,
+         quantile_disc(mo, 0.75) AS m75,
+         quantile_disc(r, 0.25) AS r25, quantile_disc(r, 0.5) AS r50,
+         quantile_disc(r, 0.75) AS r75
+  FROM m
+)
+SELECT c AS c_custkey, f AS frequency, mo AS monetary_cents,
+       r AS recency_us,
+       (1 + (f > f25)::INT + (f > f50)::INT + (f > f75)::INT)::BIGINT
+         AS f_score,
+       (1 + (mo > m25)::INT + (mo > m50)::INT + (mo > m75)::INT)::BIGINT
+         AS m_score,
+       (1 + (r > r25)::INT + (r > r50)::INT + (r > r75)::INT)::BIGINT
+         AS r_score
+FROM m, t
+"""
