@@ -1279,3 +1279,91 @@ WHERE floor(1000.0 * inter / least(sa.n_rare, sb.n_rare) + 0.5)
       >= {_CONT_MIN_MILLI}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source duplication rate (gated)
+# ---------------------------------------------------------------------------
+
+def dup_rate_fold_block(t: pa.Table) -> pa.Table:
+    """content-hash-partition kernel: the partition owns every row of
+    its hashes, so the global canonical (min doc_id) is local; fold to
+    per-source (n_docs, n_dup) partials."""
+    if t.num_rows == 0:
+        return pa.schema([("source", pa.string()),
+                          ("n_docs", pa.int64()),
+                          ("n_dup", pa.int64())]).empty_table()
+    h = t["h"].to_numpy(zero_copy_only=False)
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, h))
+    hs, ds_ = h[order], did[order]
+    new = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        new[1:] = hs[1:] != hs[:-1]
+    canon = ds_[np.flatnonzero(new)][np.cumsum(new) - 1]   # min id per hash
+    is_dup = (ds_ != canon)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    g = pa.TableGroupBy(pa.table({
+        "source": t["source"],
+        "n_docs": pa.array(np.ones(len(h), dtype=np.int64)),
+        "n_dup": pa.array(is_dup[inv].astype(np.int64))}), ["source"]) \
+        .aggregate([("n_docs", "sum"), ("n_dup", "sum")])
+    return pa.table({"source": g["source"],
+                     "n_docs": pc.cast(g["n_docs_sum"], pa.int64()),
+                     "n_dup": pc.cast(g["n_dup_sum"], pa.int64())})
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source EXACT duplication rate: the fraction of each source's
+    docs whose text already exists under a smaller doc_id anywhere in
+    the corpus — the first number a mixture designer asks for per
+    acquisition channel.  Per-batch rows carry only (content-hash,
+    doc_id, source); ONE hash-keyed exchange makes min-id canonical
+    selection global; each partition folds to <= |sources| rows.  Same
+    2^-64 collision trade as q_dedup_exact (text never shuffles); the
+    oracle's md5 makes the same pairing on its side."""
+    import pandas as pd
+
+    from engine.stages import hash_group_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(pc.fill_null(t["text"], "").to_pandas()),
+            index=False).to_numpy().view(np.int64)
+        return pa.table({"h": pa.array(h),
+                         "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "source": t["source"]})
+
+    df = hash_group_exchange(
+        lambda: _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["h"], dup_rate_fold_block, rows_hint=_doc_rows(sf_dir))
+    if df is None or df.empty or "source" not in df.columns:
+        return pa.schema([("source", pa.string()),
+                          ("n_docs", pa.int64()), ("n_dup", pa.int64()),
+                          ("dup_milli", pa.int64())]).empty_table()
+    agg = df.groupby("source", as_index=False).sum() \
+        .sort_values("source", ignore_index=True)
+    n = agg["n_docs"].astype(int).to_numpy()
+    d = agg["n_dup"].astype(int).to_numpy()
+    return pa.table({
+        "source": pa.array(agg["source"], type=pa.string()),
+        "n_docs": pa.array(n, type=pa.int64()),
+        "n_dup": pa.array(d, type=pa.int64()),
+        "dup_milli": pa.array(1000 * d // n, type=pa.int64())})
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH h AS (
+  SELECT doc_id, source, coalesce(text, '') AS ct FROM documents
+), c AS (
+  SELECT ct, min(doc_id) AS canon FROM h GROUP BY 1
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id != canon THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       ((1000 * sum(CASE WHEN doc_id != canon THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS dup_milli
+FROM h JOIN c USING (ct)
+GROUP BY source ORDER BY source
+"""
