@@ -1248,3 +1248,94 @@ SELECT c AS c_custkey, f AS frequency, mo AS monetary_cents,
          AS r_score
 FROM m, t
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user inactivity gaps (gated)
+# ---------------------------------------------------------------------------
+
+def idle_gap_fold_block(t: pa.Table) -> pa.Table:
+    """user-partition kernel: sort each user's whole history once,
+    difference consecutive timestamps, emit one (user, n_gaps, max_gap,
+    sum_gap) row."""
+    if t.num_rows == 0:
+        return pa.schema([("user_id", pa.int64()),
+                          ("n_gaps", pa.int64()),
+                          ("max_gap_us", pa.int64()),
+                          ("sum_gap_us", pa.int64())]).empty_table()
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts = uid[order], ts[order]
+    same = uid[1:] == uid[:-1]
+    gaps = (ts[1:] - ts[:-1])[same]
+    gu = uid[1:][same]
+    users, first_all = np.unique(uid, return_index=True)
+    if len(gaps):
+        gus, inv = np.unique(gu, return_inverse=True)
+        mx = np.zeros(len(gus), dtype=np.int64)
+        np.maximum.at(mx, inv, gaps)
+        sm = np.zeros(len(gus), dtype=np.int64)
+        np.add.at(sm, inv, gaps)
+        cnt = np.bincount(inv).astype(np.int64)
+        pos = np.searchsorted(users, gus)
+        n_gaps = np.zeros(len(users), dtype=np.int64)
+        max_gap = np.zeros(len(users), dtype=np.int64)
+        sum_gap = np.zeros(len(users), dtype=np.int64)
+        n_gaps[pos], max_gap[pos], sum_gap[pos] = cnt, mx, sm
+    else:
+        n_gaps = max_gap = sum_gap = np.zeros(len(users), dtype=np.int64)
+    return pa.table({"user_id": pa.array(users),
+                     "n_gaps": pa.array(n_gaps),
+                     "max_gap_us": pa.array(max_gap),
+                     "sum_gap_us": pa.array(sum_gap)})
+
+
+def q_user_idle_gaps(sf_dir: str):
+    """Per-user inactivity profile: number of between-event gaps, the
+    longest gap, the total idle time and the mean gap (integer us) —
+    the churn-risk / engagement shape.  ONE user-keyed exchange
+    co-locates each history; single-event users report zero gaps (the
+    oracle's coalesce)."""
+    from engine.stages import hash_group_exchange
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts"]),
+        ["user_id"], idle_gap_fold_block,
+        rows_hint=_nrows(sf_dir, "events"))
+    if df is None or df.empty or "user_id" not in df.columns:
+        return pa.schema([
+            ("user_id", pa.int64()), ("n_gaps", pa.int64()),
+            ("max_gap_us", pa.int64()), ("sum_gap_us", pa.int64()),
+            ("mean_gap_us", pa.int64())]).empty_table()
+    df = df.sort_values("user_id", ignore_index=True)
+    n = df["n_gaps"].astype(int).to_numpy()
+    s = df["sum_gap_us"].astype(int).to_numpy()
+    mean = np.where(n > 0, s // np.maximum(n, 1), 0)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].astype(int), type=pa.int64()),
+        "n_gaps": pa.array(n, type=pa.int64()),
+        "max_gap_us": pa.array(df["max_gap_us"].astype(int),
+                               type=pa.int64()),
+        "sum_gap_us": pa.array(s, type=pa.int64()),
+        "mean_gap_us": pa.array(mean, type=pa.int64())})
+
+
+SQL_USER_IDLE_GAPS = """
+WITH s AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id,
+       count(gap)::BIGINT AS n_gaps,
+       coalesce(max(gap), 0)::BIGINT AS max_gap_us,
+       coalesce(sum(gap), 0)::BIGINT AS sum_gap_us,
+       (CASE WHEN count(gap) > 0 THEN sum(gap) // count(gap)
+             ELSE 0 END)::BIGINT AS mean_gap_us
+FROM s GROUP BY 1
+"""
