@@ -418,3 +418,103 @@ def q_ridge_probe(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"]) \
         .map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# label-centroid cosine matrix (gated)
+# ---------------------------------------------------------------------------
+
+def centroid_sum_block(t: pa.Table) -> pa.Table:
+    """Per-block partial: one row per label with its quantized SUM vector
+    and count (cosine is scale-invariant, so sums stand in for means and
+    everything stays integer)."""
+    if t.num_rows == 0:
+        return pa.schema([("label", pa.int64()),
+                          ("s", pa.list_(pa.int64())),
+                          ("n", pa.int64())]).empty_table()
+    q = _quant(_mat64(t))
+    lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(lab, return_inverse=True)
+    sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+    np.add.at(sums, inv, q)
+    return pa.table({
+        "label": pa.array(uniq),
+        "s": pa.array([row for row in sums]),
+        "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+
+def q_label_centroid_cosine(sf_dir: str):
+    """Pairwise cosine between label CENTROIDS of the embedding corpus,
+    reported as the integer signed squared cosine in micro units
+    (sign(dot) * 10^6 * dot^2 // (|a|^2 |b|^2)) so the value gates
+    exactly — no square roots cross an engine boundary.  One pure-map
+    partial pass (one row per label per block); the driver folds
+    |labels| sum vectors in Python bigints and emits |labels|^2/2
+    rows."""
+    from engine.io import read_parquet_clean
+    from engine.pipeline import collect_tables
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding", "label"])
+    tabs = [b for b in collect_tables(
+        ds.map_batches(centroid_sum_block, batch_format="pyarrow",
+                       batch_size=None)) if b.num_columns]
+    acc: dict = {}
+    cnt: dict = {}
+    for t in tabs:
+        for r in range(t.num_rows):
+            lab = int(t["label"][r].as_py())
+            vec = [int(v) for v in t["s"][r].as_py()]
+            if lab in acc:
+                acc[lab] = [a + b for a, b in zip(acc[lab], vec)]
+                cnt[lab] += int(t["n"][r].as_py())
+            else:
+                acc[lab] = vec
+                cnt[lab] = int(t["n"][r].as_py())
+    labels = sorted(acc)
+    la, lb, cos2, nn = [], [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            dot = sum(x * y for x, y in zip(acc[a], acc[b]))
+            na = sum(x * x for x in acc[a])
+            nb = sum(x * x for x in acc[b])
+            sign = 1 if dot >= 0 else -1
+            # parens matter: sign * floor(positive), NOT floor(signed)
+            val = sign * ((1_000_000 * dot * dot) // (na * nb)) \
+                if na and nb else 0
+            la.append(a)
+            lb.append(b)
+            cos2.append(int(val))
+    return pa.table({
+        "label_a": pa.array(la, type=pa.int64()),
+        "label_b": pa.array(lb, type=pa.int64()),
+        "cos2_signed_micro": pa.array(cos2, type=pa.int64())})
+
+
+SQL_LABEL_CENTROID_COSINE = f"""
+WITH gi AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), q AS (
+  SELECT e.label::BIGINT AS label, gi.i,
+         CAST(floor(e.embedding[gi.i] * {float(_QS)} + 0.5) AS BIGINT)
+           AS qi
+  FROM gi JOIN embeddings e USING (vec_id)
+), s AS (
+  SELECT label, i, sum(qi)::BIGINT AS sv FROM q GROUP BY 1, 2
+), d AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.sv::HUGEINT * b.sv::HUGEINT) AS dot
+  FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+), n AS (
+  SELECT label, sum(sv::HUGEINT * sv::HUGEINT) AS nn FROM s GROUP BY 1
+)
+SELECT label_a, label_b,
+       (CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+        * ((1000000 * dot * dot) // (na.nn * nb.nn)))::BIGINT
+         AS cos2_signed_micro
+FROM d
+JOIN n na ON na.label = label_a
+JOIN n nb ON nb.label = label_b
+"""
