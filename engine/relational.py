@@ -1314,3 +1314,121 @@ SELECT
      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
     AS dangling_lineitem_supplier
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecasting revenue change (pure filter-sum)
+# ---------------------------------------------------------------------------
+
+def q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: revenue delta from dropping small discounts — lineitems
+    shipped in 1996 with discount 5-7 % and quantity < 24; revenue =
+    cents * discount_pct summed.  A pure filter-sum: one column-pruned
+    scan, one scalar partial per batch, zero shuffle."""
+    from engine.pipeline import collect_tables
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = pc.cast(t["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                        * 100.0 + 0.5).astype(np.int64)
+        m = (sd >= lo) & (sd < hi) & (qty < 24) & (disc >= 5) & (disc <= 7)
+        rev = int((_cents(t["l_extendedprice"])[m] * disc[m]).sum())
+        return pa.table({"rev": pa.array([rev], type=pa.int64()),
+                         "n": pa.array([int(m.sum())], type=pa.int64())})
+
+    tabs = [x for x in collect_tables(
+        _table(sf_dir, "lineitem").select_columns(
+            ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None))
+        if x.num_columns]
+    rev = sum(int(v) for t in tabs for v in t["rev"].to_pylist())
+    n = sum(int(v) for t in tabs for v in t["n"].to_pylist())
+    return pa.table({"revenue_micro": pa.array([rev], type=pa.int64()),
+                     "n_items": pa.array([n], type=pa.int64())})
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT coalesce(sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+           * CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)), 0)::BIGINT
+         AS revenue_micro,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(floor(l_discount*100.0 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+def q17_fold_block(t: pa.Table) -> pa.Table:
+    """partkey-partition kernel: fold each part's (sum qty, count), then
+    keep rows with 5 * qty * cnt < sum_qty (the integer-exact
+    qty < 0.2 * avg test) and emit one (revenue, n) partial."""
+    if t.num_rows == 0:
+        return pa.schema([("rev", pa.int64()),
+                          ("n", pa.int64())]).empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    qty = t["qty"].to_numpy(zero_copy_only=False)
+    price = t["price"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sq = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sq, inv, qty)
+    cnt = np.bincount(inv).astype(np.int64)
+    keep = 5 * qty * cnt[inv] < sq[inv]
+    return pa.table({
+        "rev": pa.array([int(price[keep].sum())], type=pa.int64()),
+        "n": pa.array([int(keep.sum())], type=pa.int64())})
+
+
+def q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue of lineitems whose quantity is below
+    20 % of their part's corpus-wide average.  The correlated average
+    forces the (qty, price) row pairs through ONE partkey-keyed exchange
+    (16 B/row — the one Q-shape here where fact rows must shuffle, and
+    the oracle of why: the filter depends on the part's GLOBAL mean);
+    each partition folds to a single scalar partial.  The quantity test
+    is integer cross-multiplied (5 * qty * cnt < sum_qty), so no
+    division crosses an engine boundary."""
+    from engine.stages import hash_group_exchange
+
+    def rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["l_partkey"], pa.int64()),
+            "qty": pa.array(t["l_quantity"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "price": pa.array(_cents(t["l_extendedprice"]))})
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(rows, batch_format="pyarrow", batch_size=None),
+        ["key"], q17_fold_block, rows_hint=_nrows(sf_dir, "lineitem"))
+    rev = int(df["rev"].sum()) if df is not None and not df.empty else 0
+    n = int(df["n"].sum()) if df is not None and not df.empty else 0
+    return pa.table({
+        "small_qty_rev_cents": pa.array([rev], type=pa.int64()),
+        "n_items": pa.array([n], type=pa.int64())})
+
+
+SQL_Q17_SMALL_QTY_REVENUE = """
+WITH a AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)),
+                0)::BIGINT AS small_qty_rev_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN a USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+"""
