@@ -395,35 +395,52 @@ WHERE b.bucket < {_VAL_LT}
 # the token-corpus preparation composite (dedup + decontaminate + split)
 # ---------------------------------------------------------------------------
 
-def _prepare_seq_id_refs(sf_dir: str, seq_path: str = None):
-    """Run the dedup + decontaminate stages once, broadcast their id
-    sets: ``(keep_ref, cont_ref, n_keep, n_cont)``.  Ids ride the same
-    broadcast contract as ``curate.ID_BROADCAST_MAX`` (strings here,
-    ~16 B each); beyond it the documented swap is the hash-partitioned
-    semi-join of ``curate_to_parquet``."""
-    import ray
+#: introspection for the scale tests (prepare.LAST_PREPARE twin)
+LAST_PREPARE_SEQ = {"mode": None, "n_keep": 0, "n_cont": 0,
+                    "driver_bytes": 0}
 
-    from engine.curate import ID_BROADCAST_MAX
-    from engine.pipeline import collect_tables
+
+def _prepare_seq_id_datasets(sf_dir: str, seq_path: str = None):
+    """Run the dedup + decontaminate stages once, keeping the id sets as
+    MATERIALIZED id-only Datasets (string ``doc_id``, object store,
+    nothing driver-resident).  Returns
+    ``(keep_ds, cont_ds, n_keep, n_cont)``."""
+    import ray
 
     seq = _seq_ds(sf_dir, ["doc_id", "tokens"]) if seq_path is None else \
         ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"])
-    keep_tbl = pa.concat_tables(
-        [t for t in collect_tables(_sequence_dedup_ds(seq))
-         if t.num_columns])
-    keep = pc.cast(keep_tbl["doc_id"], pa.string()).combine_chunks()
-    cont_tbl = pa.concat_tables(
-        [t for t in collect_tables(
-            q_sequence_decontaminate(sf_dir, seq_path=seq_path)
-            .map_batches(lambda t: t.filter(
-                pc.equal(t["contaminated"], True)).select(["doc_id"]),
-                batch_format="pyarrow")) if t.num_columns])
-    cont = pc.cast(cont_tbl["doc_id"], pa.string()).combine_chunks()
-    if len(keep) > ID_BROADCAST_MAX:
-        raise NotImplementedError(
-            "survivor set beyond the broadcast regime: route through the "
-            "hash-partitioned semi-join (curate_to_parquet recipe)")
-    return (ray.put(keep), ray.put(cont), len(keep), len(cont))
+    keep_ds = _sequence_dedup_ds(seq).map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.string())}),
+        batch_format="pyarrow").materialize()
+    cont_ds = q_sequence_decontaminate(sf_dir, seq_path=seq_path) \
+        .map_batches(lambda t: pa.table({"doc_id": pc.cast(
+            t.filter(pc.equal(t["contaminated"], True))["doc_id"],
+            pa.string())}), batch_format="pyarrow").materialize()
+    return keep_ds, cont_ds, int(keep_ds.count()), int(cont_ds.count())
+
+
+def _collect_str_ids(ds) -> pa.Array:
+    from engine.pipeline import collect_tables
+    tbl = pa.concat_tables([t for t in collect_tables(ds)
+                            if t.num_columns])
+    if tbl.num_rows == 0:
+        return pa.array([], type=pa.string())
+    return pc.cast(tbl["doc_id"], pa.string()).combine_chunks()
+
+
+def _prepare_seq_id_refs(sf_dir: str, seq_path: str = None, datasets=None):
+    """Broadcast-regime form: collect the stage id sets and ``ray.put``
+    them once — ``(keep_ref, cont_ref, n_keep, n_cont)``.  Ids ride the
+    ``curate.ID_BROADCAST_MAX`` contract (strings here, ~16 B each);
+    beyond it callers auto-route to the hash-partitioned semi-join
+    (:func:`_prepared_seq_train_ds`)."""
+    import ray
+
+    keep_ds, cont_ds, n_keep, n_cont = datasets or \
+        _prepare_seq_id_datasets(sf_dir, seq_path=seq_path)
+    keep = _collect_str_ids(keep_ds)
+    cont = _collect_str_ids(cont_ds)
+    return (ray.put(keep), ray.put(cont), n_keep, n_cont)
 
 
 def _sequence_dedup_ds(ds, rows_hint: int = None):
@@ -434,15 +451,34 @@ def _sequence_dedup_ds(ds, rows_hint: int = None):
                      batch_format="pyarrow")
 
 
+def _seq_shard(doc_ids, num_shards: int, shard_hash: str = "md5") \
+        -> np.ndarray:
+    """Shard assignment for prepared sequences.  ``md5`` (gate-compat
+    default: bytes [4:8] of md5(doc_id), append-stable, DuckDB-mirrorable)
+    pays one Python hash per KEPT row; ``fast`` is the C-level
+    pandas-hash twin (``_seq_split_bucket_fast`` precedent — different
+    deterministic placement, rows-only)."""
+    if shard_hash == "fast":
+        import pandas as pd
+        h = pd.util.hash_pandas_object(doc_ids.to_pandas(),
+                                       index=False).to_numpy()
+        return (h % np.uint64(num_shards)).astype(np.int32)
+    import hashlib
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[4:8], "big")
+         % num_shards for s in doc_ids.to_pylist()], dtype=np.int32)
+
+
 class KeepPreparedSeq:
     """Per batch: train split AND dedup survivor AND not contaminated
     (+ the shard column when sharding)."""
 
-    def __init__(self, keep, cont, num_shards=None):
+    def __init__(self, keep, cont, num_shards=None, shard_hash="md5"):
         import ray
         self.keep = ray.get(keep)
         self.cont = ray.get(cont)
         self.num_shards = num_shards
+        self.shard_hash = shard_hash
 
     def __call__(self, t: pa.Table) -> pa.Table:
         b = _seq_split_bucket(t["doc_id"])
@@ -455,29 +491,127 @@ class KeepPreparedSeq:
         kept = t.filter(pa.array(m))
         if self.num_shards is None:
             return kept
-        import hashlib
-        shard = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[4:8], "big")
-             % self.num_shards
-             for s in kept["doc_id"].to_pylist()], dtype=np.int32)
+        shard = _seq_shard(kept["doc_id"], self.num_shards,
+                           self.shard_hash)
         return kept.append_column("shard", pa.array(shard))
 
 
-def q_prepare_sequences(sf_dir: str):
+def _seq_train_split_only(t: pa.Table) -> pa.Table:
+    """KeepPreparedSeq's train-split predicate as a standalone map (the
+    semi-join regime applies the membership tests as joins)."""
+    from engine.corpus import _TRAIN_LT
+    return t.filter(pa.array(_seq_split_bucket(t["doc_id"]) < _TRAIN_LT))
+
+
+def _pack_tokens_bin(t: pa.Table) -> pa.Table:
+    """``tokens: list<int32>`` → ``tokens_bin: large_binary`` by buffer
+    reinterpretation (offsets ×4 over the same values bytes — one memcpy
+    per batch, no per-row work).  Acero's hash join rejects list-typed
+    payload columns but carries binary fine; the semi-join regime packs
+    before its joins and unpacks after, and the round-trip is pinned
+    exact in tests/test_prepare_semijoin.py."""
+    col = t["tokens"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("tokens column must be non-null to pack")
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.int32, copy=False)
+    rel = (off - off[0]) * 4
+    binarr = pa.Array.from_buffers(
+        pa.large_binary(), len(col),
+        [None, pa.py_buffer(rel.tobytes()), pa.py_buffer(flat.tobytes())])
+    idx = t.column_names.index("tokens")
+    return t.remove_column(idx).add_column(idx, "tokens_bin", binarr)
+
+
+def _unpack_tokens_bin(t: pa.Table) -> pa.Table:
+    """Inverse of :func:`_pack_tokens_bin` (bytes → ``list<int32>``)."""
+    col = t["tokens_bin"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    boffs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = data[boffs[0]: boffs[-1]].view(np.int32) if len(col) \
+        else np.empty(0, dtype=np.int32)
+    rel = ((boffs - boffs[0]) // 4).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(rel, type=pa.int32()),
+                                   pa.array(flat, type=pa.int32()))
+    idx = t.column_names.index("tokens_bin")
+    return t.remove_column(idx).add_column(idx, "tokens", lst)
+
+
+def _prepared_seq_train_ds(seq_ds, sf_dir: str, seq_path: str = None,
+                           num_shards: int = None, method: str = None,
+                           shard_hash: str = "md5",
+                           carry_tokens: bool = False):
+    """Regime-dual prepared-train sequences Dataset: train split ∩ dedup
+    survivors − contaminated (+ ``shard`` when ``num_shards``).  Returns
+    ``(kept_ds, n_keep, n_cont, method)``.  Broadcast ≤
+    ``curate.ID_BROADCAST_MAX`` ids (vectorized ``pc.is_in``); past it
+    the id sets stay Datasets and membership is Ray's hash-partitioned
+    ``left_semi`` / ``left_anti`` joins — zero driver-resident id bytes
+    (prepare._prepared_train_ds twin; value-identical output pinned in
+    tests/test_prepare_semijoin.py)."""
+    from engine.curate import ID_BROADCAST_MAX
+
+    keep_ds, cont_ds, n_keep, n_cont = _prepare_seq_id_datasets(
+        sf_dir, seq_path=seq_path)
+    if method is None:
+        method = "broadcast" if max(n_keep, n_cont) <= ID_BROADCAST_MAX \
+            else "semijoin"
+    LAST_PREPARE_SEQ.update(mode=method, n_keep=n_keep, n_cont=n_cont)
+
+    if method == "broadcast":
+        keep_ref, cont_ref, _, _ = _prepare_seq_id_refs(
+            sf_dir, seq_path=seq_path,
+            datasets=(keep_ds, cont_ds, n_keep, n_cont))
+        LAST_PREPARE_SEQ["driver_bytes"] = 16 * (n_keep + n_cont)
+        args = (keep_ref, cont_ref) if num_shards is None else \
+            (keep_ref, cont_ref, num_shards, shard_hash)
+        kept = seq_ds.map_batches(
+            KeepPreparedSeq, fn_constructor_args=args,
+            batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    elif method == "semijoin":
+        LAST_PREPARE_SEQ["driver_bytes"] = 0
+        nparts = max(int(num_shards or 0), 8)
+        kept = seq_ds.map_batches(_seq_train_split_only,
+                                  batch_format="pyarrow")
+        if carry_tokens:
+            # Acero rejects list-typed join payloads: ride the tokens
+            # through as large_binary (zero-copy reinterpretation)
+            kept = kept.map_batches(_pack_tokens_bin,
+                                    batch_format="pyarrow")
+        # an EMPTY materialized right side has no schema, which the hash
+        # join rejects — and the joins degenerate anyway: semi ∩ ∅ = ∅,
+        # anti − ∅ = identity
+        kept = kept.limit(0) if n_keep == 0 else kept.join(
+            keep_ds, "left_semi", num_partitions=nparts, on=("doc_id",))
+        if n_cont > 0:
+            kept = kept.join(cont_ds, "left_anti", num_partitions=nparts,
+                             on=("doc_id",))
+        if carry_tokens:
+            kept = kept.map_batches(_unpack_tokens_bin,
+                                    batch_format="pyarrow")
+        if num_shards is not None:
+            kept = kept.map_batches(
+                lambda t: t.append_column("shard", pa.array(
+                    _seq_shard(t["doc_id"], num_shards, shard_hash))),
+                batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return kept, n_keep, n_cont, method
+
+
+def q_prepare_sequences(sf_dir: str, method: str = None):
     """Gated composite over the token corpus: train split ∩ token-array-
     dedup survivors − token-13-gram-contaminated, one sorted doc_id
     column (the id set ``prepare_sequences_to_parquet`` ships)."""
-    import ray
-
-    from engine.pipeline import collect_tables
-
-    keep_ref, cont_ref, _, _ = _prepare_seq_id_refs(sf_dir)
-    ds = _seq_ds(sf_dir, ["doc_id"]) \
-        .map_batches(KeepPreparedSeq, fn_constructor_args=(keep_ref,
-                                                           cont_ref),
-                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
-    tbl = pa.concat_tables([t for t in collect_tables(ds) if t.num_columns])
-    ids = tbl["doc_id"].to_pandas().sort_values().to_numpy()
+    ds, _, _, _ = _prepared_seq_train_ds(_seq_ds(sf_dir, ["doc_id"]),
+                                         sf_dir, method=method)
+    ids = np.sort(_collect_str_ids(ds).to_numpy(zero_copy_only=False))
     return pa.table({"doc_id": pa.array(ids, type=pa.string())})
 
 
@@ -497,7 +631,9 @@ ORDER BY doc_id
 
 
 def prepare_sequences_to_parquet(seq_dir: str, out_dir: str,
-                                 num_shards: int = 16) -> dict:
+                                 num_shards: int = 16,
+                                 method: str = None,
+                                 shard_hash: str = "md5") -> dict:
     """The shipped form: prepared train sequences as hash-sharded parquet
     (md5-byte shard for append-stable placement, one directory per shard
     for per-shard resume) + a ``_prepare_manifest.json`` of stage
@@ -515,14 +651,11 @@ def prepare_sequences_to_parquet(seq_dir: str, out_dir: str,
         return done
 
     total = ray.data.read_parquet(seq_dir).count()
-    keep_ref, cont_ref, n_keep, n_cont = _prepare_seq_id_refs(
-        None, seq_path=seq_dir)
-    ray.data.read_parquet(seq_dir) \
-        .map_batches(KeepPreparedSeq,
-                     fn_constructor_args=(keep_ref, cont_ref, num_shards),
-                     batch_format="pyarrow", concurrency=(1, 8),
-                     num_cpus=1) \
-        .write_parquet(out_dir, partition_cols=["shard"])
+    kept_ds, n_keep, n_cont, method = _prepared_seq_train_ds(
+        ray.data.read_parquet(seq_dir), None, seq_path=seq_dir,
+        num_shards=num_shards, method=method, shard_hash=shard_hash,
+        carry_tokens=True)
+    kept_ds.write_parquet(out_dir, partition_cols=["shard"])
     kept = int(ray.data.read_parquet(out_dir).count())
     manifest = {
         "input_sequences": int(total),
@@ -530,6 +663,7 @@ def prepare_sequences_to_parquet(seq_dir: str, out_dir: str,
         "contaminated": int(n_cont),
         "train_prepared_sequences": kept,
         "num_shards": int(num_shards),
+        "method": method,
     }
     with open(os.path.join(out_dir, "_prepare_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
