@@ -55,10 +55,10 @@ TAU_MILLI = 500          # Jaccard threshold (milli)
 _SET_T = pa.list_(pa.int64())
 _UNION_SCHEMA = pa.schema([
     ("key", pa.int64()), ("other", pa.int64()), ("kind", pa.int8()),
-    ("s", pa.int64()), ("set", _SET_T)])
+    ("s", pa.int64()), ("set", _SET_T), ("capped", pa.int8())])
 _PAIR_SCHEMA = pa.schema([
     ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-    ("jaccard_milli", pa.int64())])
+    ("jaccard_milli", pa.int64()), ("capped", pa.int8())])
 
 
 def _docs(sf_dir: str):
@@ -165,44 +165,82 @@ def prefix_fold_block(t: pa.Table) -> pa.Table:
                      "s": pa.array(s[keep])})
 
 
-def candidate_fold_block(t: pa.Table) -> pa.Table:
-    """Stage-4 kernel (keyed h over prefixes): expand each posting into
-    ordered (a < b by doc id) candidate pairs, pre-filtered by the
-    length condition tau * s_large <= 1000 * s_small; vectorized
-    segment k-choose-2, per-partition dedup."""
-    if t.num_rows == 0:
-        return _UNION_SCHEMA.empty_table()
-    h = t["h"].to_numpy(zero_copy_only=False)
-    doc = t["doc"].to_numpy(zero_copy_only=False)
-    s = t["s"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, h))
-    h, doc, s = h[order], doc[order], s[order]
-    new = np.ones(len(h), dtype=bool)
-    if len(h) > 1:
-        new[1:] = h[1:] != h[:-1]
-    seg_start = np.flatnonzero(new)
-    seg_id = np.cumsum(new) - 1
-    local = np.arange(len(h), dtype=np.int64) - seg_start[seg_id]
-    b_idx = np.repeat(np.arange(len(h), dtype=np.int64), local)
-    csl = np.zeros(len(local) + 1, dtype=np.int64)
-    np.cumsum(local, out=csl[1:])
-    a_idx = (np.arange(csl[-1], dtype=np.int64)
-             - np.repeat(csl[:-1], local)
-             + np.repeat(seg_start[seg_id], local))
-    if len(b_idx) == 0:
-        return _UNION_SCHEMA.empty_table()
-    a, b = doc[a_idx], doc[b_idx]              # a < b (doc-sorted segments)
-    sa, sb = s[a_idx], s[b_idx]
-    small, large = np.minimum(sa, sb), np.maximum(sa, sb)
-    keep = 1000 * small >= TAU_MILLI * large
-    a, b = a[keep], b[keep]
-    pairs = np.unique(np.stack([a, b]), axis=1)
-    n = pairs.shape[1]
-    return pa.table({
-        "key": pa.array(pairs[0]), "other": pa.array(pairs[1]),
-        "kind": pa.array(np.zeros(n, dtype=np.int8)),
-        "s": pa.array(np.zeros(n, dtype=np.int64)),
-        "set": pa.array([None] * n, type=_SET_T)})
+def _dedup_pairs_keep_capped(a, b, cap):
+    """Unique (a, b) pairs, OR-folding the capped flag of duplicates."""
+    order = np.lexsort((-cap, b, a))
+    a, b, cap = a[order], b[order], cap[order]
+    new = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[new], b[new], cap[new]
+
+
+def make_candidate_fold(max_posting_df: int = None):
+    """Stage-4 kernel factory (keyed h over prefixes): expand each
+    posting into ordered (a < b by doc id) candidate pairs, pre-filtered
+    by the length condition tau * s_large <= 1000 * s_small; vectorized
+    segment k-choose-2, per-partition dedup.
+
+    ``max_posting_df`` is the OPT-IN flood bound (round-5 #2, the
+    ``_BUCKET_CAP`` star fallback of engine/dedup.py): a prefix posting
+    longer than the cap — the df² worst case of a boilerplate-flooded
+    corpus of near-identical tiny docs — degrades from k·(k-1)/2 pairs
+    to a (k-1)-pair STAR on its minimum doc id, and every pair it emits
+    carries ``capped = 1`` all the way to the output so the degrade is
+    LOUD.  Default ``None`` keeps the operator exact (the value-gate
+    contract; ADVICE r3: a silent cap breaks the gate)."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _UNION_SCHEMA.empty_table()
+        h = t["h"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h, doc, s = h[order], doc[order], s[order]
+        new = np.ones(len(h), dtype=bool)
+        if len(h) > 1:
+            new[1:] = h[1:] != h[:-1]
+        seg_start = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        local = np.arange(len(h), dtype=np.int64) - seg_start[seg_id]
+        seg_len = np.diff(np.append(seg_start, len(h)))
+        if max_posting_df is not None:
+            flooded = (seg_len > max_posting_df)[seg_id]
+            # flooded segments: keep only the star edges (min-doc, other)
+            expand = np.where(flooded, np.minimum(local, 1), local)
+            cap_row = flooded.astype(np.int8)
+        else:
+            expand = local
+            cap_row = np.zeros(len(h), dtype=np.int8)
+        b_idx = np.repeat(np.arange(len(h), dtype=np.int64), expand)
+        csl = np.zeros(len(expand) + 1, dtype=np.int64)
+        np.cumsum(expand, out=csl[1:])
+        a_idx = (np.arange(csl[-1], dtype=np.int64)
+                 - np.repeat(csl[:-1], expand)
+                 + np.repeat(seg_start[seg_id], expand))
+        if len(b_idx) == 0:
+            return _UNION_SCHEMA.empty_table()
+        a, b = doc[a_idx], doc[b_idx]          # a < b (doc-sorted segments)
+        sa, sb = s[a_idx], s[b_idx]
+        cap = cap_row[b_idx]
+        small, large = np.minimum(sa, sb), np.maximum(sa, sb)
+        keep = 1000 * small >= TAU_MILLI * large
+        a, b, cap = a[keep], b[keep], cap[keep]
+        a, b, cap = _dedup_pairs_keep_capped(a, b, cap)
+        n = len(a)
+        return pa.table({
+            "key": pa.array(a), "other": pa.array(b),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "s": pa.array(np.zeros(n, dtype=np.int64)),
+            "set": pa.array([None] * n, type=_SET_T),
+            "capped": pa.array(cap)})
+
+    return fold
+
+
+#: the exact default (gate path)
+candidate_fold_block = make_candidate_fold(None)
 
 
 def set_rows_block(t: pa.Table) -> pa.Table:
@@ -219,7 +257,8 @@ def set_rows_block(t: pa.Table) -> pa.Table:
                                                         dtype=np.int64)),
         "kind": pa.array(np.ones(len(du), dtype=np.int8)),
         "s": pa.array(dc.astype(np.int64)),
-        "set": pa.array([x for x in sets], type=_SET_T)})
+        "set": pa.array([x for x in sets], type=_SET_T),
+        "capped": pa.array(np.zeros(len(du), dtype=np.int8))})
 
 
 def attach_a_fold_block(t: pa.Table) -> pa.Table:
@@ -232,22 +271,24 @@ def attach_a_fold_block(t: pa.Table) -> pa.Table:
     pairs = t.filter(pa.array(kind == 0))
     if pairs.num_rows == 0:
         return _UNION_SCHEMA.empty_table()
-    ab = np.unique(np.stack([
+    pa_, pb_, pcap = _dedup_pairs_keep_capped(
         pairs["key"].to_numpy(zero_copy_only=False),
-        pairs["other"].to_numpy(zero_copy_only=False)]), axis=1)
+        pairs["other"].to_numpy(zero_copy_only=False),
+        pairs["capped"].to_numpy(zero_copy_only=False))
     sd = sets["key"].to_numpy(zero_copy_only=False)
     so = np.argsort(sd)
-    pos = np.searchsorted(sd[so], ab[0])
+    pos = np.searchsorted(sd[so], pa_)
     set_col = sets["set"].combine_chunks() \
         if isinstance(sets["set"], pa.ChunkedArray) else sets["set"]
     s_arr = sets["s"].to_numpy(zero_copy_only=False)
     take = pa.array(so[pos])
     return pa.table({
-        "key": pa.array(ab[1]),                # re-key by doc_b
-        "other": pa.array(ab[0]),
-        "kind": pa.array(np.zeros(ab.shape[1], dtype=np.int8)),
+        "key": pa.array(pb_),                  # re-key by doc_b
+        "other": pa.array(pa_),
+        "kind": pa.array(np.zeros(len(pa_), dtype=np.int8)),
         "s": pa.array(s_arr[so[pos]].astype(np.int64)),
-        "set": set_col.take(take)})
+        "set": set_col.take(take),
+        "capped": pa.array(pcap)})
 
 
 def verify_fold_block(t: pa.Table) -> pa.Table:
@@ -268,6 +309,7 @@ def verify_fold_block(t: pa.Table) -> pa.Table:
     b = pairs["key"].to_numpy(zero_copy_only=False)
     a = pairs["other"].to_numpy(zero_copy_only=False)
     sa = pairs["s"].to_numpy(zero_copy_only=False)
+    cap = pairs["capped"].to_numpy(zero_copy_only=False)
     pset = pairs["set"].combine_chunks() \
         if isinstance(pairs["set"], pa.ChunkedArray) else pairs["set"]
     pos = so[np.searchsorted(sd[so], b)]
@@ -278,7 +320,7 @@ def verify_fold_block(t: pa.Table) -> pa.Table:
     po = pset.offsets.to_numpy(zero_copy_only=False)
     sv = sset.values.to_numpy(zero_copy_only=False)
     so_off = sset.offsets.to_numpy(zero_copy_only=False)
-    out_a, out_b, out_j = [], [], []
+    out_a, out_b, out_j, out_c = [], [], [], []
     for i in range(len(b)):
         set_a = pv[po[i]:po[i + 1]]
         j = pos[i]
@@ -289,17 +331,30 @@ def verify_fold_block(t: pa.Table) -> pa.Table:
             out_a.append(int(a[i]))
             out_b.append(int(b[i]))
             out_j.append(1000 * inter // union)
+            out_c.append(int(cap[i]))
     return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
                      "doc_b": pa.array(out_b, type=pa.int64()),
-                     "jaccard_milli": pa.array(out_j, type=pa.int64())})
+                     "jaccard_milli": pa.array(out_j, type=pa.int64()),
+                     "capped": pa.array(out_c, type=pa.int8())})
 
 
-def q_ppjoin_pairs(sf_dir: str):
+def q_ppjoin_pairs(sf_dir: str, max_posting_df: int = None):
     """All document pairs with distinct-word-set Jaccard >= 0.5 — exact
-    (prefix-filtered candidates, fully verified)."""
+    (prefix-filtered candidates, fully verified) when
+    ``max_posting_df`` is None (the gated default, output columns
+    ``doc_a, doc_b, jaccard_milli``).
+
+    ``max_posting_df`` set is the OPT-IN bounded flood mode: prefix
+    postings longer than the cap expand as (k-1)-pair stars instead of
+    k·(k-1)/2 cliques, the output gains a ``capped`` bool column marking
+    pairs discovered through a degraded posting, and ``capped.any()``
+    means the pair set may be INCOMPLETE (every emitted pair is still
+    exactly verified ≥ tau — only recall degrades, never precision)."""
     from engine.stages import hash_group_exchange
 
     nrows = _doc_rows(sf_dir)
+    cand_fold = candidate_fold_block if max_posting_df is None \
+        else make_candidate_fold(max_posting_df)
 
     def prefix_ds():
         return hash_group_exchange(
@@ -307,7 +362,7 @@ def q_ppjoin_pairs(sf_dir: str):
                                       batch_format="pyarrow",
                                       batch_size=None),
             [["h"], ["doc"], ["h"]],
-            [df_fold_block, prefix_fold_block, candidate_fold_block],
+            [df_fold_block, prefix_fold_block, cand_fold],
             collect=False, rows_hint=nrows * 64)
 
     def sets_ds():
@@ -320,9 +375,17 @@ def q_ppjoin_pairs(sf_dir: str):
             prefix_ds().union(sets_ds()), ["key"], attach_a_fold_block,
             collect=False, rows_hint=nrows * 2)
 
-    return hash_group_exchange(
+    out = hash_group_exchange(
         stage_a().union(sets_ds()), ["key"], verify_fold_block,
         collect=False, rows_hint=nrows * 2)
+    if max_posting_df is None:
+        # exact mode: capped is identically 0 — drop it (gate schema)
+        return out.map_batches(
+            lambda t: t.drop_columns(["capped"]), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("capped"), "capped",
+                               pc.cast(t["capped"], pa.bool_())),
+        batch_format="pyarrow")
 
 
 SQL_PPJOIN_PAIRS = rf"""

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -71,6 +72,60 @@ def test_ppjoin_matches_bruteforce_random(ray_session, tmp_path):
     pairs = {(int(r.doc_a), int(r.doc_b)): int(r.jaccard_milli)
              for r in got.itertuples()}
     assert pairs == _brute_pairs(texts, TAU_MILLI)
+
+
+def test_candidate_fold_cap_bounds_expansion():
+    """Unit: a flooded posting (k members) expands to k-1 star pairs
+    under the cap instead of k·(k-1)/2, small postings stay exact, and
+    capped flags mark exactly the flooded segment's pairs."""
+    from engine.ppjoin import make_candidate_fold
+
+    k_flood, k_small = 64, 4
+    t = pa.table({
+        "h": pa.array([1] * k_flood + [2] * k_small, type=pa.int64()),
+        "doc": pa.array(list(range(100, 100 + k_flood))
+                        + list(range(500, 500 + k_small)),
+                        type=pa.int64()),
+        "s": pa.array([10] * (k_flood + k_small), type=pa.int64()),
+    })
+    exact = make_candidate_fold(None)(t)
+    assert exact.num_rows == k_flood * (k_flood - 1) // 2 \
+        + k_small * (k_small - 1) // 2
+    assert not pc.any(pc.cast(exact["capped"], pa.bool_())).as_py()
+
+    capped = make_candidate_fold(8)(t)
+    assert capped.num_rows == (k_flood - 1) + k_small * (k_small - 1) // 2
+    cdf = capped.to_pandas()
+    flood = cdf[cdf.capped == 1]
+    assert len(flood) == k_flood - 1          # the star, all flagged
+    assert (flood.key == 100).all()           # centered on the min doc
+    assert (cdf[cdf.capped == 0].key >= 500).all()   # small seg exact
+
+
+def test_ppjoin_flood_capped_mode(ray_session, tmp_path):
+    """End-to-end flood (near-identical tiny docs — the df² worst case):
+    exact mode still matches brute force; the opt-in bounded mode emits
+    a SUBSET with every pair exactly scored and capped.any() loud."""
+    rng = np.random.RandomState(7)
+    base = "alpha beta gamma delta epsilon"
+    texts = [f"{base} fill{rng.randint(3)}" for _ in range(120)]
+    sf = _write_docs(tmp_path, texts, "flood")
+    from engine.ppjoin import TAU_MILLI, q_ppjoin_pairs
+    want = _brute_pairs(texts, TAU_MILLI)
+
+    exact = q_ppjoin_pairs(sf).to_pandas()
+    assert "capped" not in exact.columns      # gate schema untouched
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.jaccard_milli)
+           for r in exact.itertuples()}
+    assert got == want
+
+    bounded = q_ppjoin_pairs(sf, max_posting_df=8).to_pandas()
+    assert bounded["capped"].dtype == bool and bounded["capped"].any()
+    bgot = {(int(r.doc_a), int(r.doc_b)): int(r.jaccard_milli)
+            for r in bounded.itertuples()}
+    assert set(bgot) <= set(want)             # recall-only degrade
+    assert all(want[p] == j for p, j in bgot.items())  # precision exact
+    assert len(bgot) < len(want)              # the cap actually engaged
 
 
 def test_prefix_len_bound():
