@@ -205,8 +205,10 @@ def q_late_data_watermark(sf_dir: str):
       a distributed sort, which a global order statistic inherently
       needs.
 
-    At 10^12 rows the md5 jitter would swap for the splitmix64 fast twin
-    (the fingerprint_rolling_fast precedent); md5 is kept here because it
+    At 10^12 rows the md5 jitter swaps for the splitmix64 fast twin —
+    registered as ``late_data_watermark_fast`` / ``window_finalize_fast``
+    (rows-only; tests/test_fast_hash.py pins it against a local numpy
+    oracle over the same jitter); md5 stays the gate default because it
     is the digest the DuckDB oracle shares."""
     empty = pa.schema([("event_id", pa.int64()), ("arrival_us", pa.int64()),
                        ("ts_us", pa.int64()), ("late", pa.int64())]) \
@@ -219,12 +221,18 @@ def q_late_data_watermark(sf_dir: str):
         .astype({c: "int64" for c in cols})[cols]
 
 
-def _watermark_exchange(sf_dir: str, block_fn):
+def _watermark_exchange(sf_dir: str, block_fn, jitter: str = "md5"):
     """Shared watermark plan: derive jittered arrivals + range partitions,
     fold the per-partition exclusive prefix-max carry vector, run ONE
     keyed exchange with ``block_fn`` (wm_scan_block for event-level
     output, wm_window_block for in-block window aggregation).  Returns
-    the collected DataFrame, or None when the table is empty."""
+    the collected DataFrame, or None when the table is empty.
+
+    ``jitter`` selects the arrival-delay digest: "md5" (per-row Python,
+    the digest DuckDB shares, so the gate stays value-exact) or "fast"
+    (vectorized splitmix64 — the at-scale twin per the
+    fingerprint_rolling_fast precedent; a different, equally valid
+    pseudo-random arrival order, so rows-only)."""
     import pyarrow.parquet as _pq
 
     from engine.pipeline import collect_tables
@@ -254,12 +262,22 @@ def _watermark_exchange(sf_dir: str, block_fn):
 
     from engine.io import read_parquet_clean
 
+    if jitter == "fast":
+        from engine.dedup import _mix64
+
+        def _jit(eid: np.ndarray) -> np.ndarray:
+            return (_mix64(eid.view(np.uint64))
+                    % np.uint64(_WM_JITTER_US)).astype(np.int64)
+    else:
+        def _jit(eid: np.ndarray) -> np.ndarray:
+            return _md5_60(eid) % _WM_JITTER_US
+
     def derive(t: pa.Table) -> pa.Table:
         eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
             zero_copy_only=False)
         tsu = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
-        arr = tsu + _md5_60(eid) % _WM_JITTER_US
+        arr = tsu + _jit(eid)
         return pa.table({"event_id": pa.array(eid),
                          "ts_us": pa.array(tsu),
                          "arrival_us": pa.array(arr),
@@ -385,6 +403,37 @@ SELECT win::BIGINT AS window,
        sum(late)::BIGINT AS n_late
 FROM f GROUP BY 1 ORDER BY 1
 """
+
+
+def q_late_data_watermark_fast(sf_dir: str):
+    """Rows-only fast twin of :func:`q_late_data_watermark`: the per-row
+    Python md5 arrival jitter swaps for one vectorized splitmix64 over the
+    int64 event_id column — a different (equally valid) pseudo-random
+    arrival order, so no SQL oracle; tests/test_fast_hash.py pins the
+    result against a single-process numpy oracle that replays the same
+    jitter, plus the determinism/range contracts."""
+    empty = pa.schema([("event_id", pa.int64()), ("arrival_us", pa.int64()),
+                       ("ts_us", pa.int64()), ("late", pa.int64())]) \
+        .empty_table()
+    df = _watermark_exchange(sf_dir, wm_scan_block, jitter="fast")
+    if df is None or df.empty:
+        return empty
+    cols = ["event_id", "arrival_us", "ts_us", "late"]
+    return df.sort_values("event_id", ignore_index=True) \
+        .astype({c: "int64" for c in cols})[cols]
+
+
+def q_window_finalize_fast(sf_dir: str):
+    """Rows-only fast twin of :func:`q_window_finalize` (splitmix64
+    arrival jitter; same plan, same driver-state bound)."""
+    df = _watermark_exchange(sf_dir, wm_window_block, jitter="fast")
+    if df is None or df.empty:
+        return pa.schema([("window", pa.int64()), ("n_on_time", pa.int64()),
+                          ("n_late", pa.int64())]).empty_table().to_pandas()
+    out = df.groupby("window", as_index=False)[["n_on_time", "n_late"]] \
+        .sum().sort_values("window", ignore_index=True)
+    return out.astype({"window": "int64", "n_on_time": "int64",
+                       "n_late": "int64"})
 
 
 # ---------------------------------------------------------------------------

@@ -104,3 +104,53 @@ def test_source_mixture_sample_fast_contract(ray_session):
             assert kept == len(grp)
         else:
             assert abs(kept - len(grp) * rate / _RATE_BUCKETS) <= 18
+
+
+def test_late_data_watermark_fast_matches_local_oracle(ray_session):
+    """The splitmix64-jitter watermark scan equals a single-process numpy
+    oracle replaying the identical jitter: same arrival derivation, same
+    exclusive running-max watermark, same lateness verdicts."""
+    import pyarrow.parquet as pq
+    from engine.dedup import _mix64
+    from engine.streaming import (q_late_data_watermark_fast,
+                                  _WM_JITTER_US, _WM_LATENESS_US)
+    got = q_late_data_watermark_fast(SF_DIR)
+    got2 = q_late_data_watermark_fast(SF_DIR)
+    pd.testing.assert_frame_equal(got, got2)     # deterministic
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet",
+                      columns=["event_id", "ts"])
+    eid = t["event_id"].to_numpy().astype(np.int64)
+    tsu = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    jit = (_mix64(eid.view(np.uint64))
+           % np.uint64(_WM_JITTER_US)).astype(np.int64)
+    assert (jit >= 0).all() and (jit < _WM_JITTER_US).all()
+    arr = tsu + jit
+    order = np.lexsort((eid, arr))
+    eid_o, tsu_o, arr_o = eid[order], tsu[order], arr[order]
+    wm = np.empty(len(tsu_o), dtype=np.int64)
+    wm[0] = np.iinfo(np.int64).min
+    if len(tsu_o) > 1:
+        np.maximum.accumulate(tsu_o[:-1], out=wm[1:])
+    late = ((wm != np.iinfo(np.int64).min)
+            & (tsu_o < wm - _WM_LATENESS_US)).astype(np.int64)
+    want = pd.DataFrame({"event_id": eid_o, "arrival_us": arr_o,
+                         "ts_us": tsu_o, "late": late}) \
+        .sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["late"].sum() > 0                 # jitter actually reorders
+
+
+def test_window_finalize_fast_consistent_with_scan(ray_session):
+    """window_finalize_fast is exactly the per-hour-window aggregation of
+    the late_data_watermark_fast scan output."""
+    from engine.streaming import (q_late_data_watermark_fast,
+                                  q_window_finalize_fast)
+    scan = q_late_data_watermark_fast(SF_DIR)
+    scan["window"] = scan["ts_us"] // 3_600_000_000
+    want = scan.groupby("window").agg(
+        n_on_time=("late", lambda s: int((1 - s).sum())),
+        n_late=("late", "sum")).reset_index() \
+        .astype({"window": "int64", "n_on_time": "int64", "n_late": "int64"})
+    got = q_window_finalize_fast(SF_DIR)
+    pd.testing.assert_frame_equal(got, want)
