@@ -203,11 +203,17 @@ def curate_to_parquet(docs_path: str, out_dir: str,
                                   batch_format="pyarrow", concurrency=(1, 8),
                                   num_cpus=1)
     elif method == "semijoin":
-        ids_ds = ray.data.from_arrow(
-            pa.table({"doc_id": pc.cast(ids_tbl["doc_id"], pa.int64())}))
-        out_ds = docs.join(ids_ds, join_type="inner", on=("doc_id",),
-                           num_partitions=max(num_shards, 8)) \
-            .map_batches(add_shard, batch_format="pyarrow")
+        if ids_tbl.num_rows == 0:
+            # inner ∩ ∅ = ∅, and a zero-row join side would lose the
+            # schema broadcast (engine.pipeline.scrub_empty_blocks doc)
+            out_ds = docs.limit(0).map_batches(add_shard,
+                                               batch_format="pyarrow")
+        else:
+            ids_ds = ray.data.from_arrow(
+                pa.table({"doc_id": pc.cast(ids_tbl["doc_id"], pa.int64())}))
+            out_ds = docs.join(ids_ds, join_type="inner", on=("doc_id",),
+                               num_partitions=max(num_shards, 8)) \
+                .map_batches(add_shard, batch_format="pyarrow")
     else:
         raise ValueError(f"unknown method {method!r}")
     out_ds.write_parquet(out_dir, partition_cols=["shard"])

@@ -650,17 +650,18 @@ def clusters_label_propagation(pairs: pa.Table, threshold_milli: int = 500,
         return pa.table({"node": pc.cast(t["node"], pa.int64()),
                          "label": pc.cast(t["label"], pa.int64())})
 
-    ncols_of = ray.remote(num_cpus=0)(lambda t: t.num_columns)
+    shape_of = ray.remote(num_cpus=0)(
+        lambda t: (t.num_columns, t.num_rows))
 
     def scrub_empty(ds):
-        """The hash aggregate emits schema-LESS empty blocks, map_batches
-        is skipped on them, and any that reach a later ``Dataset.join``
-        make its per-partition table lose the key column ("no match for
-        FieldRef node").  Rebuild the dataset from the non-empty block
-        refs — the driver sees per-block column counts, never rows."""
+        """Drop schema-less AND zero-row blocks before the next join
+        (the already-materialized twin of
+        :func:`engine.pipeline.scrub_empty_blocks` — see its docstring
+        for the two join-breaking empty-block hazards).  The driver sees
+        two ints per block, never rows."""
         refs = ds.to_arrow_refs()
-        ncols = ray.get([ncols_of.remote(r) for r in refs])
-        good = [r for r, c in zip(refs, ncols) if c > 0]
+        shapes = ray.get([shape_of.remote(r) for r in refs])
+        good = [r for r, (c, n) in zip(refs, shapes) if c > 0 and n > 0]
         if not good:
             return ray.data.from_arrow(label_schema.empty_table())
         return ray.data.from_arrow_refs(good)

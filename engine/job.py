@@ -22,7 +22,13 @@ import os
 import sys
 
 
+#: True only when THIS process's CLI call ray.init'ed — in-process callers
+#: (tests, embedding apps) keep their session across main() invocations
+_OWNS_RAY = False
+
+
 def _ensure_ray(num_cpus: int | None):
+    global _OWNS_RAY
     import ray
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False,
@@ -30,9 +36,20 @@ def _ensure_ray(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        _OWNS_RAY = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     return ray
+
+
+def _release_ray(ray) -> None:
+    """Shut down Ray only if this CLI started it: ``main()`` invoked
+    in-process (the test suite's session fixture owns Ray) must not kill
+    the caller's session."""
+    global _OWNS_RAY
+    if _OWNS_RAY:
+        ray.shutdown()
+        _OWNS_RAY = False
 
 
 def main(argv=None) -> int:
@@ -204,7 +221,7 @@ def main(argv=None) -> int:
                       version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows,
                           "wall_s": round(time.monotonic() - t0, 3)}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "decode":
@@ -233,7 +250,7 @@ def main(argv=None) -> int:
             for d in rows:
                 append_jsonl(d, args.out)
         print(_json.dumps({"out": args.out, "packets": len(rows)}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "run-hex":
@@ -242,14 +259,14 @@ def main(argv=None) -> int:
         agg = run_hex_job(args.input, args.metadata, args.out,
                           version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "compact":
         ray = _ensure_ray(args.num_cpus)
         from engine.pipeline import compact_sinks
         print(json.dumps(compact_sinks(args.out, args.max_files)))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "replay":
@@ -258,7 +275,7 @@ def main(argv=None) -> int:
         agg = replay_dead_letters(args.out, metadata_path=args.metadata,
                                   version_fallback=args.version_fallback)
         print(json.dumps({"out": args.out, "agg_rows": agg.num_rows}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "agg":
@@ -298,7 +315,7 @@ def main(argv=None) -> int:
                                   quality_min=args.quality_min,
                                   num_shards=args.shards, method=args.method)
         print(json.dumps(stats))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "prepare":
@@ -308,7 +325,7 @@ def main(argv=None) -> int:
                                    quality_min=args.quality_min,
                                    num_shards=args.shards)
         print(json.dumps(stats))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "prepare-seq":
@@ -317,7 +334,7 @@ def main(argv=None) -> int:
         stats = prepare_sequences_to_parquet(args.seq, args.out,
                                              num_shards=args.shards)
         print(json.dumps(stats))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "simjoin":
@@ -330,7 +347,7 @@ def main(argv=None) -> int:
         import pyarrow.dataset as pds
         n = pds.dataset(args.out).count_rows()
         print(json.dumps({"out": args.out, "pairs": int(n)}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "pca":
@@ -341,7 +358,7 @@ def main(argv=None) -> int:
         import pyarrow.dataset as pds
         n = pds.dataset(args.out).count_rows()
         print(json.dumps({"out": args.out, "rows": int(n)}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "leakage":
@@ -357,7 +374,7 @@ def main(argv=None) -> int:
         print(json.dumps({"eval_docs": t.num_rows,
                           "docs_with_leaks": int(leaked),
                           "out": args.out}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "profile":
@@ -370,7 +387,7 @@ def main(argv=None) -> int:
         out = out.count() if hasattr(out, "count") else len(out)
         print(json.dumps({"columns": prof, "median_by_type": med,
                           "n_outliers_3sigma": int(out)}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "corpus":
@@ -381,7 +398,7 @@ def main(argv=None) -> int:
         else:
             out = import_jsonl_corpus(args.src, args.out, table=args.table)
         print(json.dumps({"out": out, "table": args.table}))
-        ray.shutdown()
+        _release_ray(ray)
         return 0
 
     if args.cmd == "metadata":

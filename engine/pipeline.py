@@ -72,21 +72,35 @@ def collect_tables(ds) -> List[pa.Table]:
 
 
 def scrub_empty_blocks(ds, empty_schema: pa.Schema):
-    """Drop schema-LESS empty blocks from a (small) dataset before a
-    ``Dataset.join``.
+    """Drop EMPTY blocks (schema-less or zero-row) from a (small) dataset
+    before a ``Dataset.join``.
 
-    Ray's hash aggregate emits empty blocks with no schema; ``map_batches``
-    SKIPS empty blocks (a normalizing UDF never sees them), and any that
-    reach a later join make its per-partition table lose the key column
-    ("no match for FieldRef").  Materializes ``ds`` (callers pass bounded
-    aggregate/dup-set datasets, never the corpus), checks per-block column
-    counts remotely (the driver sees counts, never rows), and rebuilds the
-    dataset from the non-empty block refs."""
+    Two distinct hazards, both ending in the same per-partition Acero
+    error ("No match ... for key field reference" — the partition table
+    lost its key column):
+
+    * Ray's hash aggregate emits empty blocks with NO schema;
+      ``map_batches`` SKIPS empty blocks (a normalizing UDF never sees
+      them), and any that reach a join leave zero-column partitions.
+    * Ray 2.49's join shuffle broadcasts the input schema to every
+      aggregator with the FIRST block of each side — but
+      ``_shuffle_block`` (hash_shuffle.py:223-225) returns early for a
+      zero-ROW block even in broadcast mode, so when the first block of
+      a sparse side happens to be empty the broadcast is silently
+      swallowed and every partition that receives no real row finalizes
+      as a zero-column table.  Order-dependent, so it flakes.
+
+    Zero-row blocks contribute nothing to a join, so dropping both kinds
+    is semantics-free.  Materializes ``ds`` (callers pass bounded
+    aggregate/id-set datasets, never the corpus), checks per-block shape
+    remotely (the driver sees two ints per block, never rows), and
+    rebuilds the dataset from the non-empty block refs."""
     ds = ds.materialize()
-    ncols_of = ray.remote(num_cpus=0)(lambda t: t.num_columns)
+    shape_of = ray.remote(num_cpus=0)(
+        lambda t: (t.num_columns, t.num_rows))
     refs = ds.to_arrow_refs()
-    ncols = ray.get([ncols_of.remote(r) for r in refs])
-    good = [r for r, c in zip(refs, ncols) if c > 0]
+    shapes = ray.get([shape_of.remote(r) for r in refs])
+    good = [r for r, (c, n) in zip(refs, shapes) if c > 0 and n > 0]
     if not good:
         return ray.data.from_arrow(empty_schema.empty_table())
     return ray.data.from_arrow_refs(good)

@@ -183,17 +183,22 @@ def _prepared_train_ds(docs_ds, sf_dir: str, quality_min: int,
             KeepPrepared, fn_constructor_args=args,
             batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
     elif method == "semijoin":
+        from engine.pipeline import scrub_empty_blocks
         LAST_PREPARE["driver_bytes"] = 0
         nparts = max(int(num_shards or 0), 8)
+        id_schema = pa.schema([("doc_id", pa.int64())])
         kept = docs_ds.map_batches(_train_split_only,
                                    batch_format="pyarrow")
-        # an EMPTY materialized right side has no schema, which the hash
-        # join rejects — and the joins degenerate anyway: semi ∩ ∅ = ∅,
-        # anti − ∅ = identity
+        # the joins degenerate on an empty right side anyway (semi ∩ ∅ =
+        # ∅, anti − ∅ = identity), and the id Datasets must be scrubbed
+        # of zero-row blocks — a sparse side whose first shuffled block
+        # is empty loses the schema broadcast (scrub_empty_blocks doc)
         kept = kept.limit(0) if n_cur == 0 else kept.join(
-            cur_ds, "left_semi", num_partitions=nparts, on=("doc_id",))
+            scrub_empty_blocks(cur_ds, id_schema), "left_semi",
+            num_partitions=nparts, on=("doc_id",))
         if n_con > 0:
-            kept = kept.join(con_ds, "left_anti", num_partitions=nparts,
+            kept = kept.join(scrub_empty_blocks(con_ds, id_schema),
+                             "left_anti", num_partitions=nparts,
                              on=("doc_id",))
         if num_shards is not None:
             kept = kept.map_batches(

@@ -584,13 +584,18 @@ def _prepared_seq_train_ds(seq_ds, sf_dir: str, seq_path: str = None,
             # through as large_binary (zero-copy reinterpretation)
             kept = kept.map_batches(_pack_tokens_bin,
                                     batch_format="pyarrow")
-        # an EMPTY materialized right side has no schema, which the hash
-        # join rejects — and the joins degenerate anyway: semi ∩ ∅ = ∅,
-        # anti − ∅ = identity
+        # the joins degenerate on an empty right side anyway (semi ∩ ∅ =
+        # ∅, anti − ∅ = identity), and the id Datasets must be scrubbed
+        # of zero-row blocks — a sparse side whose first shuffled block
+        # is empty loses the schema broadcast (scrub_empty_blocks doc)
+        from engine.pipeline import scrub_empty_blocks
+        id_schema = pa.schema([("doc_id", pa.string())])
         kept = kept.limit(0) if n_keep == 0 else kept.join(
-            keep_ds, "left_semi", num_partitions=nparts, on=("doc_id",))
+            scrub_empty_blocks(keep_ds, id_schema), "left_semi",
+            num_partitions=nparts, on=("doc_id",))
         if n_cont > 0:
-            kept = kept.join(cont_ds, "left_anti", num_partitions=nparts,
+            kept = kept.join(scrub_empty_blocks(cont_ds, id_schema),
+                             "left_anti", num_partitions=nparts,
                              on=("doc_id",))
         if carry_tokens:
             kept = kept.map_batches(_unpack_tokens_bin,
