@@ -44,6 +44,11 @@ _K = 8
 _ITERS = 4
 _QUANT = 1_000_000.0
 
+#: driver-state introspection (the simsearch LAST_* precedent): filled by
+#: q_kmeans_train so tests can assert the documented O(K x (dim+2)) driver
+#: bound per pass — partial rows grow with BLOCK count only, never rows.
+LAST_KMEANS: dict = {}
+
 
 def _quant(M: np.ndarray) -> np.ndarray:
     return np.floor(M * _QUANT + 0.5).astype(np.int64)
@@ -154,6 +159,11 @@ def q_kmeans_train(sf_dir: str) -> pa.Table:
     # instead of re-reading parquet every pass (the classify.py
     # feature-table precedent; at 10^12 vectors the store spills)
     ds = _emb(sf_dir).materialize()
+    n_blocks = ds.num_blocks()
+    LAST_KMEANS.clear()
+    LAST_KMEANS.update({"n_blocks": n_blocks, "passes": _ITERS,
+                        "partial_rows": [],
+                        "driver_elems": _K * (Cq.shape[1] + 2)})
     cnt = inert = None
     for _ in range(_ITERS):
         ref = ray.put(Cq)
@@ -161,6 +171,8 @@ def q_kmeans_train(sf_dir: str) -> pa.Table:
             _LloydPartial, fn_constructor_args=(ref,),
             batch_format="pyarrow", batch_size=None,
             concurrency=(1, 8), num_cpus=1)) if p.num_rows]
+        LAST_KMEANS["partial_rows"].append(
+            sum(p.num_rows for p in parts))
         k, dim = Cq.shape
         cnt = np.zeros(k, dtype=np.int64)
         inert = np.zeros(k, dtype=np.int64)

@@ -45,6 +45,12 @@ _QS = 1 << 20          # quantization scale (micros, binary)
 _DIM = 64              # embedding width of the fixture corpus
 _RP_K = 16             # random-projection output dims
 
+#: driver-state introspection (the simsearch LAST_* precedent): every
+#: model/fold below records how many partial rows it ingested and the
+#: driver-resident element count, so tests can assert the documented
+#: O(d^2) / O(labels) bounds instead of trusting the docstrings.
+LAST_LINALG: dict = {}
+
 
 def _emb_ds(sf_dir: str):
     from engine.io import read_parquet_clean
@@ -140,6 +146,7 @@ def q_embedding_gram(sf_dir: str):
         prev = acc.get(k, (0, 0))
         acc[k] = (prev[0] + int(hi), prev[1] + int(lo))
     keys = sorted(acc)
+    LAST_LINALG["gram"] = {"fold_rows": len(df), "driver_cells": len(acc)}
     grams = [acc[k][0] * (1 << 32) + acc[k][1] for k in keys]
     assert all(-(1 << 63) <= g < (1 << 63) for g in grams), \
         "gram outgrew int64: rescale _QS"
@@ -274,6 +281,9 @@ def _pca_model(sf_dir: str, k: int = _PCA_K):
             hi, lo = t["hi"][r].as_py(), t["lo"][r].as_py()
             for c in range(len(g_tot)):
                 g_tot[c] += int(hi[c]) * (1 << 32) + int(lo[c])
+    LAST_LINALG["pca"] = {
+        "partial_rows": sum(t.num_rows for t in tabs),
+        "driver_elems": 1 + _DIM + len(g_tot)}
     assert n_total > 1, "PCA needs >= 2 rows"
     g = np.zeros((_DIM, _DIM), dtype=np.float64)
     g[_GRAM_IU] = np.array(g_tot, dtype=np.float64)
@@ -376,6 +386,9 @@ def _ridge_model(sf_dir: str, lam: float = _RIDGE_LAMBDA):
             hi, lo = t["hi"][r].as_py(), t["lo"][r].as_py()
             for c in range(len(g)):
                 g[c] += int(hi[c]) * (1 << 32) + int(lo[c])
+    LAST_LINALG["ridge"] = {
+        "partial_rows": sum(t.num_rows for t in tabs),
+        "driver_elems": 2 + 2 * _DIM + len(g)}
     assert n > 0, "ridge needs rows"
     G = np.zeros((_DIM, _DIM), dtype=np.float64)
     G[_GRAM_IU] = np.array(g, dtype=np.float64)
@@ -472,6 +485,9 @@ def q_label_centroid_cosine(sf_dir: str):
                 acc[lab] = vec
                 cnt[lab] = int(t["n"][r].as_py())
     labels = sorted(acc)
+    LAST_LINALG["centroid"] = {
+        "partial_rows": sum(t.num_rows for t in tabs),
+        "driver_vectors": len(acc)}
     la, lb, cos2, nn = [], [], [], []
     for i, a in enumerate(labels):
         for b in labels[i + 1:]:

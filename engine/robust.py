@@ -15,8 +15,11 @@ extend the engine's profiling family alongside engine/sketch.py):
   each median rank, and pass 2 re-scans only rows inside those target
   buckets to count exact values (<= 32 distinct cents per type return).
   Hot groups cost nothing extra — the scan is embarrassingly parallel
-  both passes.  For 64-bit value domains the same refinement nests
-  (radix 2^21 x 3 passes); the rank arithmetic is unchanged.
+  both passes.  For 64-bit value domains the same refinement nests:
+  :func:`exact_median_by_group` takes an arbitrary radix ladder
+  (``MED_SHIFTS_64 = [42, 21, 0]`` covers the full int64 range in three
+  passes of <= 2^22 live buckets each), property-tested against a
+  sorted-scan oracle; the rank arithmetic is unchanged.
 * ``q_user_funnel`` — ordered-funnel conversion counts (first view <
   first click < first purchase per user): per-batch conditional-min
   partials collapse each batch to <= 3 rows per active user, ONE
@@ -72,16 +75,8 @@ def _cents(col) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _MED_SHIFT = 5          # pass-1 bucket = cents >> 5 (32-cent coarse bins)
-
-
-def _median_pass1(t: pa.Table) -> pa.Table:
-    cents = _cents(t["value"])
-    g = pa.TableGroupBy(
-        pa.table({"event_type": t["event_type"],
-                  "bucket": pa.array(cents >> _MED_SHIFT)}),
-        ["event_type", "bucket"]).aggregate([([], "count_all")])
-    return pa.table({"event_type": g["event_type"], "bucket": g["bucket"],
-                     "cnt": pc.cast(g["count_all"], pa.int64())})
+MED_SHIFTS_64 = [42, 21, 0]   # full-int64-domain ladder (<= 2^22 live
+#                               buckets per pass; 3 passes)
 
 
 def _fold_partials(ds, keys: list) -> pa.Table | None:
@@ -102,80 +97,138 @@ def _fold_partials(ds, keys: list) -> pa.Table | None:
                      **{c: g[f"{c}_sum"] for c in vals}})
 
 
-def q_median_value_by_type(sf_dir: str):
-    """Exact per-event-type median of ``value`` (as ``2*median`` in cents
-    so even-count interpolation stays integer), via two scans and O(1)
-    driver state per coarse bucket — see the module docstring."""
-    folded = _fold_partials(
-        _events(sf_dir, ["event_type", "value"])
-        .map_batches(_median_pass1, batch_format="pyarrow",
-                     batch_size=None), ["event_type", "bucket"])
-    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+# driver-state introspection (the simsearch LAST_* precedent): filled by
+# exact_median_by_group on every call so tests can assert the documented
+# O(groups x buckets) bounds instead of trusting the docstrings
+LAST_MEDIAN: dict = {}
+
+
+def exact_median_by_group(make_ds, key_col: str, val_fn, shifts):
+    """EXACT distributed per-group median by nested histogram refinement
+    — ``len(shifts)`` full scans, never co-locating a group.
+
+    ``make_ds()`` yields the Dataset; ``val_fn(table) -> int64 ndarray``
+    extracts the value column; ``shifts`` is a strictly decreasing radix
+    ladder ending in 0 — ``[5, 0]`` is the two-pass cents plan (32-cent
+    coarse bins), ``[42, 21, 0]`` covers the FULL int64 domain in three
+    passes of <= 2^22 live buckets each (the "radix 2^21 x 3 passes"
+    nesting).  Arithmetic shift floors, so bucket order is value order
+    for negatives too.
+
+    Pass 1 folds per-(group, v >> shifts[0]) counts; the driver finds the
+    bucket holding each of the two median ranks.  Every later pass
+    re-scans only rows inside the <= 2 target buckets per group and
+    refines one more radix level; at shift 0 the bucket IS the value.
+    Driver state per pass: pass 1 <= groups x min(n, domain >> shifts[0])
+    bucket rows, pass k >= 2 <= groups x 2 x 2^(shifts[k-1] - shifts[k]).
+
+    Returns (key, n, med2) — med2 = sum of the two middle order
+    statistics, so even-count interpolation stays integer-exact."""
+    assert shifts and shifts[-1] == 0 and \
+        all(a > b for a, b in zip(shifts, shifts[1:]))
+    empty = pa.table({"key": pa.array([], type=pa.string()),
                       "n": pa.array([], type=pa.int64()),
-                      "med2_cents": pa.array([], type=pa.int64())})
+                      "med2": pa.array([], type=pa.int64())})
+    LAST_MEDIAN.clear()
+    LAST_MEDIAN.update({"passes": len(shifts), "fold_rows": []})
+
+    def p1(t: pa.Table) -> pa.Table:
+        v = val_fn(t)
+        g = pa.TableGroupBy(
+            pa.table({"key": t[key_col], "bucket": pa.array(v >> shifts[0])}),
+            ["key", "bucket"]).aggregate([([], "count_all")])
+        return pa.table({"key": g["key"], "bucket": g["bucket"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    folded = _fold_partials(
+        make_ds().map_batches(p1, batch_format="pyarrow", batch_size=None),
+        ["key", "bucket"])
     if folded is None:
         return empty
-    hist = folded.to_pandas() \
-        .sort_values(["event_type", "bucket"], ignore_index=True)
+    LAST_MEDIAN["fold_rows"].append(folded.num_rows)
 
-    # per type: the two 0-indexed median ranks and, for each, the coarse
-    # bucket holding it plus the count of rows in buckets strictly below
-    targets: dict[str, dict[int, list[tuple[int, int]]]] = {}
-    totals: dict[str, int] = {}
-    for etype, gdf in hist.groupby("event_type", sort=True, dropna=False):
+    # state per key: total n, and per target rank its current bucket
+    # (prefix at the last-resolved shift) + rank local to that bucket
+    totals: dict = {}
+    targets: dict = {}          # key -> {rank: (prefix, local_rank)}
+    hist = folded.to_pandas() \
+        .sort_values(["key", "bucket"], ignore_index=True)
+    for key, gdf in hist.groupby("key", sort=True, dropna=False):
         cnt = gdf["cnt"].to_numpy()
         buckets = gdf["bucket"].to_numpy()
         cum = cnt.cumsum()
         n = int(cum[-1])
-        totals[etype] = n
-        per_bucket = targets.setdefault(etype, {})
-        for rank in ((n - 1) // 2, n // 2):
+        totals[key] = n
+        tgt = targets.setdefault(key, {})
+        for rank in {(n - 1) // 2, n // 2}:
             i = int(np.searchsorted(cum, rank + 1))
             below = int(cum[i - 1]) if i else 0
-            per_bucket.setdefault(int(buckets[i]), []).append(
-                (rank, rank - below))
+            tgt[rank] = (int(buckets[i]), rank - below)
 
-    # pass 2: count exact cents inside the <= 2 target buckets per type
-    def pass2(t: pa.Table) -> pa.Table:
-        cents = _cents(t["value"])
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        mask = np.zeros(len(cents), dtype=bool)
-        bkt = cents >> _MED_SHIFT
-        for etype, per_bucket in targets.items():
-            mask |= (et == etype) & np.isin(bkt, list(per_bucket))
-        sub = pa.table({"event_type": pa.array(et[mask], type=pa.string()),
-                        "cents": pa.array(cents[mask])})
-        g = pa.TableGroupBy(sub, ["event_type", "cents"]) \
-            .aggregate([([], "count_all")])
-        return pa.table({"event_type": g["event_type"], "cents": g["cents"],
-                         "cnt": pc.cast(g["count_all"], pa.int64())})
+    for li in range(1, len(shifts)):
+        prev_shift, s = shifts[li - 1], shifts[li]
+        pref_sets = {k: {p for p, _ in tgt.values()}
+                     for k, tgt in targets.items()}
 
-    folded2 = _fold_partials(
-        _events(sf_dir, ["event_type", "value"])
-        .map_batches(pass2, batch_format="pyarrow", batch_size=None),
-        ["event_type", "cents"])
-    fine = folded2.to_pandas() \
-        .sort_values(["event_type", "cents"], ignore_index=True)
+        def pn(t: pa.Table, _ps=prev_shift, _s=s,
+               _pref=pref_sets) -> pa.Table:
+            v = val_fn(t)
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            pb = v >> _ps
+            mask = np.zeros(len(v), dtype=bool)
+            for key, prefixes in _pref.items():
+                mask |= (k == key) & np.isin(pb, list(prefixes))
+            g = pa.TableGroupBy(
+                pa.table({"key": pa.array(k[mask], type=pa.string()),
+                          "pbkt": pa.array(pb[mask]),
+                          "bucket": pa.array(v[mask] >> _s)}),
+                ["key", "pbkt", "bucket"]).aggregate([([], "count_all")])
+            return pa.table({"key": g["key"], "pbkt": g["pbkt"],
+                             "bucket": g["bucket"],
+                             "cnt": pc.cast(g["count_all"], pa.int64())})
 
-    out_t, out_n, out_m = [], [], []
-    for etype in sorted(targets):
-        picked: dict[int, int] = {}
-        gdf = fine[fine["event_type"] == etype]
-        cents_v = gdf["cents"].to_numpy()
-        bkt = cents_v >> _MED_SHIFT
-        cnt = gdf["cnt"].to_numpy()
-        for b, ranks in targets[etype].items():
-            in_b = bkt == b
-            vals, cums = cents_v[in_b], cnt[in_b].cumsum()
-            for rank, local in ranks:
-                picked[rank] = int(vals[np.searchsorted(cums, local + 1)])
-        n = totals[etype]
-        out_t.append(etype)
+        folded = _fold_partials(
+            make_ds().map_batches(pn, batch_format="pyarrow",
+                                  batch_size=None),
+            ["key", "pbkt", "bucket"])
+        LAST_MEDIAN["fold_rows"].append(folded.num_rows)
+        fine = folded.to_pandas() \
+            .sort_values(["key", "pbkt", "bucket"], ignore_index=True)
+        by_kp = {kp: gdf for kp, gdf in fine.groupby(["key", "pbkt"],
+                                                     sort=False)}
+        for key, tgt in targets.items():
+            for rank, (prefix, local) in tgt.items():
+                gdf = by_kp[(key, prefix)]
+                cum = gdf["cnt"].to_numpy().cumsum()
+                i = int(np.searchsorted(cum, local + 1))
+                below = int(cum[i - 1]) if i else 0
+                tgt[rank] = (int(gdf["bucket"].to_numpy()[i]), local - below)
+
+    out_k, out_n, out_m = [], [], []
+    for key in sorted(targets):
+        n = totals[key]
+        picked = {rank: prefix for rank, (prefix, _) in targets[key].items()}
+        out_k.append(key)
         out_n.append(n)
         out_m.append(picked[(n - 1) // 2] + picked[n // 2])
-    return pa.table({"event_type": pa.array(out_t, type=pa.string()),
+    return pa.table({"key": pa.array(out_k, type=pa.string()),
                      "n": pa.array(out_n, type=pa.int64()),
-                     "med2_cents": pa.array(out_m, type=pa.int64())})
+                     "med2": pa.array(out_m, type=pa.int64())})
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact per-event-type median of ``value`` (as ``2*median`` in cents
+    so even-count interpolation stays integer), via two scans and O(1)
+    driver state per coarse bucket — see the module docstring.  The cents
+    domain needs one refinement level (shifts [5, 0]); a 64-bit domain
+    runs the same engine with shifts [42, 21, 0]
+    (tests/test_robust.py pins that nesting against a sorted-scan
+    oracle)."""
+    res = exact_median_by_group(
+        lambda: _events(sf_dir, ["event_type", "value"]),
+        "event_type", lambda t: _cents(t["value"]), [_MED_SHIFT, 0])
+    return pa.table({"event_type": res["key"], "n": res["n"],
+                     "med2_cents": res["med2"]})
 
 
 SQL_MEDIAN_VALUE_BY_TYPE = """

@@ -128,3 +128,52 @@ def test_ridge_probe_matches_single_process(ray_session):
     assert np.allclose(got["pred"].to_numpy(), pred_ref, atol=1e-5)
     # probe actually explains something: residual var < label var
     assert got["resid"].var() < y.var()
+
+
+def test_driver_state_bounds_flooded_corpus(ray_session, tmp_path):
+    """Round-5 #6: the LAST_LINALG / LAST_KMEANS counters prove the
+    docstrings' driver-state claims on a 40x-flooded corpus — partial
+    rows scale with BLOCK count only, driver elements with d^2 / K only,
+    never with row count."""
+    import ray
+
+    rng = np.random.RandomState(3)
+    n = 20_000                                  # 40x the fixture corpus
+    x = rng.randn(n, 64).astype(np.float32)
+    d = tmp_path / "flood"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 5).astype(np.int32)),
+    }), str(d / "embeddings.parquet"))
+
+    from engine import cluster, linalg
+    cells = 64 * 65 // 2
+
+    linalg.q_embedding_gram(str(d))
+    g = linalg.LAST_LINALG["gram"]
+    assert g["driver_cells"] == cells            # exactly d(d+1)/2
+    assert g["fold_rows"] <= 4 * cells           # one row/cell/partition
+
+    linalg._pca_model(str(d))
+    p = linalg.LAST_LINALG["pca"]
+    assert p["driver_elems"] == 1 + 64 + cells
+    assert p["partial_rows"] <= 64               # one row per BLOCK
+
+    linalg._ridge_model(str(d))
+    r = linalg.LAST_LINALG["ridge"]
+    assert r["driver_elems"] == 2 + 2 * 64 + cells
+    assert r["partial_rows"] <= 64
+
+    linalg.q_label_centroid_cosine(str(d))
+    c = linalg.LAST_LINALG["centroid"]
+    assert c["driver_vectors"] == 5              # |labels|, not rows
+    assert c["partial_rows"] <= 5 * 64           # labels x blocks
+
+    cluster.q_kmeans_train(str(d))
+    km = cluster.LAST_KMEANS
+    assert km["driver_elems"] == cluster._K * (64 + 2)
+    assert len(km["partial_rows"]) == cluster._ITERS
+    for rows in km["partial_rows"]:
+        assert rows <= cluster._K * km["n_blocks"]

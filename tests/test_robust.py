@@ -130,6 +130,48 @@ def test_median_refinement_ties_and_parity(ray_session, tmp_path):
         assert int(out.loc[etype, "n"]) == n
 
 
+def test_median64_nested_refinement(ray_session):
+    """Round-5 #5: the full-int64-domain radix ladder (MED_SHIFTS_64 =
+    [42, 21, 0]) against a sorted-scan oracle — wide uniform values,
+    power-of-two-aligned clusters (massed exactly on 2^42/2^21 bucket
+    boundaries), negatives, and even/odd group parities — plus the
+    documented driver-state bounds via the LAST_MEDIAN counters."""
+    import ray
+
+    from engine.robust import (LAST_MEDIAN, MED_SHIFTS_64,
+                               exact_median_by_group)
+    rng = np.random.default_rng(42)
+    parts = {
+        "wide_odd": rng.integers(-2**61, 2**61, 4001, dtype=np.int64),
+        "wide_even": rng.integers(-2**61, 2**61, 4000, dtype=np.int64),
+        # massed on the pass-1/pass-2 radix boundaries (ties straddle)
+        "aligned": rng.integers(-500, 500, 3000).astype(np.int64) << 42,
+        "mid": rng.integers(-500, 500, 2999).astype(np.int64) << 21,
+        "tiny": np.array([-7, 3], dtype=np.int64),
+    }
+    keys = np.concatenate([[k] * len(v) for k, v in parts.items()])
+    vals = np.concatenate(list(parts.values()))
+    tbl = pa.table({"grp": pa.array(keys, type=pa.string()),
+                    "v": pa.array(vals, type=pa.int64())})
+    res = exact_median_by_group(
+        lambda: ray.data.from_arrow(tbl).repartition(8), "grp",
+        lambda t: t["v"].to_numpy(zero_copy_only=False),
+        MED_SHIFTS_64).to_pandas().set_index("key")
+    for k, v in parts.items():
+        sv = np.sort(v)
+        n = len(sv)
+        assert int(res.loc[k, "n"]) == n, k
+        assert int(res.loc[k, "med2"]) == int(sv[(n - 1) // 2]) \
+            + int(sv[n // 2]), k
+    # documented driver-state bounds: pass 1 <= groups x min(n, 2^22)
+    # live buckets; later passes <= groups x 2 targets x 2^21 buckets
+    assert LAST_MEDIAN["passes"] == 3
+    g = len(parts)
+    assert LAST_MEDIAN["fold_rows"][0] <= g * min(len(vals), 1 << 22)
+    for r in LAST_MEDIAN["fold_rows"][1:]:
+        assert r <= g * 2 * (1 << 21)
+
+
 def test_value_outliers_bigint_fold(ray_session):
     """The sf0.001 corpus end-to-end: the outlier set must equal a direct
     numpy recomputation from the raw table (validating the two-pass
