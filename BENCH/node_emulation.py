@@ -128,6 +128,35 @@ def run_node_lsh(qdir: str, tag: str) -> dict:
             "tag": tag}
 
 
+def run_node_seqdedup(files, tag: str) -> dict:
+    """One node's token-array-equality dedup over its quarter of the
+    bench sequences corpus — the heaviest bench pipeline, whose exchange
+    moves EVERY row (~32 B/row partials): round-5 #4, pinning whether
+    its single-session 8->32 = 0.62 is host contention like the others
+    or an all-to-all penalty of its own."""
+    import ray
+    ray.init(address="local", num_cpus=NODE_CPUS, include_dashboard=False,
+             logging_level="ERROR", object_store_memory=4 * 1024**3)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow.parquet as pq
+
+    from engine.tokenops import _sequence_dedup_ds
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    # untimed warmup (worker pool spin-up) on a slice
+    _sequence_dedup_ds(ray.data.read_parquet(files).limit(100_000),
+                       rows_hint=100_000).count()
+    t0 = time.monotonic()
+    n = _sequence_dedup_ds(ray.data.read_parquet(files),
+                           rows_hint=rows).count()
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    return {"wall": round(wall, 3), "rows": rows, "survivors": n,
+            "tag": tag}
+
+
 def run_node(files, meta_path: str, out_dir: str, tag: str) -> dict:
     import ray
     # cap the per-node object store: 4 concurrent instances must not each
@@ -164,12 +193,16 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--node", type=int, default=None)
     p.add_argument("--out", default=None)
-    p.add_argument("--job", choices=("flagship", "lsh"), default="flagship")
+    p.add_argument("--job", choices=("flagship", "lsh", "seqdedup"),
+                   default="flagship")
     args = p.parse_args()
 
     if args.node is not None:  # child
         if args.job == "lsh":
             res = run_node_lsh(_lsh_quarters()[args.node], f"n{args.node}")
+        elif args.job == "seqdedup":
+            _, quarters = _quarters()
+            res = run_node_seqdedup(quarters[args.node], f"n{args.node}")
         else:
             root, quarters = _quarters()
             res = run_node(quarters[args.node],
@@ -232,8 +265,9 @@ def main() -> int:
                 "memory bus, the one per-node resource a single box cannot "
                 "replicate",
     }
-    out_name = "node_emulation.json" if args.job == "flagship" \
-        else "node_emulation_lsh.json"
+    out_name = {"flagship": "node_emulation.json",
+                "lsh": "node_emulation_lsh.json",
+                "seqdedup": "node_emulation_seqdedup.json"}[args.job]
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(res, f, indent=1)
     with open(os.path.join(REPO, "BENCH", "scaling_history.jsonl"), "a") as f:

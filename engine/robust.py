@@ -239,6 +239,50 @@ FROM events GROUP BY event_type
 """
 
 
+_WIDE_OFF = 228_000_000_000_000_000   # centers the ~2^57.7 domain near 0
+
+
+def q_median_wide_by_type(sf_dir: str):
+    """Gated end-to-end exercise of the full-int64-domain radix ladder:
+    exact per-type median of the SYNTHETIC wide value
+    ``epoch_us(ts) * 128 + event_id % 128 - 2.28e17`` (spans ~±2^57,
+    straddles zero, unique per row) via the three-pass MED_SHIFTS_64
+    nesting.  ~2^16 live pass-1 buckets per type here; the oracle states
+    the two middle order statistics with window functions, so both sides
+    stay integer-exact — no float median crosses the gate."""
+
+    def vfn(t: pa.Table) -> np.ndarray:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = pc.cast(t["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return ts * 128 + eid % 128 - _WIDE_OFF
+
+    res = exact_median_by_group(
+        lambda: _events(sf_dir, ["event_id", "event_type", "ts"]),
+        "event_type", vfn, MED_SHIFTS_64)
+    return pa.table({"event_type": res["key"], "n": res["n"],
+                     "med2_wide": res["med2"]})
+
+
+SQL_MEDIAN_WIDE_BY_TYPE = f"""
+WITH v AS (
+  SELECT event_type,
+         epoch_us(ts) * 128 + event_id % 128 - {_WIDE_OFF} AS v
+  FROM events
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, max(n)::BIGINT AS n,
+       (sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+        + sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END))::BIGINT
+         AS med2_wide
+FROM r GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # ordered-funnel conversion counts
 # ---------------------------------------------------------------------------
