@@ -150,3 +150,41 @@ def test_seq_shard_fast_twin(ray_session, tmp_path, sf_small):
         .select(tm.column_names)
     assert tm.equals(tf)            # same rows, placement may differ
     assert mm["train_prepared_sequences"] == mf["train_prepared_sequences"]
+
+
+def test_scrub_empty_blocks_drops_zero_row_blocks(ray_session):
+    """Regression for the Ray 2.49 sparse-side join hazard: a zero-row
+    FIRST block swallows the join's schema broadcast, so partitions
+    receiving no real row finalize as zero-column tables (ArrowInvalid).
+    scrub_empty_blocks must drop zero-row blocks (alongside schema-less
+    ones) and the scrubbed sparse-side join must be correct even when
+    most partitions receive no real right-side rows."""
+    import pyarrow as pa
+    import ray
+
+    from engine.pipeline import scrub_empty_blocks
+
+    schema = pa.schema([("doc_id", pa.int64())])
+    blocks = [schema.empty_table(),                     # empty FIRST
+              pa.table({"doc_id": pa.array([2, 3], type=pa.int64())}),
+              schema.empty_table(),
+              pa.table({}),                             # schema-less
+              pa.table({"doc_id": pa.array([5], type=pa.int64())})]
+    sparse = ray.data.from_arrow_refs([ray.put(b) for b in blocks])
+    clean = scrub_empty_blocks(sparse, schema)
+    shapes = [(t.num_rows, t.num_columns)
+              for t in (ray.get(r) for r in clean.to_arrow_refs())]
+    assert all(r > 0 and c == 1 for r, c in shapes)     # empties gone
+    assert sum(r for r, _ in shapes) == 3
+
+    left = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(64)), type=pa.int64()),
+        "x": pa.array(list(range(64)), type=pa.int64())})).repartition(8)
+    j = left.join(clean, "left_semi", num_partitions=16, on=("doc_id",))
+    assert sorted(r["doc_id"] for r in j.take_all()) == [2, 3, 5]
+
+    # all-empty side degrades to a schema-carrying empty dataset
+    allempty = scrub_empty_blocks(
+        ray.data.from_arrow_refs([ray.put(schema.empty_table())]), schema)
+    assert allempty.count() == 0
+    assert allempty.schema().names == ["doc_id"]
