@@ -1339,3 +1339,78 @@ SELECT user_id::BIGINT AS user_id,
              ELSE 0 END)::BIGINT AS mean_gap_us
 FROM s GROUP BY 1
 """
+
+def q_events_orders_full_outer(sf_dir: str):
+    """FULL OUTER join of per-id event activity vs order activity —
+    the one join type the registry didn't carry (inner/left/semi/anti/
+    as-of/range live elsewhere).  Both sides pre-reduce to per-batch
+    (id, count) partials, ride ONE id-keyed exchange, and the fold keeps
+    EVERY id with zero-fill on whichever side is absent — no broadcast,
+    no driver sets, output streams at |ids| rows."""
+    from engine.stages import hash_group_exchange
+
+    def event_side(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(t["user_id"], pa.int64())}), ["key"]) \
+            .aggregate([([], "count_all")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "side": pa.array(np.zeros(m, dtype=np.int8))})
+
+    def order_side(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64())}), ["key"]) \
+            .aggregate([([], "count_all")])
+        m = len(g)
+        return pa.table({"key": g["key"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("id", pa.int64()),
+                              ("n_events", pa.int64()),
+                              ("n_orders", pa.int64())]).empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, n, side = key[order], n[order], side[order]
+        m = len(key)
+        new_g = np.empty(m, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new_g)
+        ev = np.add.reduceat(n * (side == 0), starts)
+        od = np.add.reduceat(n * (side == 1), starts)
+        return pa.table({"id": pa.array(key[starts]),
+                         "n_events": pa.array(ev),
+                         "n_orders": pa.array(od)})
+
+    def build():
+        ev = _table(sf_dir, "events").select_columns(["user_id"]) \
+            .map_batches(event_side, batch_format="pyarrow",
+                         batch_size=None)
+        od = _table(sf_dir, "orders").select_columns(["o_custkey"]) \
+            .map_batches(order_side, batch_format="pyarrow",
+                         batch_size=None)
+        return ev.union(od)
+
+    return hash_group_exchange(
+        build, ["key"], fold, collect=False,
+        rows_hint=max(1, (_nrows(sf_dir, "events")
+                          + _nrows(sf_dir, "orders")) // 8))
+
+
+SQL_EVENTS_ORDERS_FULL_OUTER = """
+WITH e AS (SELECT user_id::BIGINT AS id, count(*)::BIGINT AS n_events
+           FROM events GROUP BY 1),
+o AS (SELECT o_custkey::BIGINT AS id, count(*)::BIGINT AS n_orders
+      FROM orders GROUP BY 1)
+SELECT coalesce(e.id, o.id) AS id,
+       coalesce(n_events, 0)::BIGINT AS n_events,
+       coalesce(n_orders, 0)::BIGINT AS n_orders
+FROM e FULL OUTER JOIN o ON e.id = o.id
+ORDER BY 1
+"""
