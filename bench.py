@@ -124,16 +124,26 @@ def run_bench() -> dict:
             stages.parse_stage(ray.data.read_parquet(seq))).to_pandas()), 3)
 
     # token-family over the SAME 32M-row corpus: token-array-equality
-    # dedup — partials + ONE hash-keyed exchange of ~32 B/row (single
-    # timed run: it is the bench's one deliberate all-to-all at full
-    # corpus size; the native-groupby variant measured 257 s here)
+    # dedup — partials + ONE hash-keyed exchange of ~32 B/row.  Best-of-2
+    # like everything else: identical code measured 21-50 s across one
+    # evening on this host (single-run phase noise swamps any code
+    # delta; the r5 A/B that established this is in BASELINE.md), while
+    # the native-groupby variant measured 257 s here.
     import pyarrow.parquet as pq
     from engine.tokenops import _sequence_dedup_ds
     hint = sum(pq.read_metadata(os.path.join(seq, f)).num_rows
                for f in os.listdir(seq) if f.endswith(".parquet"))
-    t0 = time.time()
-    _sequence_dedup_ds(ray.data.read_parquet(seq), rows_hint=hint).count()
-    queries["sequence_dedup_32m"] = round(time.time() - t0, 3)
+
+    def _seqd():
+        _sequence_dedup_ds(ray.data.read_parquet(seq),
+                           rows_hint=hint).count()
+
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        _seqd()
+        walls.append(time.time() - t0)
+    queries["sequence_dedup_32m"] = round(min(walls), 3)
 
     # relational paths over the driver testdata at $GRAFT_SF_DIR
     try:
