@@ -172,12 +172,11 @@ def run_bench() -> dict:
             queries[name] = round(best_of_3(lambda fn=fn: run_extra(fn)), 3)
 
         # the TPC-H power run: all 22 shapes back to back, single pass
-        # (Q1 = lineitem_agg lives in engine.queries; Q14 = promo_revenue)
-        from engine import queries as _q
+        # (Q14 = promo_revenue; the rest are the qNN_* registry names)
         tpch_fns = {n: f for n, f in extras.EXTRA_QUERIES.items()
                     if (n.startswith("q") and n[1].isdigit())
                     or n == "promo_revenue"}
-        tpch_fns["lineitem_agg"] = _q.q_lineitem_agg
+        assert len(tpch_fns) == 22, sorted(tpch_fns)
         t0 = time.time()
         for name in sorted(tpch_fns):
             run_extra(tpch_fns[name])

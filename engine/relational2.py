@@ -1666,3 +1666,106 @@ s AS (SELECT sum(total_qty_cents) AS s, count(*) AS n FROM t)
 SELECT s_suppkey, s_name, total_qty_cents
 FROM t, s WHERE total_qty_cents * 2 * n > 3 * s ORDER BY s_suppkey
 """
+
+# ---------------------------------------------------------------------------
+# Q1: full pricing summary (the complete measure set; lineitem_agg in
+# engine/queries.py is the reduced 3-measure form)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = _us("1998-09-02")     # DATE '1998-12-01' - 90 days
+
+
+def q_q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 with the full measure set, integer-exact: quantities,
+    base price (cents), discounted price (micros = cents x pct),
+    charge (e6 units = cents x pct x pct), discount percent sum, and
+    row count — averages are left to the consumer as exact rationals
+    (sum / count), which is why the sums and count are the columns.
+    Pure combiner: per-batch partials, |flag x status| rows per batch
+    ride the aggregate."""
+    from engine.pipeline import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = _i64(t["l_shipdate"])
+        m = ship <= _Q1_CUTOFF
+        if not m.any():
+            return pa.schema(
+                [("l_returnflag", pa.string()),
+                 ("l_linestatus", pa.string()),
+                 ("sum_qty", pa.int64()),
+                 ("sum_base_price_cents", pa.int64()),
+                 ("sum_disc_price_micro", pa.int64()),
+                 ("sum_charge_e6", pa.int64()),
+                 ("sum_disc_pct", pa.int64()),
+                 ("count_order", pa.int64())]).empty_table()
+        sub = t.filter(pa.array(m))
+        qty = pc.cast(sub["l_quantity"], pa.int64())
+        cents = _cents(sub["l_extendedprice"])
+        dpct = np.floor(sub["l_discount"].to_numpy(zero_copy_only=False)
+                        * 100.0 + 0.5).astype(np.int64)
+        tpct = np.floor(sub["l_tax"].to_numpy(zero_copy_only=False)
+                        * 100.0 + 0.5).astype(np.int64)
+        disc_price = cents * (100 - dpct)
+        charge = disc_price * (100 + tpct)
+        g = pa.TableGroupBy(pa.table({
+            "l_returnflag": sub["l_returnflag"],
+            "l_linestatus": sub["l_linestatus"],
+            "qty": qty, "base": pa.array(cents),
+            "dp": pa.array(disc_price), "ch": pa.array(charge),
+            "d": pa.array(dpct)}), ["l_returnflag", "l_linestatus"]) \
+            .aggregate([("qty", "sum"), ("base", "sum"), ("dp", "sum"),
+                        ("ch", "sum"), ("d", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": pc.cast(g["qty_sum"], pa.int64()),
+            "sum_base_price_cents": pc.cast(g["base_sum"], pa.int64()),
+            "sum_disc_price_micro": pc.cast(g["dp_sum"], pa.int64()),
+            "sum_charge_e6": pc.cast(g["ch_sum"], pa.int64()),
+            "sum_disc_pct": pc.cast(g["d_sum"], pa.int64()),
+            "count_order": pc.cast(g["count_all"], pa.int64())})
+
+    parts = [x for x in collect_tables(
+        _table(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None))
+        if x.num_columns]
+    acc: dict = {}
+    for t in parts:
+        for r in t.to_pylist():               # <= |flag x status| per batch
+            k = (r["l_returnflag"], r["l_linestatus"])
+            prev = acc.get(k, (0,) * 6)
+            acc[k] = tuple(prev[i] + int(v) for i, v in enumerate(
+                (r["sum_qty"], r["sum_base_price_cents"],
+                 r["sum_disc_price_micro"], r["sum_charge_e6"],
+                 r["sum_disc_pct"], r["count_order"])))
+    rows = sorted(acc.items())
+    cols = list(zip(*[k + v for k, v in rows])) if rows else [[]] * 8
+    names = ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_base_price_cents", "sum_disc_price_micro",
+             "sum_charge_e6", "sum_disc_pct", "count_order"]
+    return pa.table({n: pa.array(list(c),
+                                 type=pa.string() if i < 2 else pa.int64())
+                     for i, (n, c) in enumerate(zip(names, cols))})
+
+
+SQL_Q1_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT))::BIGINT
+           AS sum_base_price_cents,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)))::BIGINT
+           AS sum_disc_price_micro,
+       sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l_tax*100.0 + 0.5) AS BIGINT)))::BIGINT
+           AS sum_charge_e6,
+       sum(CAST(floor(l_discount*100.0 + 0.5) AS BIGINT))::BIGINT
+           AS sum_disc_pct,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
