@@ -1414,3 +1414,83 @@ SELECT coalesce(e.id, o.id) AS id,
 FROM e FULL OUTER JOIN o ON e.id = o.id
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered per-key string aggregation (the SQL string_agg / listagg shape)
+# ---------------------------------------------------------------------------
+
+_PATH_K = 8
+
+
+def paths_block(t: pa.Table) -> pa.Table:
+    """user-partition kernel for :func:`q_user_event_paths`: lexsort by
+    (user, ts, event_id), keep each user's first ``_PATH_K`` events, and
+    build the '>'-joined journey string with K rank-scatter passes — a
+    vectorized elementwise-concat per rank instead of one Python join
+    per group (the house rule; K bounds the pass count, not the data)."""
+    n = t.num_rows
+    empty = pa.schema([("user_id", pa.int64()), ("path", pa.string()),
+                       ("n_path", pa.int64())]).empty_table()
+    if n == 0:
+        return empty
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)  # object: str rows
+    order = np.lexsort((eid, ts, uid))
+    uid, et = uid[order], et[order]
+    new = np.r_[True, uid[1:] != uid[:-1]]
+    starts = np.flatnonzero(new)
+    group_idx = np.cumsum(new) - 1
+    rank = np.arange(n) - starts[group_idx]
+    users = uid[starts]
+    path = np.full(len(users), "", dtype=object)
+    n_path = np.zeros(len(users), dtype=np.int64)
+    for r in range(_PATH_K):
+        sel = rank == r
+        if not sel.any():
+            break
+        gi = group_idx[sel]
+        path[gi] = path[gi] + (">" + et[sel]) if r else et[sel]
+        n_path[gi] += 1
+    return pa.table({"user_id": pa.array(users),
+                     "path": pa.array(path, type=pa.string()),
+                     "n_path": pa.array(n_path)})
+
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user ordered event-type journey (first ``_PATH_K`` events as a
+    '>'-joined string) — the string_agg/listagg shape the registry
+    lacked.  ONE user-keyed exchange co-locates each history (whole-key
+    co-location makes per-partition results globally correct, so the
+    collected frame IS the answer — no driver fold)."""
+    from engine.stages import hash_group_exchange
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"]),
+        ["user_id"], paths_block, collect=True,
+        rows_hint=_nrows(sf_dir, "events"))
+    if df.empty or "path" not in df.columns:
+        import pandas as pd
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "path": pd.Series([], dtype="object"),
+                             "n_path": pd.Series([], dtype="int64")})
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n_path"] = df["n_path"].astype("int64")
+    return df.sort_values("user_id", ignore_index=True)
+
+
+SQL_USER_EVENT_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id::BIGINT AS user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS path,
+       count(*)::BIGINT AS n_path
+FROM r WHERE rn <= 8 GROUP BY user_id
+"""
