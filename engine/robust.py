@@ -103,6 +103,19 @@ def _fold_partials(ds, keys: list) -> pa.Table | None:
 LAST_MEDIAN: dict = {}
 
 
+def exact_ranks_by_group(make_ds, key_col: str, val_fn, shifts,
+                         ranks_fn) -> dict:
+    """EXACT distributed per-group order statistics at arbitrary ranks by
+    nested histogram refinement — the generalized core under
+    :func:`exact_median_by_group` (median) and
+    :func:`q_percentile_cont_by_type` (interpolated percentiles).
+    ``ranks_fn(n) -> set[int]`` picks the 0-based ranks wanted per group
+    given its row count; driver state and pass structure are unchanged
+    from the median docstring (each extra rank adds at most one target
+    bucket per pass).  Returns ``{key: (n, {rank: value})}``."""
+    return _exact_ranks_impl(make_ds, key_col, val_fn, shifts, ranks_fn)
+
+
 def exact_median_by_group(make_ds, key_col: str, val_fn, shifts):
     """EXACT distributed per-group median by nested histogram refinement
     — ``len(shifts)`` full scans, never co-locating a group.
@@ -124,11 +137,21 @@ def exact_median_by_group(make_ds, key_col: str, val_fn, shifts):
 
     Returns (key, n, med2) — med2 = sum of the two middle order
     statistics, so even-count interpolation stays integer-exact."""
+    res = _exact_ranks_impl(make_ds, key_col, val_fn, shifts,
+                            lambda n: {(n - 1) // 2, n // 2})
+    out_k = sorted(res)
+    return pa.table({
+        "key": pa.array(out_k, type=pa.string()),
+        "n": pa.array([res[k][0] for k in out_k], type=pa.int64()),
+        "med2": pa.array(
+            [res[k][1][(res[k][0] - 1) // 2] + res[k][1][res[k][0] // 2]
+             for k in out_k], type=pa.int64())})
+
+
+def _exact_ranks_impl(make_ds, key_col: str, val_fn, shifts,
+                      ranks_fn) -> dict:
     assert shifts and shifts[-1] == 0 and \
         all(a > b for a, b in zip(shifts, shifts[1:]))
-    empty = pa.table({"key": pa.array([], type=pa.string()),
-                      "n": pa.array([], type=pa.int64()),
-                      "med2": pa.array([], type=pa.int64())})
     LAST_MEDIAN.clear()
     LAST_MEDIAN.update({"passes": len(shifts), "fold_rows": []})
 
@@ -144,7 +167,7 @@ def exact_median_by_group(make_ds, key_col: str, val_fn, shifts):
         make_ds().map_batches(p1, batch_format="pyarrow", batch_size=None),
         ["key", "bucket"])
     if folded is None:
-        return empty
+        return {}
     LAST_MEDIAN["fold_rows"].append(folded.num_rows)
 
     # state per key: total n, and per target rank its current bucket
@@ -160,7 +183,8 @@ def exact_median_by_group(make_ds, key_col: str, val_fn, shifts):
         n = int(cum[-1])
         totals[key] = n
         tgt = targets.setdefault(key, {})
-        for rank in {(n - 1) // 2, n // 2}:
+        for rank in ranks_fn(n):
+            assert 0 <= rank < n, (key, rank, n)
             i = int(np.searchsorted(cum, rank + 1))
             below = int(cum[i - 1]) if i else 0
             tgt[rank] = (int(buckets[i]), rank - below)
@@ -204,16 +228,10 @@ def exact_median_by_group(make_ds, key_col: str, val_fn, shifts):
                 below = int(cum[i - 1]) if i else 0
                 tgt[rank] = (int(gdf["bucket"].to_numpy()[i]), local - below)
 
-    out_k, out_n, out_m = [], [], []
-    for key in sorted(targets):
-        n = totals[key]
-        picked = {rank: prefix for rank, (prefix, _) in targets[key].items()}
-        out_k.append(key)
-        out_n.append(n)
-        out_m.append(picked[(n - 1) // 2] + picked[n // 2])
-    return pa.table({"key": pa.array(out_k, type=pa.string()),
-                     "n": pa.array(out_n, type=pa.int64()),
-                     "med2": pa.array(out_m, type=pa.int64())})
+    return {key: (totals[key],
+                  {rank: prefix
+                   for rank, (prefix, _) in targets[key].items()})
+            for key in targets}
 
 
 def q_median_value_by_type(sf_dir: str):
@@ -236,6 +254,59 @@ SELECT event_type, count(*)::BIGINT AS n,
        CAST(2 * median(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
            AS med2_cents
 FROM events GROUP BY event_type
+"""
+
+
+_P_NUM, _P_DEN = 9, 10        # percentile_cont(0.9) as the exact rational
+
+
+def q_percentile_cont_by_type(sf_dir: str):
+    """Exact INTERPOLATED p90 per event type — the percentile_cont shape,
+    with no float on the gated path: the continuous percentile sits at
+    fractional rank h = (n-1) * 9/10, i.e. between order statistics
+    ``lo = floor(h)`` and ``hi = ceil(h)`` with weight ``frac_num/10``,
+    so the query returns (n, lo_cents, hi_cents, frac_num) and the
+    consumer forms ``lo + (hi-lo) * frac_num/10`` as an exact rational.
+    Same nested-histogram engine as the median
+    (:func:`exact_ranks_by_group`); the two target ranks add at most one
+    extra live bucket per pass over the median's cost."""
+    res = exact_ranks_by_group(
+        lambda: _events(sf_dir, ["event_type", "value"]),
+        "event_type", lambda t: _cents(t["value"]), [_MED_SHIFT, 0],
+        lambda n: {((n - 1) * _P_NUM) // _P_DEN,
+                   ((n - 1) * _P_NUM + _P_DEN - 1) // _P_DEN})
+    keys = sorted(res)
+    lo_r = {k: ((res[k][0] - 1) * _P_NUM) // _P_DEN for k in keys}
+    hi_r = {k: ((res[k][0] - 1) * _P_NUM + _P_DEN - 1) // _P_DEN
+            for k in keys}
+    return pa.table({
+        "event_type": pa.array(keys, type=pa.string()),
+        "n": pa.array([res[k][0] for k in keys], type=pa.int64()),
+        "lo_cents": pa.array([res[k][1][lo_r[k]] for k in keys],
+                             type=pa.int64()),
+        "hi_cents": pa.array([res[k][1][hi_r[k]] for k in keys],
+                             type=pa.int64()),
+        "frac_num": pa.array([((res[k][0] - 1) * _P_NUM) % _P_DEN
+                              for k in keys], type=pa.int64())})
+
+
+SQL_PERCENTILE_CONT_BY_TYPE = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1
+             AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c)
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rk = ((n-1)*9)//10 THEN cents END)::BIGINT
+           AS lo_cents,
+       max(CASE WHEN rk = ((n-1)*9 + 9)//10 THEN cents END)::BIGINT
+           AS hi_cents,
+       max(((n-1)*9) % 10)::BIGINT AS frac_num
+FROM r GROUP BY event_type
 """
 
 

@@ -271,3 +271,28 @@ def test_profile_cli(ray_session, capsys):
         "event_id", "ts", "user_id", "event_type", "value", "props"}
     assert len(doc["median_by_type"]) == 5
     assert doc["n_outliers_3sigma"] >= 0
+
+
+def test_percentile_cont_derived_matches_duckdb(ray_session):
+    """lo + (hi-lo)*frac/10 recovered from the exact integer quadruple
+    agrees with DuckDB's native percentile_cont(0.9) float aggregate."""
+    import duckdb
+
+    import pytest
+
+    from engine.robust import q_percentile_cont_by_type
+
+    sf = "/root/testdata/sf0.001"
+    t = q_percentile_cont_by_type(sf)
+    con = duckdb.connect()
+    want = {r[0]: r[1] for r in con.sql(
+        f"SELECT event_type, percentile_cont(0.9) WITHIN GROUP "
+        f"(ORDER BY CAST(floor(value*100.0+0.5) AS BIGINT)) "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1").fetchall()}
+    assert set(t["event_type"].to_pylist()) == set(want)
+    for i in range(t.num_rows):
+        et = t["event_type"][i].as_py()
+        lo, hi = t["lo_cents"][i].as_py(), t["hi_cents"][i].as_py()
+        frac = t["frac_num"][i].as_py()
+        got = lo + (hi - lo) * frac / 10
+        assert got == pytest.approx(want[et], rel=1e-12, abs=1e-9), et
