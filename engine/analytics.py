@@ -1494,3 +1494,122 @@ SELECT user_id::BIGINT AS user_id,
        count(*)::BIGINT AS n_path
 FROM r WHERE rn <= 8 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-key first/last value by time (the arg_min/arg_max reduce shape)
+# ---------------------------------------------------------------------------
+
+def first_last_partial(t: pa.Table) -> pa.Table:
+    """Per-batch argmin/argmax pre-shrink for :func:`q_user_first_last_event`:
+    ONE lexsort per batch collapses every user to a single candidate row
+    (first key, first type, last key, last type, count), so the exchange
+    carries <= 1 row per user per batch instead of the raw log."""
+    empty = pa.schema([("user_id", pa.int64()),
+                       ("fts", pa.int64()), ("feid", pa.int64()),
+                       ("f_et", pa.string()),
+                       ("lts", pa.int64()), ("leid", pa.int64()),
+                       ("l_et", pa.string()),
+                       ("cnt", pa.int64())]).empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+        .astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid, eid, ts, et = uid[order], eid[order], ts[order], et[order]
+    new = np.r_[True, uid[1:] != uid[:-1]]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], n] - 1
+    return pa.table({
+        "user_id": pa.array(uid[starts]),
+        "fts": pa.array(ts[starts]), "feid": pa.array(eid[starts]),
+        "f_et": pa.array(et[starts], type=pa.string()),
+        "lts": pa.array(ts[ends]), "leid": pa.array(eid[ends]),
+        "l_et": pa.array(et[ends], type=pa.string()),
+        "cnt": pa.array(np.diff(np.r_[starts, n]).astype(np.int64))})
+
+
+def first_last_fold_block(t: pa.Table) -> pa.Table:
+    """user-partition kernel: fold candidate rows — argmin over (fts,
+    feid) picks the global first event, argmax over (lts, leid) the
+    global last, counts sum.  Two lexsorts, no per-group Python."""
+    empty = pa.schema([("user_id", pa.int64()),
+                       ("first_event", pa.string()),
+                       ("last_event", pa.string()),
+                       ("n_events", pa.int64())]).empty_table()
+    n = t.num_rows
+    if n == 0:
+        return empty
+    uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    fts = t["fts"].to_numpy(zero_copy_only=False)
+    feid = t["feid"].to_numpy(zero_copy_only=False)
+    f_et = t["f_et"].to_numpy(zero_copy_only=False)
+    lts = t["lts"].to_numpy(zero_copy_only=False)
+    leid = t["leid"].to_numpy(zero_copy_only=False)
+    l_et = t["l_et"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+
+    o1 = np.lexsort((feid, fts, uid))
+    u1 = uid[o1]
+    s1 = np.flatnonzero(np.r_[True, u1[1:] != u1[:-1]])
+    users = u1[s1]
+    first = f_et[o1][s1]
+    n_events = np.add.reduceat(cnt[o1], s1).astype(np.int64)
+
+    o2 = np.lexsort((leid, lts, uid))
+    u2 = uid[o2]
+    s2 = np.flatnonzero(np.r_[True, u2[1:] != u2[:-1]])
+    ends = np.r_[s2[1:], n] - 1
+    last = l_et[o2][ends]           # u2[s2] == users (same sorted order)
+    return pa.table({
+        "user_id": pa.array(users),
+        "first_event": pa.array(first, type=pa.string()),
+        "last_event": pa.array(last, type=pa.string()),
+        "n_events": pa.array(n_events)})
+
+
+def q_user_first_last_event(sf_dir: str):
+    """Per-user first and last event type by (ts, event_id) plus total
+    count — the arg_min/arg_max-by-ordering reduce: per-batch lexsort
+    partials collapse each batch to <= 1 candidate row per user, ONE
+    user-keyed exchange co-locates candidates, and the partition fold
+    re-runs the same argmin/argmax over candidates (associative, so
+    batch-level pre-shrink is exact)."""
+    from engine.stages import hash_group_exchange
+
+    df = hash_group_exchange(
+        lambda: _table(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(first_last_partial, batch_format="pyarrow",
+                     batch_size=None),
+        ["user_id"], first_last_fold_block, collect=True,
+        rows_hint=max(1, _nrows(sf_dir, "events") // 8))
+    if df.empty or "first_event" not in df.columns:
+        import pandas as pd
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "first_event": pd.Series([], dtype="object"),
+            "last_event": pd.Series([], dtype="object"),
+            "n_events": pd.Series([], dtype="int64")})
+    for c in ("user_id", "n_events"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id", ignore_index=True)
+
+
+SQL_USER_FIRST_LAST_EVENT = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id::BIGINT AS user_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_event,
+       max(CASE WHEN rn = n THEN event_type END) AS last_event,
+       max(n)::BIGINT AS n_events
+FROM r GROUP BY user_id
+"""

@@ -312,3 +312,90 @@ def derive_slope(n: int, sx: int, sy: int, sxx: int, sxy: int) -> float:
     """OLS slope of y on x from exact integer sufficient statistics."""
     den = n * sxx - sx * sx
     return (n * sxy - sx * sy) / den if den else float("nan")
+
+
+# ---------------------------------------------------------------------------
+# exact grouped mode (most frequent value per group)
+# ---------------------------------------------------------------------------
+
+def mode_candidates_block(t: pa.Table) -> pa.Table:
+    """(event_type, cents)-partition kernel: finish the global count of
+    every (type, value) pair that landed here (co-location by the PAIR
+    makes per-partition sums global) and emit only each type's local
+    argmax candidate — O(types) rows per partition back to the driver."""
+    empty = pa.schema([("event_type", pa.string()),
+                       ("cents", pa.int64()),
+                       ("cnt", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    g = pa.TableGroupBy(t, ["event_type", "cents"]) \
+        .aggregate([("cnt", "sum")])
+    et = g["event_type"].to_numpy(zero_copy_only=False)
+    cents = g["cents"].to_numpy(zero_copy_only=False)
+    cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+    # per type: max count, tie -> smallest value (sort by (type, -cnt,
+    # cents) and take group starts)
+    order = np.lexsort((cents, -cnt, et))
+    et, cents, cnt = et[order], cents[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    return pa.table({
+        "event_type": pa.array(et[starts], type=pa.string()),
+        "cents": pa.array(cents[starts], type=pa.int64()),
+        "cnt": pa.array(cnt[starts], type=pa.int64())})
+
+
+def q_mode_value_by_type(sf_dir: str):
+    """Exact per-type MODE of value cents (tie -> smallest value): per-
+    batch (type, cents) count partials pre-shrink each batch to its
+    distinct pairs, ONE exchange keyed on the PAIR completes the counts
+    (so the plan is safe for unbounded value domains — no driver-side
+    count dictionary), each partition returns only its per-type argmax
+    candidate, and the driver folds O(types x partitions) rows."""
+    from engine.stages import hash_group_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"],
+                      "cents": pa.array(_cents(t["value"]))}),
+            ["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "cents": g["cents"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    import pyarrow.parquet as pq
+    nrows = pq.read_metadata(
+        os.path.join(sf_dir, "events.parquet")).num_rows
+    df = hash_group_exchange(
+        lambda: _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "cents"], mode_candidates_block, collect=True,
+        rows_hint=max(1, nrows // 8))
+    if df.empty or "cents" not in df.columns:
+        import pandas as pd
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "mode_cents": pd.Series([], dtype="int64"),
+                             "n_mode": pd.Series([], dtype="int64")})
+    # driver fold: max count per type, tie -> smallest value
+    df = df.sort_values(["event_type", "cnt", "cents"],
+                        ascending=[True, False, True], ignore_index=True)
+    df = df.drop_duplicates("event_type", keep="first", ignore_index=True)
+    out = df.rename(columns={"cents": "mode_cents", "cnt": "n_mode"})
+    out["mode_cents"] = out["mode_cents"].astype("int64")
+    out["n_mode"] = out["n_mode"].astype("int64")
+    return out[["event_type", "mode_cents", "n_mode"]]
+
+
+SQL_MODE_VALUE_BY_TYPE = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT event_type, cents, count(*)::BIGINT AS cnt
+  FROM c GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cnt DESC, cents ASC) AS rn
+  FROM g)
+SELECT event_type, cents AS mode_cents, cnt AS n_mode
+FROM r WHERE rn = 1
+"""

@@ -108,3 +108,39 @@ def test_event_paths_block_truncates_and_orders(ray_session):
     assert rows[3]["path"] == "a>b" and rows[3]["n_path"] == 2
     assert rows[7]["n_path"] == _PATH_K
     assert rows[7]["path"] == ">".join(f"e{i}" for i in range(_PATH_K))
+
+
+def test_mode_candidates_tie_breaks_to_smallest():
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], type=pa.string()),
+        "cents": pa.array([7, 3, 7, 9], type=pa.int64()),
+        "cnt": pa.array([2, 5, 3, 1], type=pa.int64())})
+    out = stats.mode_candidates_block(t).to_pylist()
+    rows = {r["event_type"]: r for r in out}
+    # 'a': cents 7 folds to 5 == cents 3's 5 -> tie -> smallest value (3)
+    assert rows["a"]["cents"] == 3 and rows["a"]["cnt"] == 5
+    assert rows["b"]["cents"] == 9 and rows["b"]["cnt"] == 1
+
+
+def test_first_last_partial_fold_associative():
+    """Folding per-batch candidates must equal the single-batch answer
+    regardless of how rows are split across batches."""
+    import numpy as np
+
+    from engine.analytics import first_last_fold_block, first_last_partial
+    rng = np.random.default_rng(7)
+    n = 500
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+        "event_id": pa.array(rng.permutation(n), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n).astype("datetime64[us]")),
+        "event_type": pa.array([f"t{v}" for v in rng.integers(0, 6, n)],
+                               type=pa.string())})
+    whole = first_last_fold_block(first_last_partial(t)).to_pylist()
+    parts = [first_last_partial(t.slice(o, 97))
+             for o in range(0, n, 97)]
+    split = first_last_fold_block(pa.concat_tables(parts)).to_pylist()
+    key = lambda rows: sorted((r["user_id"], r["first_event"],
+                               r["last_event"], r["n_events"])
+                              for r in rows)
+    assert key(whole) == key(split)
