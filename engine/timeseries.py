@@ -338,3 +338,53 @@ FROM events
 GROUP BY CUBE (event_type, date_trunc('day', ts))
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide measure columns -> long (measure, value) rows
+# ---------------------------------------------------------------------------
+
+_MELT_MEASURES = ("quantity", "extendedprice", "discount", "tax")
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT — the inverse reshaping of ``q_events_pivot``: lineitem's
+    four measure columns melt into (orderkey, linenumber, measure,
+    cents) long rows.  A pure stateless ``map_batches`` that emits 4x
+    rows per batch by column concatenation (no exchange, no driver
+    state; output block size is bounded by 4x the input block), so it
+    streams at any scale."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        okey = pc.cast(t["l_orderkey"], pa.int64())
+        lnum = pc.cast(t["l_linenumber"], pa.int64())
+        cents = [np.floor(t[f"l_{m}"].to_numpy(zero_copy_only=False)
+                          * 100.0 + 0.5).astype(np.int64)
+                 for m in _MELT_MEASURES]
+        return pa.table({
+            "l_orderkey": pa.concat_arrays([okey.combine_chunks()] * 4),
+            "l_linenumber": pa.concat_arrays([lnum.combine_chunks()] * 4),
+            "measure": pa.array(np.repeat(np.array(_MELT_MEASURES), n),
+                                type=pa.string()),
+            "cents": pa.array(np.concatenate(cents))})
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"]) \
+        .map_batches(melt, batch_format="pyarrow")
+
+
+SQL_LINEITEM_UNPIVOT = """
+SELECT l_orderkey::BIGINT AS l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber, m.measure,
+       CAST(floor(CASE m.measure
+                  WHEN 'quantity'      THEN l_quantity
+                  WHEN 'extendedprice' THEN l_extendedprice
+                  WHEN 'discount'      THEN l_discount
+                  ELSE l_tax END * 100.0 + 0.5) AS BIGINT) AS cents
+FROM lineitem CROSS JOIN (
+  SELECT unnest(['quantity', 'extendedprice', 'discount', 'tax'])
+      AS measure) m
+"""
