@@ -341,3 +341,16 @@ def test_fallback_deadletter_resume_composite_sf01(ray_session, tmp_path):
     extras = dl_nofb - dl_res
     assert extras and dl_res < dl_nofb
     assert extras <= sink_rows(out, "0x2001")
+
+
+def test_driver_entry_contract(ray_session):
+    """__ray_entry__.entry() — the driver's smoke surface: runs the
+    flagship job on the sf0.001 fixtures inside an ALREADY-initialized
+    Ray session (entry must not init/shutdown) and returns a non-empty
+    result with the stable aggregate schema."""
+    import __ray_entry__ as e
+    res = e.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    for col in ("source", "msg_type", "n_rows", "sum_n_tok"):
+        assert col in df.columns, col
