@@ -672,3 +672,60 @@ SELECT cohort_week, week AS active_week, count(*)::BIGINT AS n_users
 FROM uw JOIN cohort USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_quartiles_cont_by_type(sf_dir: str):
+    """All three interpolated quartiles (p25/p50/p75) per event type in
+    ONE fused refinement — SQL's three percentile_cont calls cost three
+    sorts; here the rank-set engine resolves all six bracketing ranks in
+    the same two scans the median alone costs (each extra rank adds at
+    most one live bucket per pass).  Integer-exact quadruples per
+    quartile, weight denominator 4."""
+    res = exact_ranks_by_group(
+        lambda: _events(sf_dir, ["event_type", "value"]),
+        "event_type", lambda t: _cents(t["value"]), [_MED_SHIFT, 0],
+        lambda n: {r for k in (1, 2, 3)
+                   for r in (((n - 1) * k) // 4,
+                             ((n - 1) * k + 3) // 4)})
+    keys = sorted(res)
+    cols: dict = {"event_type": pa.array(keys, type=pa.string()),
+                  "n": pa.array([res[k][0] for k in keys],
+                                type=pa.int64())}
+    for qi in (1, 2, 3):
+        lo, hi, frac = [], [], []
+        for k in keys:
+            n, picked = res[k]
+            lo.append(picked[((n - 1) * qi) // 4])
+            hi.append(picked[((n - 1) * qi + 3) // 4])
+            frac.append(((n - 1) * qi) % 4)
+        cols[f"q{qi}_lo"] = pa.array(lo, type=pa.int64())
+        cols[f"q{qi}_hi"] = pa.array(hi, type=pa.int64())
+        cols[f"q{qi}_frac"] = pa.array(frac, type=pa.int64())
+    return pa.table(cols)
+
+
+SQL_QUARTILES_CONT_BY_TYPE = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1
+             AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c)
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rk = ((n-1)*1)//4 THEN cents END)::BIGINT AS q1_lo,
+       max(CASE WHEN rk = ((n-1)*1 + 3)//4 THEN cents END)::BIGINT
+           AS q1_hi,
+       max(((n-1)*1) % 4)::BIGINT AS q1_frac,
+       max(CASE WHEN rk = ((n-1)*2)//4 THEN cents END)::BIGINT AS q2_lo,
+       max(CASE WHEN rk = ((n-1)*2 + 3)//4 THEN cents END)::BIGINT
+           AS q2_hi,
+       max(((n-1)*2) % 4)::BIGINT AS q2_frac,
+       max(CASE WHEN rk = ((n-1)*3)//4 THEN cents END)::BIGINT AS q3_lo,
+       max(CASE WHEN rk = ((n-1)*3 + 3)//4 THEN cents END)::BIGINT
+           AS q3_hi,
+       max(((n-1)*3) % 4)::BIGINT AS q3_frac
+FROM r GROUP BY event_type
+"""
