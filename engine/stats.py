@@ -242,8 +242,13 @@ def q_acctbal_moments_by_nation(sf_dir: str):
     moments cannot outgrow int64: |s1| <= 10^6 cents x 10^12 rows < 2^63
     only past 10^12 rows x $10k — the docstring bound); s2 is nonneg and
     rides the standard 10^18 limbs."""
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    import pyarrow.parquet as pq
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])  # 25-row dim:
+    # a driver-side parquet read, not a Ray job (and immune to the
+    # empty-block schema-loss quirk an empty Dataset.to_pandas has)
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
 
     def partial(t: pa.Table) -> pa.Table:
         cents = _cents(t["c_acctbal"])

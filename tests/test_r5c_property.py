@@ -106,3 +106,45 @@ def test_random_corpus_round5c_kernels(ray_session, tmp_path, seed):
     _gen(tmp, seed)
     for name in R5C_QUERIES:
         _check(name, tmp)
+
+
+def test_round5c_kernels_on_empty_tables(ray_session, tmp_path):
+    """Zero-row inputs (correct schemas) must yield zero-row, correctly
+    shaped results — no exchange/fold edge may throw."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tmp = str(tmp_path)
+    schemas = {
+        "events": pa.schema([("event_id", pa.int64()),
+                             ("ts", pa.timestamp("us")),
+                             ("user_id", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("value", pa.float64())]),
+        "lineitem": pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int32()),
+                               ("l_returnflag", pa.string()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_tax", pa.float64())]),
+        "customer": pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int32()),
+                               ("c_acctbal", pa.float64())]),
+        "nation": pa.schema([("n_nationkey", pa.int32()),
+                             ("n_name", pa.string())]),
+        "orders": pa.schema([("o_orderkey", pa.int64()),
+                             ("o_custkey", pa.int64()),
+                             ("o_orderstatus", pa.string()),
+                             ("o_orderdate", pa.timestamp("us")),
+                             ("o_orderpriority", pa.string())]),
+    }
+    for name, sch in schemas.items():
+        pq.write_table(sch.empty_table(), os.path.join(
+            tmp, f"{name}.parquet"))
+    import __ray_entry__ as e
+    qs = e.queries()
+    for name in R5C_QUERIES + ("quartiles_cont_by_type",
+                               "table_checksum_fast"):
+        got = qs[name](tmp)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        assert len(got) == 0, name
