@@ -67,13 +67,22 @@ def _limbs(total: int) -> tuple[int, int]:
     return total // DEC18, total % DEC18
 
 
+# driver-state introspection (the simsearch/robust LAST_* precedent):
+# filled by every _fold_rows call so tests can assert the documented
+# O(groups x batches) driver-input bound instead of trusting docstrings
+LAST_STATS: dict = {}
+
+
 def _fold_rows(ds, key_cols: tuple[str, ...]) -> dict:
     """Collect per-batch partial tables and fold every non-key column
     into Python bigints per key — O(groups x batches) driver input."""
     acc: dict = {}
+    fold_rows = batches = 0
     for b in collect_tables(ds):
         if not b.num_columns:
             continue
+        batches += 1
+        fold_rows += b.num_rows
         names = b.column_names
         vals = [c for c in names if c not in key_cols]
         for r in b.to_pylist():
@@ -84,6 +93,9 @@ def _fold_rows(ds, key_cols: tuple[str, ...]) -> dict:
             else:
                 for c in vals:
                     prev[c] += int(r[c])
+    LAST_STATS.clear()
+    LAST_STATS.update({"fold_rows": fold_rows, "batches": batches,
+                       "groups": len(acc)})
     return acc
 
 

@@ -144,3 +144,15 @@ def test_first_last_partial_fold_associative():
                                r["last_event"], r["n_events"])
                               for r in rows)
     assert key(whole) == key(split)
+
+
+def test_fold_rows_driver_bound(ray_session):
+    """The driver fold must receive O(groups x batches) rows — never
+    O(data rows) — even when the corpus is split into many blocks."""
+    stats.q_value_moments_by_type(SF)
+    s = dict(stats.LAST_STATS)
+    assert s["groups"] >= 1 and s["batches"] >= 1
+    assert s["fold_rows"] <= s["groups"] * s["batches"]
+    # and the partial pre-shrink really shrank: far fewer fold rows than
+    # the 6k-row fixture events table
+    assert s["fold_rows"] < 1000
