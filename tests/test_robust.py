@@ -296,3 +296,39 @@ def test_percentile_cont_derived_matches_duckdb(ray_session):
         frac = t["frac_num"][i].as_py()
         got = lo + (hi - lo) * frac / 10
         assert got == pytest.approx(want[et], rel=1e-12, abs=1e-9), et
+
+
+def test_exact_ranks_random_rank_sets(ray_session):
+    """The generalized rank engine (exact_ranks_by_group) with RANDOM
+    rank sets per group — many simultaneous targets per pass, the case
+    the median/p90 wrappers never exercise — against a sorted-scan
+    oracle over the full-int64-domain ladder."""
+    import ray
+
+    from engine.robust import MED_SHIFTS_64, exact_ranks_by_group
+    rng = np.random.default_rng(11)
+    parts = {
+        "u": rng.integers(-2**60, 2**60, 1500, dtype=np.int64),
+        "dup": np.repeat(rng.integers(-9, 9, 40).astype(np.int64), 50),
+        "one": np.array([123456789], dtype=np.int64),
+    }
+    keys = np.concatenate([[k] * len(v) for k, v in parts.items()])
+    vals = np.concatenate(list(parts.values()))
+    tbl = pa.table({"grp": pa.array(keys, type=pa.string()),
+                    "v": pa.array(vals, type=pa.int64())})
+    # deterministic pseudo-random rank set per group size (seeded by n)
+    def ranks_fn(n):
+        r = np.random.default_rng(n)
+        return {int(x) for x in r.integers(0, n, 7)} | {0, n - 1}
+
+    res = exact_ranks_by_group(
+        lambda: ray.data.from_arrow(tbl).repartition(6), "grp",
+        lambda t: t["v"].to_numpy(zero_copy_only=False),
+        MED_SHIFTS_64, ranks_fn)
+    for k, v in parts.items():
+        sv = np.sort(v)
+        n, picked = res[k]
+        assert n == len(sv), k
+        assert set(picked) == ranks_fn(n), k
+        for rank, val in picked.items():
+            assert val == int(sv[rank]), (k, rank)
